@@ -1,0 +1,82 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+# Headline set: flagship pipeline + the heaviest relational / extension ops.
+HEADLINE = [
+    "pipeline_disposition_summary",
+    "pipeline_disposition_ledger",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_orders_per_customer",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "text_quality_score",
+    "sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+    from dynamodb_stream_processor_2_0_spark.session import get_spark
+
+    registry._load()
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers with a trivial action, so the
+    # numbers measure the queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    names = [n for n in HEADLINE if n in registry.REGISTRY]
+    names += [n for n in registry.REGISTRY if n not in names]
+
+    def run_once(name: str) -> float:
+        # `noop` sink: forces full materialization of every column
+        # (a bare .count() would let Catalyst prune the computed ones)
+        # without driver-side result transfer.
+        t0 = time.perf_counter()
+        registry.REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        cold = run_once(name)  # warm-up: JIT + codegen compile, measured steady-state
+        dt = run_once(name)
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s (cold {cold:.3f}s)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""The flagship disposition pipeline (reference: processStreamRecord,
+index.js:143-321) recast as a single declarative DataFrame plan over the
+``events`` table.
+
+Reference semantics preserved:
+
+- F1 change-type filter (index.js:146-153)        -> event_type allowlist
+- F2 NewImage null guard (index.js:155-162)       -> props/value null guard
+- P1/P2/P4 typed parse w/ defaults (index.js:350-385) -> JSON decode of
+  ``props`` with ``try_cast`` + coalesce-to-0
+- D1 already-sent filter (index.js:167-184)       -> flag predicate on the
+  parsed row
+- D3/D5 duplicate prevention (index.js:107-141, 572) -> first-occurrence-
+  per-(user_id, event_type) via a window, later occurrences tagged
+  ``duplicate_prevented``
+- F7 validation (index.js:387-398)                -> required-field check
+- F9 threshold filter (index.js:418-423)          -> value >= config min
+- F10 blocklist filter (index.js:433-439)         -> key-mod blocklist
+- F12 tag-don't-drop disposition ledger (index.js:148-268) -> one CASE
+  chain; the FIRST matching stage wins, exactly like the reference's
+  early-return control flow
+- P10 priority rule (index.js:563)                -> high/normal column
+- A1 batch counters (index.js:42-92)              -> groupBy(action).agg
+
+Scale notes: one shuffle for the dedup window (hash-partition by
+(user_id, event_type, early_pass)) and one for the final aggregation —
+the aggregation is map-side-combined by Spark so the second exchange
+carries only per-action partials. No Python UDFs anywhere; the whole
+plan is JVM-side and whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from dynamodb_stream_processor_2_0_spark.config import DEFAULT_CONFIG, EngineConfig
+
+# F1: the reference admits INSERT|MODIFY and rejects everything else
+# (index.js:146-153). `error` events play the role of REMOVE.
+ALLOWED_EVENT_TYPES = ("click", "view", "purchase", "signup")
+
+# Disposition labels (F12 ledger, index.js:148-320 return sites).
+ACTION_SKIPPED_CHANGE_TYPE = "skipped_change_type"
+ACTION_SKIPPED_MISSING_IMAGE = "skipped_missing_image"
+ACTION_SKIPPED_ALREADY_SENT = "skipped_already_sent"
+ACTION_DUPLICATE_PREVENTED = "duplicate_prevented"
+ACTION_SKIPPED_INVALID = "skipped_invalid"
+ACTION_SKIPPED_BELOW_THRESHOLD = "skipped_below_threshold"
+ACTION_SKIPPED_BLOCKLISTED = "skipped_blocklisted"
+ACTION_EMAIL_TRIGGERED = "email_triggered"
+
+
+def parse_event_props(df: DataFrame) -> DataFrame:
+    """P1/P2/P4: decode the JSON ``props`` payload into a typed column
+    with a 0 default (reference: parseInt(x ?? '0'), index.js:367-372).
+
+    ``try_cast`` (not plain cast) so malformed payloads become NULL->0
+    instead of failing the task under ANSI mode — the reference's
+    null-tolerant `?.` semantics.
+    """
+    return df.withColumn(
+        "k",
+        F.coalesce(
+            F.expr("try_cast(get_json_object(props, '$.k') AS int)"), F.lit(0)
+        ),
+    )
+
+
+def with_disposition(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Tag every event with its disposition — tag-don't-drop (F12).
+
+    The CASE chain encodes the reference's early-return ordering
+    (index.js:146-302): change-type -> null guard -> already-sent ->
+    duplicate -> validation -> threshold -> blocklist -> triggered.
+
+    Duplicate detection (D3/D5) is first-occurrence-per-key among rows
+    that survived the EARLIER stages only — the reference consults table
+    state after D1 passes (index.js:228) — so the window partitions on
+    (user_id, event_type, early_pass) and ranks by (ts, event_id) for a
+    deterministic total order.
+    """
+    df = parse_event_props(df)
+    type_ok = F.col("event_type").isin(*ALLOWED_EVENT_TYPES)
+    image_ok = F.col("props").isNotNull() & F.col("value").isNotNull()
+    already_sent = (F.col("k") % cfg.already_sent_mod) == 0
+    early_pass = type_ok & image_ok & ~already_sent
+
+    dedup_window = Window.partitionBy("user_id", "event_type", "early_pass").orderBy(
+        "ts", "event_id"
+    )
+    df = (
+        df.withColumn("early_pass", early_pass)
+        .withColumn("rn", F.row_number().over(dedup_window))
+    )
+
+    action = (
+        F.when(~type_ok, ACTION_SKIPPED_CHANGE_TYPE)
+        .when(~image_ok, ACTION_SKIPPED_MISSING_IMAGE)
+        .when(already_sent, ACTION_SKIPPED_ALREADY_SENT)
+        .when(F.col("rn") > 1, ACTION_DUPLICATE_PREVENTED)
+        .when(F.col("user_id").isNull(), ACTION_SKIPPED_INVALID)
+        .when(F.col("value") < cfg.min_value_for_trigger, ACTION_SKIPPED_BELOW_THRESHOLD)
+        .when((F.col("user_id") % cfg.blocklist_mod) == 0, ACTION_SKIPPED_BLOCKLISTED)
+        .otherwise(ACTION_EMAIL_TRIGGERED)
+    )
+    priority = F.when(
+        F.col("value") >= cfg.high_priority_threshold, F.lit("high")
+    ).otherwise(F.lit("normal"))
+
+    return df.withColumn("action", action).withColumn(
+        "priority",
+        F.when(F.col("action") == ACTION_EMAIL_TRIGGERED, priority).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+
+
+def disposition_ledger(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-record ledger: the reference returns {recordId, action, reason}
+    per record (index.js:307-315); here one row per event."""
+    return with_disposition(df, cfg).select(
+        "event_id", "user_id", "event_type", "action", "priority"
+    )
+
+
+def disposition_summary(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A1 batch counters (index.js:42-92): per-disposition counts plus
+    value totals. Decimal sums so the result is bit-identical across
+    engines (no float summation-order drift)."""
+    return (
+        with_disposition(df, cfg)
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("action")
+    )
+
+
+DISPOSITION_SUMMARY_ORACLE_SQL = """
+WITH parsed AS (
+    SELECT
+        event_id, ts, user_id, event_type, value, props,
+        COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+    FROM events
+), flagged AS (
+    SELECT *,
+        (event_type IN ('click','view','purchase','signup')) AS type_ok,
+        (props IS NOT NULL AND value IS NOT NULL) AS image_ok,
+        (k % {already_sent_mod} = 0) AS already_sent
+    FROM parsed
+), ranked AS (
+    SELECT *,
+        (type_ok AND image_ok AND NOT already_sent) AS early_pass,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type,
+                (type_ok AND image_ok AND NOT already_sent)
+            ORDER BY ts, event_id
+        ) AS rn
+    FROM flagged
+), tagged AS (
+    SELECT *,
+        CASE
+            WHEN NOT type_ok THEN 'skipped_change_type'
+            WHEN NOT image_ok THEN 'skipped_missing_image'
+            WHEN already_sent THEN 'skipped_already_sent'
+            WHEN rn > 1 THEN 'duplicate_prevented'
+            WHEN user_id IS NULL THEN 'skipped_invalid'
+            WHEN value < {min_value} THEN 'skipped_below_threshold'
+            WHEN user_id % {blocklist_mod} = 0 THEN 'skipped_blocklisted'
+            ELSE 'email_triggered'
+        END AS action
+    FROM ranked
+)
+SELECT action,
+       count(*) AS n_records,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM tagged
+GROUP BY action
+ORDER BY action
+"""
+
+DISPOSITION_LEDGER_ORACLE_SQL = """
+WITH parsed AS (
+    SELECT
+        event_id, ts, user_id, event_type, value, props,
+        COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+    FROM events
+), flagged AS (
+    SELECT *,
+        (event_type IN ('click','view','purchase','signup')) AS type_ok,
+        (props IS NOT NULL AND value IS NOT NULL) AS image_ok,
+        (k % {already_sent_mod} = 0) AS already_sent
+    FROM parsed
+), ranked AS (
+    SELECT *,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type,
+                (type_ok AND image_ok AND NOT already_sent)
+            ORDER BY ts, event_id
+        ) AS rn
+    FROM flagged
+), tagged AS (
+    SELECT *,
+        CASE
+            WHEN NOT type_ok THEN 'skipped_change_type'
+            WHEN NOT image_ok THEN 'skipped_missing_image'
+            WHEN already_sent THEN 'skipped_already_sent'
+            WHEN rn > 1 THEN 'duplicate_prevented'
+            WHEN user_id IS NULL THEN 'skipped_invalid'
+            WHEN value < {min_value} THEN 'skipped_below_threshold'
+            WHEN user_id % {blocklist_mod} = 0 THEN 'skipped_blocklisted'
+            ELSE 'email_triggered'
+        END AS action
+    FROM ranked
+)
+SELECT event_id, user_id, event_type, action,
+       CASE WHEN action = 'email_triggered'
+            THEN CASE WHEN value >= {high_priority} THEN 'high' ELSE 'normal' END
+       END AS priority
+FROM tagged
+"""
+
+
+def summary_oracle_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    return DISPOSITION_SUMMARY_ORACLE_SQL.format(
+        already_sent_mod=cfg.already_sent_mod,
+        min_value=cfg.min_value_for_trigger,
+        blocklist_mod=cfg.blocklist_mod,
+    )
+
+
+def ledger_oracle_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    return DISPOSITION_LEDGER_ORACLE_SQL.format(
+        already_sent_mod=cfg.already_sent_mod,
+        min_value=cfg.min_value_for_trigger,
+        blocklist_mod=cfg.blocklist_mod,
+        high_priority=cfg.high_priority_threshold,
+    )

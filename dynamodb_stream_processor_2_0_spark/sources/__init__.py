@@ -1,0 +1,7 @@
+from dynamodb_stream_processor_2_0_spark.sources.catalog import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,48 @@
+"""Differential tests: every registered query with an oracle must match
+DuckDB exactly (the driver's gate, run here at sf0.001 for speed and at
+sf0.01 when SPARK_GRAFT_PARITY_MEDIUM=1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dynamodb_stream_processor_2_0_spark.plans import registry
+from tests.oracle_harness import compare_query
+
+
+def _specs():
+    registry._load()
+    return [s for s in registry.REGISTRY.values() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_parity_small(spark, sf_dir, spec):
+    compare_query(spark, spec, sf_dir)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_PARITY_MEDIUM") != "1",
+    reason="set SPARK_GRAFT_PARITY_MEDIUM=1 for the sf0.01 pass",
+)
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_parity_medium(spark, sf_dir_medium, spec):
+    compare_query(spark, spec, sf_dir_medium)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    registry._load()
+    for spec in registry.REGISTRY.values():
+        if spec.oracle is None:
+            df = spec.fn(spark, sf_dir)
+            assert df.count() >= 0, spec.name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

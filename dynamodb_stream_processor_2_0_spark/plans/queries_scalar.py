@@ -1,0 +1,290 @@
+"""Stateless scalar/predicate operator queries (SURVEY.md §2.2-2.3).
+
+Each query is the batch re-expression of one reference operator over the
+test tables, paired with its DuckDB oracle. All plans are pure built-in
+expressions — single scan, no shuffle except where an aggregate needs
+one — so at 100 TB they are embarrassingly parallel map stages with full
+predicate pushdown and column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.functions import parsing as P
+from dynamodb_stream_processor_2_0_spark.functions import predicates as PR
+from dynamodb_stream_processor_2_0_spark.operators.disposition import (
+    ALLOWED_EVENT_TYPES,
+)
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+
+@register(
+    "f1_change_type_filter",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE event_type IN ('click','view','purchase','signup')
+    """,
+    tags=("F1",),
+    doc="F1 change-type allowlist (index.js:146-153).",
+)
+def f1_change_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*ALLOWED_EVENT_TYPES))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "f3_null_pass_filter",
+    oracle="""
+        WITH parsed AS (
+            SELECT event_id, user_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_raw
+            FROM events
+        )
+        SELECT event_id, user_id, k_raw
+        FROM parsed
+        WHERE NOT COALESCE(k_raw % 10 = 0 OR k_raw % 13 = 0, FALSE)
+    """,
+    tags=("F3", "F4"),
+    doc="F3/F4 negated flag filters with null-PASS semantics (index.js:167-184).",
+)
+def f3_null_pass_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events").withColumn(
+        "k_raw", F.expr("try_cast(get_json_object(props, '$.k') AS int)")
+    )
+    keep = PR.null_pass_not_any(F.col("k_raw") % 10 == 0, F.col("k_raw") % 13 == 0)
+    return df.filter(keep).select("event_id", "user_id", "k_raw")
+
+
+@register(
+    "p1_typed_parse_projection",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               lower(event_type) AS event_type_norm,
+               COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k,
+               COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0) AS missing_metric,
+               CAST(value AS DECIMAL(18,2)) AS value_dec,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+        FROM events
+    """,
+    tags=("P1", "P2", "P3", "P4", "P6"),
+    doc="P1 typed parse: dynamic JSON -> fixed schema with defaults (index.js:350-385).",
+)
+def p1_typed_parse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        "user_id",
+        F.lower("event_type").alias("event_type_norm"),
+        P.json_int("props", "$.k").alias("k"),
+        P.json_double("props", "$.missing").alias("missing_metric"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        P.iso_timestamp("ts").alias("ts_iso"),
+    )
+
+
+@register(
+    "p5_key_building",
+    oracle="""
+        SELECT event_id,
+               concat(CAST(user_id AS VARCHAR), '-', lower(event_type)) AS dedup_id,
+               printf('email_%d_%d', event_id, user_id) AS message_id
+        FROM events
+    """,
+    tags=("P5", "D5"),
+    doc="P5/D5 key building: dedupId + message id interpolation (index.js:572, 575).",
+)
+def p5_key_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        P.dedup_id(F.col("user_id").cast("string"), F.col("event_type")).alias(
+            "dedup_id"
+        ),
+        F.format_string("email_%d_%d", "event_id", "user_id").alias("message_id"),
+    )
+
+
+@register(
+    "f8_email_validation",
+    oracle="""
+        WITH emails AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 17 = 0 THEN 'bad email at'
+                        WHEN c_custkey % 13 = 0
+                            THEN concat('unknown@host', CAST(c_custkey AS VARCHAR), '.org')
+                        WHEN c_custkey % 5 = 0
+                            THEN concat('user', CAST(c_custkey AS VARCHAR), '@test.com')
+                        ELSE concat(lower(replace(c_name, ' ', '.')), '@corp.example.org')
+                   END AS email
+            FROM customer
+        )
+        SELECT c_custkey, email,
+               regexp_matches(email, '^[^\\s@]+@[^\\s@]+\\.[^\\s@]+$') AS is_valid,
+               (contains(lower(email), 'example.com') OR contains(lower(email), 'test.com')
+                OR starts_with(lower(email), 'unknown@')) AS is_blocklisted
+        FROM emails
+    """,
+    tags=("F8", "F10", "P3"),
+    doc="F8 email regex + F10 blocklist over synthesized emails (index.js:400-403, 433-439).",
+)
+def f8_email_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer")
+    email = (
+        F.when(F.col("c_custkey") % 17 == 0, F.lit("bad email at"))
+        .when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.lit("unknown@host"), F.col("c_custkey").cast("string"), F.lit(".org")),
+        )
+        .when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.lit("user"), F.col("c_custkey").cast("string"), F.lit("@test.com")),
+        )
+        .otherwise(
+            F.concat(
+                F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+                F.lit("@corp.example.org"),
+            )
+        )
+    )
+    return df.select(
+        "c_custkey",
+        email.alias("email"),
+        PR.is_valid_email(email).alias("is_valid"),
+        PR.is_blocklisted_email(email).alias("is_blocklisted"),
+    )
+
+
+@register(
+    "p7_nested_document_build",
+    oracle="""
+        SELECT event_id,
+               to_json(struct_pack(
+                   guestInfo := struct_pack(userId := user_id),
+                   matchInfo := struct_pack(
+                       eventType := event_type,
+                       totalK := COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0)
+                   ),
+                   jobMetadata := struct_pack(
+                       priority := CASE WHEN value >= 100.0 THEN 'high' ELSE 'normal' END,
+                       source := 'dynamodb_stream_processor_2_0_spark'
+                   )
+               )) AS email_job
+        FROM events
+        WHERE event_type IN ('click','view','purchase','signup')
+    """,
+    tags=("P7", "P11", "P10"),
+    doc="P7/P11 nested email-job document + JSON encode (index.js:528-568, 587).",
+)
+def p7_nested_document_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*ALLOWED_EVENT_TYPES)
+    )
+    job = F.struct(
+        F.struct(F.col("user_id").alias("userId")).alias("guestInfo"),
+        F.struct(
+            F.col("event_type").alias("eventType"),
+            P.json_int("props", "$.k").alias("totalK"),
+        ).alias("matchInfo"),
+        F.struct(
+            F.when(F.col("value") >= 100.0, "high").otherwise("normal").alias("priority"),
+            F.lit("dynamodb_stream_processor_2_0_spark").alias("source"),
+        ).alias("jobMetadata"),
+    )
+    return df.select("event_id", F.to_json(job).alias("email_job"))
+
+
+@register(
+    "p8_array_transform_slice",
+    oracle="""
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(string_split(text, ' ')[1:5], t -> upper(t)),
+                   '|') AS top_tokens,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    """,
+    tags=("P8", "P9"),
+    doc="P8 per-element array transform + P9 top-K slice (index.js:529-534).",
+)
+def p8_array_transform_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.slice(tokens, 1, 5), lambda t: F.upper(t)), "|"
+        ).alias("top_tokens"),
+        F.size(tokens).alias("n_tokens"),
+    )
+
+
+@register(
+    "p10_priority_routing",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN value >= 100.0 THEN 'high' ELSE 'normal' END AS priority,
+               CASE WHEN value >= 100.0 THEN 0 ELSE 5 END AS delay_seconds
+        FROM events
+    """,
+    tags=("P10", "S3"),
+    doc="P10 priority + DelaySeconds routing (index.js:563, 599).",
+)
+def p10_priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    high = F.col("value") >= 100.0
+    return df.select(
+        "event_id",
+        F.when(high, "high").otherwise("normal").alias("priority"),
+        F.when(high, 0).otherwise(5).alias("delay_seconds"),
+    )
+
+
+@register(
+    "a2_existence_per_key",
+    oracle="""
+        SELECT user_id,
+               COALESCE(bool_or(event_type = 'purchase'), FALSE) AS has_purchase,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("A2", "S2"),
+    doc="A2 existence aggregate per key (Items.length > 0, index.js:125).",
+)
+def a2_existence_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return df.groupBy("user_id").agg(
+        F.coalesce(F.bool_or(is_purchase), F.lit(False)).alias("has_purchase"),
+        F.count_if(is_purchase).alias("n_purchases"),
+    )
+
+
+@register(
+    "a3_failure_list",
+    oracle="""
+        SELECT user_id,
+               COALESCE(
+                   array_to_string(
+                       list_sort(list(event_id) FILTER (WHERE event_type = 'error')),
+                       ','),
+                   '') AS failed_ids
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("A3", "E2"),
+    doc="A3 failed-id collection for partial-batch retry (index.js:94-97).",
+)
+def a3_failure_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    failed = F.when(F.col("event_type") == "error", F.col("event_id"))
+    return df.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list(failed)), ",").alias("failed_ids")
+    )

@@ -1,0 +1,313 @@
+"""Dedup operator family (SURVEY.md §2.4 + LLM-pipeline extensions).
+
+Reference layers D1-D5 (index.js:107-244, 448-497, 572) are an
+exactly-once guard over a keyed stream; the batch re-expressions here
+generalize them into the dedup toolkit a training-data pipeline needs:
+
+- exact dedup            (D5 dropDuplicates analog; hash-groupBy)
+- first-occurrence-wins  (deterministic window rank, D5's keep-rule)
+- state anti/semi probe  (D3 as a join against delivered state)
+- MinHash + LSH banding  (fuzzy text dedup at scale)
+- SimHash                (bitwise near-dup fingerprint)
+- n-gram Jaccard         (exact pairwise verification of candidates)
+
+Portability note: signature hashing uses ``md5`` (not xxhash64/murmur)
+because the engine's differential oracle (DuckDB) computes the identical
+hex string — signatures are therefore cross-engine reproducible, which
+is also the property you want when a 100 TB dedup run spans engine
+versions. Min-over-hex-string == min-over-uint128 lexicographically,
+so `min(md5(...))` is a valid minhash.
+
+Scale design: every stage is explode -> hash-partition groupBy, i.e.
+linear in (docs x shingles) with map-side combine; the LSH band join
+shuffles only (band, signature) pairs, never full documents, and the
+candidate-pair output is orders of magnitude smaller than the n^2
+cross join it replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Whitespace tokenization — single-space split, identical to the
+    oracle's string_split."""
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(tokens: str = "toks", k: int = 3) -> F.Column:
+    """Distinct k-token shingles from a tokens array column (empty when
+    the document has fewer than k tokens). Takes a pre-computed tokens
+    column so the split isn't re-evaluated per shingle."""
+    parts = ", ".join(f"{tokens}[i + {j}]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({tokens}) >= {k} "
+        f"THEN array_distinct(transform(sequence(0, size({tokens}) - {k}), "
+        f"i -> concat_ws(' ', {parts}))) ELSE array() END"
+    )
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB twin of shingles_col (1-based list indexing)."""
+    parts = ", ' ', ".join(f"toks[i + {j + 1}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(range(greatest(len(toks) - {k - 1}, 0)), "
+        f"i -> concat({parts})))"
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy on content: one representative
+    (lowest id — deterministic) plus the duplicate count."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int,
+    shingle_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per doc with columns h0..h{n-1}: minhash_i =
+    min(md5(i || ':' || shingle)). Single explode + single groupBy —
+    all hashes computed in one pass over the exploded shingles."""
+    exploded = df.withColumn("toks", tokens_col(text_col)).select(
+        F.col(id_col), F.explode(shingles_col("toks", shingle_k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become a candidate
+    pair (doc_a < doc_b). The join key is (band, signature) — tiny rows
+    — so the shuffle stays proportional to docs x bands, not documents'
+    content."""
+    assert num_hashes % band_size == 0
+    sigs = minhash_signatures(df, num_hashes, shingle_k, id_col, text_col)
+    n_bands = num_hashes // band_size
+    band_sig = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_sig)
+    bands_long = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = bands_long.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("doc_a")
+    )
+    right = bands_long.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("doc_b")
+    )
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_oracle_sql(
+    num_hashes: int = 12, band_size: int = 2, shingle_k: int = 3
+) -> str:
+    n_bands = num_hashes // band_size
+    h_aggs = ",\n               ".join(
+        f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = ",\n               ".join(
+        "({b}, md5(concat({cols})))".format(
+            b=b,
+            cols=", '|', ".join(f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({_shingles_sql(shingle_k)}) AS shingle FROM toks
+        ), sigs AS (
+            SELECT doc_id,
+               {h_aggs}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, band, sig
+            FROM sigs, (VALUES {band_rows}) AS v(band, sig)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprint: per-token 32-bit hash (first 8 hex chars of
+    md5, base-16 decoded), each bit votes +1/-1 weighted by token
+    frequency; fingerprint bit b is the sign of the vote sum.
+
+    Two hash-partition aggregations: (doc, bit) vote sums, then the
+    fingerprint assembly. Both are map-side-combinable; the exploded
+    (doc x token x bit) stream never materializes.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    toks = toks.withColumn(
+        "tok_val", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    )
+    votes = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bits - 1}), "
+                    f"b -> CASE WHEN (tok_val div CAST(pow(2, b) AS BIGINT)) % 2 = 1 "
+                    f"THEN 1 ELSE -1 END)"
+                )
+            ).alias("bit", "vote"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("votes") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_oracle_sql(bits: int = 32) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(8), c ->
+                       (strpos('0123456789abcdef', substr(md5(tok), c + 1, 1)) - 1)
+                       * (16 ** (7 - c)))) AS BIGINT) AS tok_val
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (tok_val // CAST(2 ** bit AS BIGINT)) % 2 = 1
+                            THEN 1 ELSE -1 END) AS votes
+            FROM hashed, (SELECT unnest(range({bits})) AS bit)
+            GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               sum(CASE WHEN votes > 0 THEN CAST(2 ** bit AS BIGINT) ELSE 0 END)
+                   AS simhash
+        FROM votes GROUP BY doc_id
+    """
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via an inverted-index join: only
+    pairs sharing at least one shingle are ever generated (the classic
+    candidate-verification step after LSH). Jaccard computed as one
+    double division of exact integers — deterministic."""
+    sh = df.withColumn("toks", tokens_col(text_col)).select(
+        F.col(id_col), F.explode(shingles_col("toks", shingle_k)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(shingle_k: int = 3, min_jaccard: float = 0.05) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({_shingles_sql(shingle_k)}) AS shingle FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter,
+               CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE)
+              >= {min_jaccard}
+    """
+
+
+def first_occurrence(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """D5 keep-rule: deterministic first-occurrence-per-key (the
+    reference's 'first claim wins' CAS outcome, index.js:457-477)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

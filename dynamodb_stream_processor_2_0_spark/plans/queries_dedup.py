@@ -1,0 +1,192 @@
+"""Dedup + CDC queries (SURVEY.md §2.4 and the LLM-pipeline dedup
+extensions over ``documents``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.operators import cdc, dedup
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+
+@register(
+    "d5_first_occurrence_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("D5", "D4"),
+    doc="D5/D4 first-claim-wins dedup on the (user, type) key (index.js:457-477, 572).",
+)
+def d5_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return dedup.first_occurrence(df, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+@register(
+    "d2_cdc_old_new_diff",
+    oracle="""
+        WITH parsed AS (
+            SELECT event_id, user_id, ts, value,
+                   COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+            FROM events
+        ), imaged AS (
+            SELECT event_id, user_id, ts, value, k,
+                   lag(value) OVER w AS old_value,
+                   lag(k) OVER w AS old_k,
+                   CASE WHEN lag(ts) OVER w IS NULL THEN 'INSERT' ELSE 'MODIFY' END
+                       AS change_kind
+            FROM parsed
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, change_kind, k, old_k,
+               value - old_value AS delta_value,
+               COALESCE(k = 0 AND old_k > 0, FALSE) AS suppressed
+        FROM imaged
+    """,
+    tags=("D2", "F5", "F6"),
+    doc="D2 old/new image reconstruction via lag + F6 pool-expansion suppression (index.js:187-221).",
+)
+def d2_cdc_old_new_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events").withColumn(
+        "k",
+        F.coalesce(F.expr("try_cast(get_json_object(props, '$.k') AS int)"), F.lit(0)),
+    )
+    imaged = cdc.with_old_image(df, ["user_id"], ["ts", "event_id"], ["value", "k"])
+    return imaged.select(
+        "event_id",
+        "user_id",
+        "change_kind",
+        "k",
+        "old_k",
+        (F.col("value") - F.col("old_value")).alias("delta_value"),
+        cdc.pool_expansion_suppressed(F.col("k"), F.col("old_k")).alias("suppressed"),
+    )
+
+
+@register(
+    "d3_state_lookup_routing",
+    oracle="""
+        WITH state AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        )
+        SELECT e.event_id, e.user_id,
+               CASE WHEN s.user_id IS NOT NULL THEN 'duplicate_prevented'
+                    ELSE 'proceed' END AS action
+        FROM events e
+        LEFT JOIN state s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+    """,
+    tags=("D3", "S2", "F12"),
+    doc="D3 state lookup with tag-don't-drop routing (index.js:107-141, 227-244).",
+)
+def d3_state_lookup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    state = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("s_user_id"))
+        .distinct()
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(state), F.col("user_id") == F.col("s_user_id"), "left"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("s_user_id").isNotNull(), "duplicate_prevented")
+            .otherwise("proceed")
+            .alias("action"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("dedup", "llm"),
+    doc="Exact content dedup: hash-groupBy, deterministic representative.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group on md5(text) rather than raw text: at 100 TB the shuffle
+    # carries 32-byte keys, not documents.
+    df = load_table(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    return (
+        df.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=dedup.minhash_lsh_oracle_sql(num_hashes=12, band_size=2, shingle_k=3),
+    tags=("dedup", "llm", "minhash"),
+    doc="MinHash(12 hashes) + LSH(6 bands of 2) candidate pairs over 3-token shingles.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidate_pairs(
+        df, num_hashes=12, band_size=2, shingle_k=3
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=dedup.simhash_oracle_sql(bits=32),
+    tags=("dedup", "llm", "simhash"),
+    doc="32-bit SimHash fingerprint with frequency-weighted bit votes.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH sample_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM sample_docs
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(toks) - 2, 0)),
+                       i -> concat(toks[i + 1], ' ', toks[i + 2], ' ', toks[i + 3]))))
+                       AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter,
+               CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.01
+    """,
+    tags=("dedup", "llm", "jaccard"),
+    doc="Exact n-gram Jaccard verification over an inverted-index join (10% sample).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_jaccard_pairs(df, shingle_k=3, min_jaccard=0.01)

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+stages (LLM-pipeline extension).
+
+The decode step itself is STUBBED — image/audio codec libraries are not
+in this environment — behind ``decoder=`` injection: production passes
+a real codec (PIL/ffmpeg wrapper), tests pass the deterministic fake.
+Everything around the stub is real and load-bearing: schemas, the Arrow
+batch path, partition sizing, and the UDF signatures are exactly what a
+100 TB media pipeline needs (binary payloads never shuffle more than
+once; feature extraction is batched per Arrow chunk, not per row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def real_image_decode(payload: bytes) -> dict[str, Any]:
+    """Production decode hook — requires an image codec library.
+
+    Deliberately NotImplemented in this environment; inject
+    ``fake_image_decode`` (or a real codec wrapper) instead.
+    """
+    raise NotImplementedError(
+        "image codec libraries are not available in this environment; "
+        "inject a decoder (e.g. PIL-based) or use fake_image_decode"
+    )
+
+
+def fake_image_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in decoder: derives plausible metadata and an
+    8-dim feature vector purely from the payload bytes (md5-seeded), so
+    tests exercise the full Arrow plumbing with stable outputs."""
+    h = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 3,
+        "feature": [round(b / 255.0, 6) for b in h[2:10]],
+    }
+
+
+def decode_image_batch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], dict[str, Any]] = fake_image_decode,
+) -> DataFrame:
+    """Binary payloads -> typed metadata + feature vector via
+    ``mapInPandas`` (Arrow batches; one python call per batch, never per
+    row)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decoder(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "channels": [m["channels"] for m in metas],
+                    "feature": [m["feature"] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    chunk_bytes: int = 32,
+    every_nth: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video-style frame sampling: split each payload into fixed-size
+    chunks ("frames") and keep every Nth — the partition-preserving
+    explode a video pipeline does before per-frame decode."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                chunks = [
+                    raw[i : i + chunk_bytes] for i in range(0, len(raw), chunk_bytes)
+                ]
+                for j in range(0, len(chunks), every_nth):
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    frames.append(chunks[j])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def documents_as_binary(df: DataFrame) -> DataFrame:
+    """Adapter for tests/demos: treat document text bytes as an opaque
+    media payload column."""
+    return df.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )

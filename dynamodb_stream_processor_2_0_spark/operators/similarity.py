@@ -1,0 +1,219 @@
+"""Embedding similarity search (LLM-pipeline extension; SURVEY.md §2.7
+"engine surface to build").
+
+Two paths:
+
+- ``cosine_topk``: exact brute-force — broadcast the (small) query set,
+  score every candidate with a JVM-side ordered fold, rank per query.
+  The baseline and the verifier for the approximate path.
+- ``lsh_bucket_topk``: random-hyperplane (sign) LSH — each vector gets
+  a b-bit bucket code; queries only score candidates in the same
+  bucket. The scale path: at 100 TB the bucket join prunes the
+  candidate set by ~2^b before any floating-point work happens.
+
+Determinism contract: dot products are left folds over the dimension
+axis in double precision (`F.aggregate` — sequential, not tree-reduced),
+so the same bytes always produce the same score — bit-identical to the
+DuckDB oracle's `list_reduce` fold, which permits exact differential
+testing of float results (no tolerance).
+
+Hyperplanes are pseudo-random ±1 vectors derived from md5(plane:dim) —
+reproducible across engines/languages (hashlib here, md5() in any SQL
+engine) instead of an RNG seed tied to one library.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """±1.0 hyperplane matrix from md5(plane:dim) parity — deterministic
+    public derivation, identical in any engine with md5."""
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] in "13579bdf" else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _dot_fold(a: str, b: str) -> F.Column:
+    """Ordered double-precision fold: ((0 + a0*b0) + a1*b1) + ..."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot_fold(vec_col, vec_col)))
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self excluded).
+
+    Plan shape: broadcast(queries) x candidates -> map-side scoring ->
+    one shuffle on query_id for the per-query window rank. Candidates
+    are never shuffled by content.
+    """
+    cand = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("norm").alias("cand_norm"),
+    )
+    qry = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("norm").alias("query_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qry), F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot_fold("query_vec", "cand_vec") / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def cosine_topk_oracle_sql(
+    k: int, query_pred: str, table: str = "embeddings"
+) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    # list_reduce seeds with the first element; x == 0.0 + x in IEEE,
+    # so this equals the engine's zero-seeded fold bit-for-bit.
+    return f"""
+        WITH normed AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm
+            FROM {table}
+        ), qry AS (
+            SELECT vec_id AS query_id, embedding AS query_vec, norm AS query_norm
+            FROM normed WHERE {query_pred}
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {dot.format(a="q.query_vec", b="c.embedding")}
+                       / (q.query_norm * c.norm) AS cosine
+            FROM qry q JOIN normed c ON c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """b-bit sign-LSH bucket code: bit p = [dot(vec, plane_p) > 0]."""
+    code = F.lit(0).cast("bigint")
+    for p, signs in enumerate(planes):
+        arr = "array({})".format(", ".join(f"CAST({s} AS DOUBLE)" for s in signs))
+        bit = (_dot_fold(vec_col, arr) > 0).cast("bigint")
+        code = code + bit * F.lit(2**p).cast("bigint")
+    return df.withColumn(out_col, code)
+
+
+def lsh_bucket_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. Recall is
+    tunable via the number of planes (fewer bits -> bigger buckets ->
+    higher recall, more work)."""
+    cand = with_lsh_bucket(with_norm(candidates, vec_col), planes, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("norm").alias("cand_norm"),
+        "bucket",
+    )
+    qry = with_lsh_bucket(with_norm(queries, vec_col), planes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("norm").alias("query_norm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(qry),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("cand_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            _dot_fold("query_vec", "cand_vec") / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def lsh_bucket_topk_oracle_sql(
+    planes: list[list[float]], k: int, query_pred: str, table: str = "embeddings"
+) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    bucket_terms = []
+    for p, signs in enumerate(planes):
+        arr = "[{}]".format(", ".join(f"CAST({s} AS DOUBLE)" for s in signs))
+        bucket_terms.append(
+            f"(CASE WHEN {dot.format(a='embedding', b=arr)} > 0 "
+            f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm,
+                   {bucket} AS bucket
+            FROM {table}
+        ), qry AS (
+            SELECT vec_id AS query_id, embedding AS query_vec,
+                   norm AS query_norm, bucket AS qbucket
+            FROM coded WHERE {query_pred}
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {dot.format(a="q.query_vec", b="c.embedding")}
+                       / (q.query_norm * c.norm) AS cosine
+            FROM qry q JOIN coded c
+              ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """

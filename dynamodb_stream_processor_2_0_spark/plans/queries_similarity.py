@@ -1,0 +1,71 @@
+"""Embedding similarity-search queries over ``embeddings``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.operators import similarity as S
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+_QUERY_PRED_SQL = "vec_id < 8"
+_PLANES = S.hyperplane_signs(num_planes=6, dim=64)
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=S.cosine_topk_oracle_sql(k=5, query_pred=_QUERY_PRED_SQL),
+    tags=("similarity", "llm", "ann"),
+    doc="Exact brute-force cosine top-5 per query vector (broadcast queries, ordered double fold).",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_ann_lsh",
+    oracle=S.lsh_bucket_topk_oracle_sql(_PLANES, k=5, query_pred=_QUERY_PRED_SQL),
+    tags=("similarity", "llm", "ann", "lsh"),
+    doc="Approximate top-5 via 6-bit sign-LSH bucketing (md5-derived hyperplanes).",
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.lsh_bucket_topk(emb, queries, _PLANES, k=5)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+        WITH exploded AS (
+            SELECT label, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                   / count(*) AS centroid_v,
+               count(*) AS n_vectors
+        FROM exploded
+        GROUP BY label, dim
+    """,
+    tags=("similarity", "llm", "ivf"),
+    doc="IVF building block: per-label centroids (decimal-exact mean per dimension).",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    return exploded.groupBy("label", "dim").agg(
+        (
+            # float -> double FIRST: Spark's float->decimal cast rounds
+            # through the float's 8-digit shortest repr and diverges
+            # from engines that convert the exact binary value.
+            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis + multimodal-plumbing queries over ``documents``
+(LLM-pipeline extension operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.functions import text as TX
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+_STOP_SQL = {
+    lang: ", ".join(f"'{w}'" for w in words) for lang, words in TX.STOPWORDS.items()
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+               length(text) AS n_chars_measured,
+               CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+                   AS chars_per_token
+        FROM documents
+    """,
+    tags=("text", "llm"),
+    doc="Token counting: whitespace tokens + regex word runs + ratio.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.word_count_regex(t).alias("n_words"),
+        F.length(t).alias("n_chars_measured"),
+        (F.length(t).cast("double") / TX.token_count(t)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                   length(text) - length(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'))
+                       AS n_non_ascii
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, n_non_ascii,
+                   len(list_filter(toks, t -> t IN ({_STOP_SQL['en']}))) AS score_en,
+                   len(list_filter(toks, t -> t IN ({_STOP_SQL['es']}))) AS score_es,
+                   len(list_filter(toks, t -> t IN ({_STOP_SQL['de']}))) AS score_de,
+                   len(list_filter(toks, t -> t IN ({_STOP_SQL['fr']}))) AS score_fr
+            FROM toks
+        )
+        SELECT doc_id, lang,
+               CASE
+                   WHEN n_non_ascii > 0 THEN 'zh'
+                   WHEN score_en >= score_es AND score_en >= score_de
+                        AND score_en >= score_fr AND score_en > 0 THEN 'en'
+                   WHEN score_es >= score_de AND score_es >= score_fr
+                        AND score_es > 0 THEN 'es'
+                   WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+                   WHEN score_fr > 0 THEN 'fr'
+                   ELSE 'unknown'
+               END AS predicted_lang
+        FROM scored
+    """,
+    tags=("text", "llm"),
+    doc="Language-ID heuristic: non-ASCII signal + stopword voting with fixed precedence.",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    scores = TX.lang_scores("toks")
+    df = df.withColumn("n_non_ascii", TX.non_ascii_count(F.col("text")))
+    for lang, col in scores.items():
+        df = df.withColumn(f"score_{lang}", col)
+    en, es, de, fr = (F.col(f"score_{x}") for x in ("en", "es", "de", "fr"))
+    predicted = (
+        F.when(F.col("n_non_ascii") > 0, "zh")
+        .when((en >= es) & (en >= de) & (en >= fr) & (en > 0), "en")
+        .when((es >= de) & (es >= fr) & (es > 0), "es")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return df.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t IN ({_STOP_SQL['en']}))) AS n_stop,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_stop, n_punct,
+               (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+                   + (CAST(n_chars AS DOUBLE) / (n_chars + 100.0)) * 0.4
+                   + (CAST(n_punct AS DOUBLE) / n_tokens) * 0.1
+                   AS quality_score
+        FROM feats
+    """,
+    tags=("text", "llm"),
+    doc="Quality scoring: stopword ratio + length saturation + punctuation density.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = df.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> t IN ({})))".format(_STOP_SQL["en"])
+        ).alias("n_stop"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))).alias(
+            "n_punct"
+        ),
+    )
+    score = (
+        (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.5
+        + (F.col("n_chars").cast("double") / (F.col("n_chars") + F.lit(100.0))) * 0.4
+        + (F.col("n_punct").cast("double") / F.col("n_tokens")) * 0.1
+    )
+    return feats.select(
+        "doc_id", "n_tokens", "n_stop", "n_punct", score.alias("quality_score")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        )
+        SELECT doc_id, fp,
+               CAST(list_sum(list_transform(range(8), c ->
+                   (strpos('0123456789abcdef', substr(fp, c + 1, 1)) - 1)
+                   * (16 ** (7 - c)))) AS BIGINT) AS fp_bucket
+        FROM norm
+    """,
+    tags=("text", "llm", "dedup"),
+    doc="Content fingerprint (md5 of normalized text) + BIGINT shard bucket.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    return df.select(
+        "doc_id", fp.alias("fp"), TX.fingerprint_bucket(fp).alias("fp_bucket")
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+        WITH bin AS (
+            SELECT doc_id, encode(text) AS payload, source FROM documents
+        )
+        SELECT doc_id,
+               octet_length(payload) AS n_bytes,
+               lower(hex(encode(substr(source, 1, 4)))) AS magic_hex,
+               CASE WHEN octet_length(payload) >= 256 THEN 'large'
+                    ELSE 'small' END AS size_class
+        FROM bin
+    """,
+    tags=("multimodal", "llm"),
+    doc="Multimodal plumbing: opaque binary payload + typed metadata (length, magic bytes, size class).",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents.text stands in for an opaque media payload; the point is
+    # the binary-column plumbing (encode -> BinaryType -> byte-level
+    # metadata), which is exactly what an image/audio column needs.
+    df = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return df.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("source", 1, 4), "UTF-8"))).alias(
+            "magic_hex"
+        ),
+        F.when(F.octet_length(payload) >= 256, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    )

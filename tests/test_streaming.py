@@ -1,0 +1,215 @@
+"""Golden streaming tests (SURVEY.md §5.3-5.4): replay ``events`` as a
+file-source stream and assert the stateful layer's exactly-once
+semantics against the batch oracle."""
+
+from __future__ import annotations
+
+import glob
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_stream_processor_2_0_spark.operators.dedup import first_occurrence
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+from dynamodb_stream_processor_2_0_spark.streaming import replay, sinks
+from dynamodb_stream_processor_2_0_spark.streaming.delivery_state import (
+    apply_delivery_state,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir):
+    return replay.stage_event_chunks(spark, sf_dir, chunks=4)
+
+
+def _batch_schema(spark, staged):
+    return spark.read.parquet(f"{staged}/chunk=0").schema
+
+
+def test_replay_preserves_all_events(spark, sf_dir, staged):
+    total = load_table(spark, sf_dir, "events").count()
+    staged_total = spark.read.parquet(f"{staged}/chunk=*").count()
+    assert staged_total == total
+
+
+def test_delivery_state_machine_exactly_once(spark, sf_dir, staged):
+    """The heart of the reference (D4 CAS): across all micro-batches,
+    each (user_id, event_type) key triggers exactly one email — the
+    event-time-first one — and every other attempt is
+    duplicate_prevented."""
+    stream = replay.read_event_stream(spark, staged, _batch_schema(spark, staged))
+    q = (
+        apply_delivery_state(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dispositions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dispositions")
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+    assert out.count() == n_events, "every event must receive a disposition"
+
+    triggered = out.filter(F.col("action") == "email_triggered")
+    keys = events.select("user_id", "event_type").distinct().count()
+    assert triggered.count() == keys, "exactly one trigger per key"
+    assert (
+        triggered.groupBy("user_id", "event_type").count().filter("count > 1").count()
+        == 0
+    )
+
+    # golden parity: the winner per key is the event-time-first event,
+    # exactly what the batch window operator computes
+    expected = (
+        first_occurrence(events, ["user_id", "event_type"], ["ts", "event_id"])
+        .select("user_id", "event_type", "event_id")
+    )
+    mismatches = (
+        triggered.select("user_id", "event_type", "event_id")
+        .exceptAll(expected)
+        .count()
+    )
+    assert mismatches == 0, "streaming winners must match batch first-occurrence"
+
+
+def test_delivery_state_sink_failure_compensation(spark, sf_dir, staged):
+    """S7: a failing sink send must not mark the key delivered — the
+    next attempt for that key must still be able to trigger."""
+    stream = replay.read_event_stream(spark, staged, _batch_schema(spark, staged))
+    # every odd event_id fails at the sink
+    q = (
+        apply_delivery_state(stream, sink_ok=lambda eid: eid % 2 == 0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dispositions_fail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dispositions_fail")
+    per_key = (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.count_if(F.col("action") == "email_triggered").alias("n_trig"),
+            F.count_if(F.col("action") == "sink_failed").alias("n_fail"),
+        )
+        .collect()
+    )
+    assert all(r.n_trig <= 1 for r in per_key), "at most one delivery per key"
+    # a key that eventually triggered must have its failures BEFORE the
+    # trigger; keys with only odd events never trigger
+    only_failed = [r for r in per_key if r.n_trig == 0]
+    assert all(r.n_fail > 0 for r in only_failed)
+
+
+def test_watermark_dedup_stream(spark, staged):
+    """dropDuplicatesWithinWatermark on the dedup key: no key is ever
+    emitted twice across micro-batches (D5 at the sink boundary)."""
+    schema = _batch_schema(spark, staged)
+    stream = (
+        replay.read_event_stream(spark, staged, schema)
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("deduped")
+    dupes = out.groupBy("user_id", "event_type").count().filter("count > 1").count()
+    assert dupes == 0
+
+
+def test_windowed_agg_stream_matches_batch(spark, sf_dir, staged):
+    """Tumbling 1-day event-time windows with watermark == batch
+    date_trunc aggregation."""
+    schema = _batch_schema(spark, staged)
+    stream = (
+        replay.read_event_stream(spark, staged, schema)
+        .withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("windowed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r.event_type): r.n
+        for r in spark.table("windowed").selectExpr("window", "event_type", "n").collect()
+    }
+    batch = {
+        (r.day, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch result exactly
+    assert got, "expected at least one closed window"
+    for key, n in got.items():
+        assert batch.get(key) == n, f"window {key}: stream {n} != batch {batch.get(key)}"
+
+
+def test_envelope_sink_idempotent_and_observed(spark, sf_dir, staged):
+    """S3 envelope sink via foreachBatch + S4 observe metrics."""
+    out_dir = tempfile.mkdtemp(prefix="envelopes_")
+    schema = _batch_schema(spark, staged)
+    stream = apply_delivery_state(
+        replay.read_event_stream(spark, staged, schema)
+    )
+    q = (
+        sinks.observed(stream)
+        .writeStream.foreachBatch(sinks.write_envelopes(out_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # recentProgress is synchronous (unlike StreamingQueryListener, whose
+    # events are delivered async and can miss the final batch)
+    metrics = [
+        p["observedMetrics"]["metrics"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("metrics")
+    ]
+
+    files = sorted(glob.glob(f"{out_dir}/epoch=*/part-*.json"))
+    bodies = []
+    for f in files:
+        with open(f) as fh:
+            bodies += [json.loads(line) for line in fh if line.strip()]
+    assert bodies, "sink wrote no envelopes"
+    parsed = [json.loads(b["message_body"]) for b in bodies]
+    assert all(
+        set(p) == {"id", "type", "payload", "metadata"} for p in parsed
+    ), "envelope shape (index.js:585-600 analog)"
+    # within every epoch, dedup ids are unique (D5 at the sink)
+    from collections import Counter, defaultdict
+
+    per_epoch: dict[str, Counter] = defaultdict(Counter)
+    for f in files:
+        epoch = f.split("epoch=")[1].split("/")[0]
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    per_epoch[epoch][json.loads(line)["dedup_id"]] += 1
+    assert all(
+        max(c.values()) == 1 for c in per_epoch.values() if c
+    ), "dedup_id repeated within an epoch"
+    # observed metrics cover all processed records
+    total_processed = sum(m["records_processed"] for m in metrics)
+    assert total_processed == load_table(spark, sf_dir, "events").count()

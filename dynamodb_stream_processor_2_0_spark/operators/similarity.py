@@ -179,6 +179,125 @@ def lsh_bucket_topk(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    band_size: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH:
+    vectors sharing ANY band's bucket code become candidates (OR over
+    bands boosts recall, the minhash-LSH banding trick applied to
+    hyperplane codes); candidates are then verified with the exact
+    cosine and kept when >= threshold.
+
+    Scale shape: the self-join key is (band, code) — small ints — so
+    the candidate-generation shuffle never moves vector payloads; only
+    the (tiny) surviving pair list joins back to fetch vectors for
+    verification. At 100 TB this is docs x n_bands rows of a few bytes
+    vs the n^2 cross join it replaces.
+    """
+    n_bands = len(planes) // band_size
+    coded = with_norm(df, vec_col)
+    for b in range(n_bands):
+        coded = with_lsh_bucket(
+            coded, planes[b * band_size : (b + 1) * band_size], vec_col, f"code{b}"
+        )
+    bands_long = coded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"code{b}").alias("code"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(F.col(id_col), F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+    cand = (
+        bands_long.alias("a")
+        .join(
+            bands_long.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = coded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = coded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine", _dot_fold("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def near_dup_pairs_oracle_sql(
+    planes: list[list[float]],
+    band_size: int,
+    threshold: float,
+    table: str = "embeddings",
+) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    n_bands = len(planes) // band_size
+    code_cols = []
+    for b in range(n_bands):
+        terms = []
+        for p in range(band_size):
+            signs = planes[b * band_size + p]
+            arr = "[{}]".format(", ".join(f"CAST({s} AS DOUBLE)" for s in signs))
+            terms.append(
+                f"(CASE WHEN {dot.format(a='embedding', b=arr)} > 0 "
+                f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+            )
+        code_cols.append(" + ".join(terms) + f" AS code{b}")
+    band_rows = ", ".join(f"({b}, code{b})" for b in range(n_bands))
+    return f"""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm,
+                   {", ".join(code_cols)}
+            FROM {table}
+        ), bands AS (
+            SELECT vec_id, band, code
+            FROM coded, LATERAL (VALUES {band_rows}) AS v(band, code)
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               {dot.format(a="va.embedding", b="vb.embedding")}
+                   / (va.norm * vb.norm) AS cosine
+        FROM cand
+        JOIN coded va ON va.vec_id = id_a
+        JOIN coded vb ON vb.vec_id = id_b
+        WHERE {dot.format(a="va.embedding", b="vb.embedding")}
+                  / (va.norm * vb.norm) >= {threshold}
+    """
+
+
 def lsh_bucket_topk_oracle_sql(
     planes: list[list[float]], k: int, query_pred: str, table: str = "embeddings"
 ) -> str:

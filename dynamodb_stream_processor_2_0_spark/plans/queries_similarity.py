@@ -37,6 +37,17 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_near",
+    oracle=S.near_dup_pairs_oracle_sql(_PLANES, band_size=3, threshold=0.42),
+    tags=("similarity", "llm", "dedup", "lsh"),
+    doc="Embedding-cosine near-dup pairs: banded sign-LSH candidates (OR of 2x3-bit bands) verified by exact cosine >= 0.42.",
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, _PLANES, band_size=3, threshold=0.42)
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
         WITH exploded AS (

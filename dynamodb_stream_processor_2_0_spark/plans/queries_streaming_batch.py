@@ -1,0 +1,149 @@
+"""Event-time windowing queries over ``events`` — the batch-checkable
+face of the streaming layer (SURVEY.md §7 phase 2-3).
+
+The reference processes records at-arrival with no event-time windows
+(SURVEY.md §2.7, verified absent in index.js); these are the extension
+ops a Spark-native engine adds so the same aggregations run identically
+in batch and in Structured Streaming (`streaming/` uses the identical
+expressions behind `withWatermark`, see tests/test_streaming.py).
+
+Scale notes:
+- Tumbling/sliding windows are plain hash aggregations on
+  (window_start, keys) — map-side combinable, one shuffle, no state.
+  The sliding window materializes windows-per-event rows (2 here), not
+  a per-window re-scan, so cost is O(events x windows_per_event).
+- Session windows in batch compile to Spark's native
+  `session_window` (gaps-and-islands over a per-key sort); the
+  shuffle is keyed on user_id so skewed users are the thing to watch —
+  at 100 TB, pre-filter bot-like keys or cap session length upstream.
+
+Float determinism: decimal(18,2) sums (value is generated with 2
+decimals), cast back only at the boundary — bit-exact vs the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@register(
+    "window_tumbling_daily",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS win_end,
+               event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("streaming-batch", "window", "event-time"),
+    doc="Tumbling 1-day event-time windows per event_type (batch face of the streaming windowed agg).",
+)
+def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_2d_1d",
+    oracle="""
+        WITH expanded AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       - o.off * INTERVAL 1 DAY AS win_start,
+                   user_id, value
+            FROM events, (VALUES (0), (1)) AS o(off)
+        )
+        SELECT win_start,
+               win_start + INTERVAL 2 DAY AS win_end,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    tags=("streaming-batch", "window", "event-time"),
+    doc="Sliding 2-day/1-day hop windows: each event lands in exactly 2 windows (explode-then-agg, no re-scan).",
+)
+def window_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "session_window_12h",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 12 HOUR
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 12 HOUR AS session_end,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+    tags=("streaming-batch", "window", "session"),
+    doc="Per-user session windows (12h inactivity gap) via native session_window; oracle is the gaps-and-islands equivalent.",
+)
+def session_window_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -71,6 +71,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(v) = (a_i * v + b_i) mod p, derived from md5(i) so any engine
+    can reproduce them. a in [1, 2^31), b in [0, 2^32): a * v + b <
+    2^31 * 2^32 + 2^32 < 2^63, so 64-bit integer arithmetic is exact
+    (no overflow) in both Spark (ANSI mode) and DuckDB."""
+    import hashlib
+
+    coeffs = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) >> 1) | 1  # 31-bit, odd, nonzero
+        b = int(d[8:16], 16)
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int,
@@ -78,15 +98,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """One row per doc with columns h0..h{n-1}: minhash_i =
-    min(md5(i || ':' || shingle)). Single explode + single groupBy —
-    all hashes computed in one pass over the exploded shingles."""
+    """One row per doc with columns h0..h{n-1}: the universal-hash
+    minhash min_i((a_i * v + b_i) mod p) over shingle values
+    v = uint32(md5(shingle)[:8]). ONE md5 per (doc, shingle) — the
+    num_hashes variants are integer multiply-mods, not re-hashes — then
+    a single map-side-combinable groupBy."""
     exploded = df.withColumn("toks", tokens_col(text_col)).select(
         F.col(id_col), F.explode(shingles_col("toks", shingle_k)).alias("shingle")
     )
+    v = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    exploded = exploded.select(F.col(id_col), v.alias("v"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("v") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -145,7 +169,8 @@ def minhash_lsh_oracle_sql(
 ) -> str:
     n_bands = num_hashes // band_size
     h_aggs = ",\n               ".join(
-        f"min(md5(concat('{i}:', shingle))) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * v + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     )
     band_rows = ",\n               ".join(
         "({b}, md5(concat({cols})))".format(
@@ -158,7 +183,12 @@ def minhash_lsh_oracle_sql(
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ), sh AS (
-            SELECT doc_id, unnest({_shingles_sql(shingle_k)}) AS shingle FROM toks
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS v
+            FROM (
+                SELECT doc_id, unnest({_shingles_sql(shingle_k)}) AS shingle
+                FROM toks
+            )
         ), sigs AS (
             SELECT doc_id,
                {h_aggs}
@@ -183,38 +213,32 @@ def simhash(
     md5, base-16 decoded), each bit votes +1/-1 weighted by token
     frequency; fingerprint bit b is the sign of the vote sum.
 
-    Two hash-partition aggregations: (doc, bit) vote sums, then the
-    fingerprint assembly. Both are map-side-combinable; the exploded
-    (doc x token x bit) stream never materializes.
+    One hash-partition aggregation with ``bits`` conditional-sum
+    columns (the minhash h0..hN pattern): the (doc x token) stream is
+    aggregated directly — no (doc x token x bit) row blowup — and the
+    per-bit sums are map-side-combinable, so the shuffle carries one
+    row of 32 longs per document per map partition at worst.
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     toks = toks.withColumn(
         "tok_val", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     )
-    votes = (
-        toks.select(
-            F.col(id_col),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {bits - 1}), "
-                    f"b -> CASE WHEN (tok_val div CAST(pow(2, b) AS BIGINT)) % 2 = 1 "
-                    f"THEN 1 ELSE -1 END)"
-                )
-            ).alias("bit", "vote"),
+    vote_aggs = [
+        F.sum(
+            F.when(F.expr(f"(tok_val div {1 << b}) % 2 = 1"), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote_aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("votes"))
-    )
-    return (
-        votes.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("votes") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
-        )
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_oracle_sql(bits: int = 32) -> str:

@@ -200,11 +200,15 @@ def near_dup_pairs(
     vs the n^2 cross join it replaces.
     """
     n_bands = len(planes) // band_size
-    coded = with_norm(df, vec_col)
+    # Codes-only projection for candidate generation and a norm-only
+    # projection for verification: neither side recomputes the other's
+    # folds (the two subtrees appear multiple times in the DAG).
+    coded = df.select(F.col(id_col), F.col(vec_col))
     for b in range(n_bands):
         coded = with_lsh_bucket(
             coded, planes[b * band_size : (b + 1) * band_size], vec_col, f"code{b}"
         )
+    normed = with_norm(df.select(F.col(id_col), F.col(vec_col)), vec_col)
     bands_long = coded.select(
         F.col(id_col),
         F.explode(
@@ -229,12 +233,12 @@ def near_dup_pairs(
         )
         .distinct()
     )
-    va = coded.select(
+    va = normed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col("norm").alias("norm_a"),
     )
-    vb = coded.select(
+    vb = normed.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
         F.col("norm").alias("norm_b"),

@@ -288,3 +288,80 @@ def a3_failure_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("user_id").agg(
         F.array_join(F.array_sort(F.collect_list(failed)), ",").alias("failed_ids")
     )
+
+
+@register(
+    "p11_envelope_json",
+    oracle="""
+        SELECT event_id,
+               to_json(struct_pack(
+                   id := concat('email_', event_id, '_', user_id),
+                   type := 'email_job',
+                   payload := struct_pack(
+                       uid := user_id,
+                       etype := event_type,
+                       priority := CASE WHEN value >= 100 THEN 'high'
+                                        ELSE 'normal' END),
+                   metadata := struct_pack(
+                       dedup_id := concat(event_id, '-', user_id),
+                       source := 'engine')
+               )) AS message_body
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    tags=("P11", "P7", "S3"),
+    doc="P11/S3 message envelope: nested struct -> to_json body with dedup id (index.js:575-600).",
+)
+def p11_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-encode the S3 queue envelope {id, type, payload, metadata}
+    (index.js:585-600). Only strings/longs inside the struct: their
+    JSON rendering is identical across engines (doubles are not)."""
+    df = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    envelope = F.struct(
+        F.concat(F.lit("email_"), F.col("event_id"), F.lit("_"), F.col("user_id")).alias("id"),
+        F.lit("email_job").alias("type"),
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("etype"),
+            F.when(F.col("value") >= 100, "high").otherwise("normal").alias("priority"),
+        ).alias("payload"),
+        F.struct(
+            F.concat(F.col("event_id"), F.lit("-"), F.col("user_id")).alias("dedup_id"),
+            F.lit("engine").alias("source"),
+        ).alias("metadata"),
+    )
+    return df.select("event_id", F.to_json(envelope).alias("message_body"))
+
+
+@register(
+    "e1_error_isolation",
+    oracle="""
+        WITH parsed AS (
+            SELECT event_id, user_id,
+                   COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k,
+                   value
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CASE WHEN k = 0 THEN NULL ELSE value / k END AS value_per_k,
+               CASE WHEN k = 0 THEN 'division_by_zero' END AS error
+        FROM parsed
+    """,
+    tags=("E1", "E2", "F12"),
+    doc="E1 per-record error isolation: failing rows yield NULL + reason instead of killing the batch (index.js:53-80).",
+)
+def e1_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level try/except as an expression: ``try_divide`` turns the
+    per-record throw (index.js:70-79) into a NULL plus a reason column;
+    the error rows ARE the batchItemFailures side output (filter on
+    ``error IS NOT NULL``)."""
+    df = load_table(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)"), F.lit(0)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.try_divide(F.col("value"), k.cast("double")).alias("value_per_k"),
+        F.when(k == 0, F.lit("division_by_zero")).alias("error"),
+    )

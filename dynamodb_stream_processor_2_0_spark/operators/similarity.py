@@ -179,6 +179,138 @@ def lsh_bucket_topk(
     )
 
 
+def _dec_v(col: F.Column) -> F.Column:
+    """float -> double -> decimal(12,10): |values| < 2 so 2 integer
+    digits suffice; the double-first hop avoids Spark's float->decimal
+    shortest-repr rounding (see embedding_label_centroids)."""
+    return col.cast("double").cast("decimal(12,10)")
+
+
+def ivf_probe_topk(
+    emb: DataFrame,
+    query_pred: F.Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) ANN probe: the coarse quantizer is the
+    ``cell_col`` partition (per-cell centroid = decimal-exact mean per
+    dimension); each query is assigned to the cell with the highest
+    exact inner product against the centroid (nProbe=1), then scored
+    only against that cell's inverted list with the exact cosine.
+
+    Scale shape: centroids are tiny (cells x dims) and broadcast; the
+    inverted lists are the table itself partitioned by cell, so the
+    probe reads ~1/n_cells of the data — the IVF contract. All
+    reductions are decimal-exact (order-independent), so results are
+    reproducible and oracle-checkable despite the shuffles.
+    """
+    longs = emb.select(cell_col, F.posexplode(vec_col).alias("dim", "v"))
+    cent = longs.groupBy(cell_col, "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c_v")
+    )
+    ql = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.posexplode(vec_col).alias("dim", "qv")
+    )
+    ip = (
+        ql.join(F.broadcast(cent), "dim")
+        .groupBy("query_id", cell_col)
+        .agg(F.sum(_dec_v(F.col("qv")) * F.col("c_v").cast("decimal(12,10)")).alias("ip"))
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("ip"), cell_col)
+    assigned = (
+        ip.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col(cell_col).alias("probe_cell"))
+    )
+    qry = with_norm(emb.filter(query_pred), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("norm").alias("query_norm"),
+    )
+    cand = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(cell_col),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("norm").alias("cand_norm"),
+    )
+    probes = F.broadcast(assigned.join(qry, "query_id"))
+    scored = cand.join(
+        probes,
+        (F.col(cell_col) == F.col("probe_cell")) & (F.col("cand_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine",
+        _dot_fold("query_vec", "cand_vec") / (F.col("query_norm") * F.col("cand_norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def ivf_probe_topk_oracle_sql(
+    k: int, query_pred: str, table: str = "embeddings"
+) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    return f"""
+        WITH longs AS (
+            SELECT label, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS v
+            FROM {table}
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                       / count(*) AS c_v
+            FROM longs GROUP BY label, dim
+        ), ql AS (
+            SELECT vec_id AS query_id, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS qv
+            FROM {table} WHERE {query_pred}
+        ), ip AS (
+            SELECT query_id, label,
+                   sum(CAST(CAST(qv AS DOUBLE) AS DECIMAL(12,10))
+                       * CAST(c_v AS DECIMAL(12,10))) AS ip
+            FROM ql JOIN cent USING (dim)
+            GROUP BY query_id, label
+        ), assigned AS (
+            SELECT query_id, label AS probe_cell FROM (
+                SELECT query_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY ip DESC, label) AS rn
+                FROM ip
+            ) WHERE rn = 1
+        ), normed AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm
+            FROM {table}
+        ), qn AS (
+            SELECT vec_id AS query_id, embedding AS query_vec, norm AS query_norm
+            FROM normed WHERE {query_pred}
+        ), scored AS (
+            SELECT a.query_id, c.vec_id AS neighbor_id,
+                   {dot.format(a="q.query_vec", b="c.embedding")}
+                       / (q.query_norm * c.norm) AS cosine
+            FROM assigned a
+            JOIN qn q USING (query_id)
+            JOIN normed c ON c.label = a.probe_cell AND c.vec_id <> a.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """
+
+
 def near_dup_pairs(
     df: DataFrame,
     planes: list[list[float]],

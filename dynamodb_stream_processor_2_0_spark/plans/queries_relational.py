@@ -488,3 +488,68 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.99).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("relational", "skew", "scale"),
+    doc="Hot-key aggregation via deterministic salting: phase 1 spreads each key over 16 reducers, phase 2 merges partials; result identical to the direct groupBy.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type has ~5 distinct values over the whole table — the
+    textbook hot-key aggregation. The salted two-phase plan bounds any
+    single reducer at |table|/n_salts rows; the oracle is the plain
+    GROUP BY, proving the rewrite is semantics-preserving."""
+    from dynamodb_stream_processor_2_0_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        keys=["event_type"],
+        entropy_col="event_id",
+        n_salts=16,
+        partial={
+            "p_n": F.count(F.lit(1)),
+            "p_sum": F.sum(F.col("value").cast("decimal(18,2)")),
+            "p_max": F.max("value"),
+        },
+        final={
+            "n_events": F.sum("p_n"),
+            "sum_value": F.sum("p_sum"),
+            "max_value": F.max("p_max"),
+        },
+    )
+
+
+# One SQL string, two engines: runs verbatim through spark.sql AND as
+# the DuckDB oracle — the engine's SQL front-end speaks the shared ANSI
+# subset (decimal sums keep the floats deterministic).
+_SHARED_ANSI_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_api_shared_dialect",
+    oracle=_SHARED_ANSI_SQL,
+    tags=("relational", "sql-api"),
+    doc="SQL front-end: the exact same ANSI SQL string is executed by spark.sql and by the DuckDB oracle.",
+)
+def sql_api_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_ANSI_SQL)

@@ -41,6 +41,17 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ann_ivf",
+    oracle=S.ivf_probe_topk_oracle_sql(k=5, query_pred=_QUERY_PRED_SQL),
+    tags=("similarity", "llm", "ann", "ivf"),
+    doc="IVF ANN: nProbe=1 probe of label-partitioned inverted lists via decimal-exact centroid inner product, exact in-cell cosine top-5.",
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_probe_topk(emb, F.col("vec_id") < 8, k=5)
+
+
+@register(
     "dedup_embedding_near",
     oracle=S.near_dup_pairs_oracle_sql(_ND_PLANES, band_size=6, threshold=0.42),
     tags=("similarity", "llm", "dedup", "lsh"),

@@ -85,8 +85,8 @@ def d2_cdc_old_new_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN state s ON e.user_id = s.user_id
         WHERE e.event_type = 'purchase'
     """,
-    tags=("D3", "S2", "F12"),
-    doc="D3 state lookup with tag-don't-drop routing (index.js:107-141, 227-244).",
+    tags=("D3", "S2", "F11", "F12", "E4"),
+    doc="D3 state lookup with tag-don't-drop routing; F11 in-progress keys and E4 fail-open degrade both collapse to the state probe (index.js:107-141, 136-140, 227-244, 429-431).",
 )
 def d3_state_lookup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

@@ -13,7 +13,7 @@ from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
 @register(
     "pipeline_disposition_summary",
     oracle=D.summary_oracle_sql(DEFAULT_CONFIG),
-    tags=("pipeline", "S1", "F1", "F2", "F7", "F9", "F10", "F12", "D1", "D3", "D5", "A1", "P2", "P4"),
+    tags=("pipeline", "S1", "S4", "F1", "F2", "F7", "F9", "F10", "F12", "D1", "D3", "D5", "A1", "P2", "P4", "P12"),
     doc="Flagship: full disposition pipeline + A1 counters (index.js:143-321, 42-92).",
 )
 def pipeline_disposition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

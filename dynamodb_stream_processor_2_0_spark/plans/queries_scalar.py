@@ -304,13 +304,15 @@ def a3_failure_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ELSE 'normal' END),
                    metadata := struct_pack(
                        dedup_id := concat(event_id, '-', user_id),
-                       source := 'engine')
+                       source := 'engine',
+                       max_retries := 3,
+                       retry_delay_ms := 1000)
                )) AS message_body
         FROM events
         WHERE event_type = 'purchase'
     """,
-    tags=("P11", "P7", "S3"),
-    doc="P11/S3 message envelope: nested struct -> to_json body with dedup id (index.js:575-600).",
+    tags=("P11", "P7", "S3", "E3"),
+    doc="P11/S3 message envelope: nested struct -> to_json body with dedup id and E3 retry policy metadata (index.js:564-565, 575-600).",
 )
 def p11_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-encode the S3 queue envelope {id, type, payload, metadata}
@@ -328,6 +330,10 @@ def p11_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.concat(F.col("event_id"), F.lit("-"), F.col("user_id")).alias("dedup_id"),
             F.lit("engine").alias("source"),
+            # E3: retry policy declared in job metadata, consumed by the
+            # stream-restart layer (index.js:21-22, 564-565)
+            F.lit(3).alias("max_retries"),
+            F.lit(1000).alias("retry_delay_ms"),
         ).alias("metadata"),
     )
     return df.select("event_id", F.to_json(envelope).alias("message_body"))

@@ -147,3 +147,53 @@ def session_window_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "streaming_delivery_e2e",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type, event_id,
+               CASE WHEN rn = 1 THEN 'email_triggered'
+                    ELSE 'duplicate_prevented' END AS action,
+               'delivered' AS status_after
+        FROM ranked
+    """,
+    tags=("streaming", "S1", "S4", "S5", "S6", "S7", "D4", "E5"),
+    doc="End-to-end Structured Streaming run under the differential gate: "
+    "availableNow file replay -> per-key delivery state machine "
+    "(applyInPandasWithState) -> memory sink; the exactly-once outcome is "
+    "SQL-expressible so the oracle checks the streaming execution itself.",
+)
+def streaming_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the actual streaming query synchronously (availableNow over
+    4 ts-ordered chunks, index.js:34-101 batch semantics) and returns
+    the materialized dispositions. Because replay chunks are exact
+    (ts, event_id) slices, the streaming winner per key equals the
+    batch first-occurrence — which is what the oracle asserts."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay, sinks
+    from dynamodb_stream_processor_2_0_spark.streaming.delivery_state import (
+        apply_delivery_state,
+    )
+
+    staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+    schema = spark.read.parquet(f"{staged}/chunk=0").schema
+    stream = replay.read_event_stream(spark, staged, schema)
+    qname = f"delivery_e2e_{uuid.uuid4().hex[:8]}"
+    q = (
+        sinks.observed(apply_delivery_state(stream))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)

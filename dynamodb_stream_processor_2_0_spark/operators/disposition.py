@@ -81,7 +81,12 @@ def with_disposition(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataF
     deterministic total order.
     """
     df = parse_event_props(df)
-    type_ok = F.col("event_type").isin(*ALLOWED_EVENT_TYPES)
+    # null event_type must FAIL the allowlist (the reference's
+    # ![...].includes(eventName) is true for null/undefined,
+    # index.js:146) — IN alone would yield NULL and fall through.
+    type_ok = F.coalesce(
+        F.col("event_type").isin(*ALLOWED_EVENT_TYPES), F.lit(False)
+    )
     image_ok = F.col("props").isNotNull() & F.col("value").isNotNull()
     already_sent = (F.col("k") % cfg.already_sent_mod) == 0
     early_pass = type_ok & image_ok & ~already_sent
@@ -148,7 +153,7 @@ WITH parsed AS (
     FROM events
 ), flagged AS (
     SELECT *,
-        (event_type IN ('click','view','purchase','signup')) AS type_ok,
+        COALESCE(event_type IN ('click','view','purchase','signup'), FALSE) AS type_ok,
         (props IS NOT NULL AND value IS NOT NULL) AS image_ok,
         (k % {already_sent_mod} = 0) AS already_sent
     FROM parsed
@@ -192,7 +197,7 @@ WITH parsed AS (
     FROM events
 ), flagged AS (
     SELECT *,
-        (event_type IN ('click','view','purchase','signup')) AS type_ok,
+        COALESCE(event_type IN ('click','view','purchase','signup'), FALSE) AS type_ok,
         (props IS NOT NULL AND value IS NOT NULL) AS image_ok,
         (k % {already_sent_mod} = 0) AS already_sent
     FROM parsed

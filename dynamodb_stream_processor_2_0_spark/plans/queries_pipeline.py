@@ -28,3 +28,71 @@ def pipeline_disposition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_disposition_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.disposition_ledger(load_table(spark, sf_dir, "events"), DEFAULT_CONFIG)
+
+
+@register(
+    "s1_stream_record_parse",
+    oracle="""
+        WITH parsed AS (
+            SELECT event_id, ts, user_id, event_type, value,
+                   COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+            FROM events
+        )
+        SELECT concat('evt-', event_id) AS record_id,
+               CASE WHEN event_type = 'purchase' THEN 'INSERT'
+                    ELSE 'MODIFY' END AS event_name,
+               CAST(event_id AS VARCHAR) AS event_id_s,
+               CAST(user_id AS VARCHAR) AS guest_id,
+               concat('guest ', user_id) AS guest_name,
+               concat('u', user_id, '@example.org') AS guest_email,
+               (k % 7 = 0) AS email_sent,
+               CASE WHEN k % 5 = 0 THEN 'delivered' ELSE 'pending' END
+                   AS delivery_status,
+               k AS total_matches,
+               value AS best_similarity,
+               date_trunc('milliseconds', ts) AS processed_at,
+               concat('pool/img-', event_id, '-1') AS top_url,
+               round(value, 2) AS top_score,
+               2 AS n_matched,
+               2 AS n_stats,
+               CASE WHEN event_type NOT IN ('purchase', 'error')
+                    THEN k - 1 END AS old_total_matches
+        FROM parsed
+        WHERE event_type <> 'error'
+    """,
+    tags=("pipeline", "S1", "F1", "F2", "P1", "P2", "P3", "P4", "P6", "connector"),
+    doc="DynamoDB-Streams wire-format connector: encode events in the reference's "
+    "tagged {S|N|BOOL} + JSON-in-string format, then parse with the from_json "
+    "connector (index.js:34-57, 143-164, 350-385). The oracle computes the "
+    "expected typed row directly from the raw columns, so the whole "
+    "encode -> decode round trip is verified lossless.",
+)
+def s1_stream_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.sources import dynamodb_stream as DS
+
+    # One from_json per record, not one per extracted field: the
+    # per-path pruning rule can't prune inside the map-typed images, so
+    # it would re-parse the record per expression (see parse_new_image).
+    spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+    wire = DS.staged_wire(spark, sf_dir)
+    typed = DS.parse_new_image(DS.decode_records(wire))
+    return typed.select(
+        "record_id",
+        "event_name",
+        "event_id_s",
+        "guest_id",
+        "guest_name",
+        "guest_email",
+        "email_sent",
+        "delivery_status",
+        "total_matches",
+        "best_similarity",
+        "processed_at",
+        F.col("matched_images")[0]["pool_url"].alias("top_url"),
+        F.col("matched_images")[0]["similarity_score"].alias("top_score"),
+        F.size("matched_images").alias("n_matched"),
+        F.size(F.map_keys("match_statistics")).alias("n_stats"),
+        "old_total_matches",
+    )

@@ -196,3 +196,77 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t IN ({_STOP_SQL['en']}))) AS n_stop,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ), ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rn,
+                   (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+                       + (CAST(n_chars AS DOUBLE) / (n_chars + 100.0)) * 0.4
+                       + (CAST(n_punct AS DOUBLE) / n_tokens) * 0.1 AS quality_score
+            FROM feats
+        )
+        SELECT doc_id, lang, n_tokens, quality_score,
+               CASE
+                   WHEN dup_rn > 1 THEN 'dropped_duplicate'
+                   WHEN n_tokens < 15 THEN 'dropped_short'
+                   WHEN quality_score < 0.30 THEN 'dropped_low_quality'
+                   ELSE 'kept'
+               END AS disposition
+        FROM ranked
+    """,
+    tags=("text", "llm", "dedup", "pipeline", "F12"),
+    doc="Corpus curation composite: exact-dup rank + token floor + quality floor "
+    "in one tag-don't-drop ledger (the reference's F12 disposition pattern "
+    "applied to a training-data pipeline).",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one window shuffle on the content fingerprint, zero
+    Python: the composite every LLM data pipeline runs before training.
+    At 100 TB the fp window is the only wide edge (32-byte keys), and
+    each rule stays a column expression — adding a rule costs nothing."""
+    from pyspark.sql import Window as W
+
+    df = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = df.select(
+        "doc_id",
+        "lang",
+        TX.fingerprint(t).alias("fp"),
+        TX.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> t IN ({})))".format(_STOP_SQL["en"])
+        ).alias("n_stop"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))).alias("n_punct"),
+    )
+    ranked = feats.withColumn(
+        "dup_rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    ).withColumn(
+        "quality_score",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.5
+        + (F.col("n_chars").cast("double") / (F.col("n_chars") + F.lit(100.0))) * 0.4
+        + (F.col("n_punct").cast("double") / F.col("n_tokens")) * 0.1,
+    )
+    disposition = (
+        F.when(F.col("dup_rn") > 1, "dropped_duplicate")
+        .when(F.col("n_tokens") < 15, "dropped_short")
+        .when(F.col("quality_score") < 0.30, "dropped_low_quality")
+        .otherwise("kept")
+    )
+    return ranked.select(
+        "doc_id", "lang", "n_tokens", "quality_score", disposition.alias("disposition")
+    )

@@ -132,3 +132,53 @@ def documents_as_binary(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def fake_image_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: (width*height) bytes derived by
+    cycling the payload — stable output size and content so tests can
+    assert the batch shape without a codec library."""
+    if not payload:
+        return bytes(width * height)
+    reps = (width * height) // len(payload) + 1
+    return (payload * reps)[: width * height]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    resizer: Callable[[bytes, int, int], bytes] = fake_image_resize,
+) -> DataFrame:
+    """Resize stage via ``mapInPandas`` (Arrow batches). Production
+    injects a real codec resizer (PIL/libvips wrapper); the plumbing —
+    schema, batching, binary transport — is identical either way."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resized": [
+                        resizer(bytes(p), width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

@@ -37,3 +37,20 @@ def test_frame_sampling(spark, sf_dir):
     assert all(1 <= len(r.frame_bytes) <= 32 for r in got)
     # every sampled doc contributes its frame 0
     assert {r.doc_id for r in got if r.frame_idx == 0} == {r.doc_id for r in got}
+
+
+def test_resize_images_batch_shape(spark, sf_dir):
+    from dynamodb_stream_processor_2_0_spark.operators.multimodal import (
+        documents_as_binary,
+        resize_images,
+    )
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+    docs = documents_as_binary(load_table(spark, sf_dir, "documents")).limit(20)
+    out = resize_images(docs, width=8, height=4).collect()
+    assert len(out) == 20
+    assert all(len(r.resized) == 32 for r in out)
+    assert all(r.width == 8 and r.height == 4 for r in out)
+    # deterministic: same payload -> same resized bytes
+    again = {r.doc_id: bytes(r.resized) for r in resize_images(docs, 8, 4).collect()}
+    assert all(bytes(r.resized) == again[r.doc_id] for r in out)

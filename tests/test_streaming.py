@@ -213,3 +213,40 @@ def test_envelope_sink_idempotent_and_observed(spark, sf_dir, staged):
     # observed metrics cover all processed records
     total_processed = sum(m["records_processed"] for m in metrics)
     assert total_processed == load_table(spark, sf_dir, "events").count()
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, staged):
+    """Streaming session windows (watermark-closed) must agree with the
+    batch session_window operator — the golden twin of the registered
+    session_window_12h query."""
+    schema = _batch_schema(spark, staged)
+    stream = (
+        replay.read_event_stream(spark, staged, schema)
+        .withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r["w"]["start"]): r.n
+        for r in spark.table("sessions").selectExpr("user_id", "w", "n").collect()
+    }
+    assert got, "expected at least one closed session"
+    batch = {
+        (r.user_id, r["w"]["start"]): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # append mode only emits watermark-closed sessions; each must match
+    for key, n in got.items():
+        assert batch.get(key) == n, f"session {key}: stream {n} != batch {batch.get(key)}"

@@ -183,6 +183,12 @@ def streaming_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_delivery_state,
     )
 
+    # Stateful streaming runs without AQE coalescing; a default 200
+    # shuffle partitions means 200 near-empty state tasks per
+    # micro-batch at test scale. Result is partitioning-independent
+    # (per-key state), so cap the width. Runtime conf — no restart.
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
     schema = spark.read.parquet(f"{staged}/chunk=0").schema
     stream = replay.read_event_stream(spark, staged, schema)

@@ -1,0 +1,107 @@
+"""Connector edge cases: the reference's ``?.``-semantics on the wire
+format — absent attributes, absent images, REMOVE records, malformed
+nested JSON (index.js:143-164, 350-385)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_stream_processor_2_0_spark.sources import dynamodb_stream as DS
+
+
+def _wire(spark, records):
+    return spark.createDataFrame(
+        [(json.dumps(r),) for r in records], "record_json string"
+    )
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    records = [
+        # full INSERT
+        {
+            "eventID": "e1",
+            "eventName": "INSERT",
+            "dynamodb": {
+                "NewImage": {
+                    "eventId": {"S": "42"},
+                    "guestId": {"S": "7"},
+                    "guest_email": {"S": "A@B.COM"},
+                    "email_sent": {"BOOL": True},
+                    "total_matches": {"N": "3"},
+                    "best_similarity": {"N": "0.91"},
+                    "matched_images": {
+                        "S": '[{"pool_url":"u1","pool_filename":"f1",'
+                        '"similarity_score":0.9,"match_confidence":0.8}]'
+                    },
+                }
+            },
+        },
+        # sparse MODIFY: most attributes absent; OldImage present
+        {
+            "eventID": "e2",
+            "eventName": "MODIFY",
+            "dynamodb": {
+                "NewImage": {"eventId": {"S": "43"}},
+                "OldImage": {"total_matches": {"N": "9"}},
+            },
+        },
+        # REMOVE: dropped by F1
+        {
+            "eventID": "e3",
+            "eventName": "REMOVE",
+            "dynamodb": {"NewImage": {"eventId": {"S": "44"}}},
+        },
+        # MODIFY with no NewImage: dropped by F2
+        {"eventID": "e4", "eventName": "MODIFY", "dynamodb": {}},
+        # malformed nested JSON -> [] / {} defaults (index.js:378-379)
+        {
+            "eventID": "e5",
+            "eventName": "INSERT",
+            "dynamodb": {
+                "NewImage": {
+                    "eventId": {"S": "45"},
+                    "total_matches": {"N": "not-a-number"},
+                    "matched_images": {"S": "THIS IS NOT JSON"},
+                    "match_statistics": {"S": "{broken"},
+                }
+            },
+        },
+    ]
+    df = DS.parse_new_image(DS.decode_records(_wire(spark, records)))
+    return {r.record_id: r for r in df.collect()}
+
+
+def test_f1_f2_filtering(parsed):
+    assert set(parsed) == {"e1", "e2", "e5"}
+
+
+def test_full_record(parsed):
+    r = parsed["e1"]
+    assert r.event_id_s == "42" and r.guest_id == "7"
+    assert r.guest_email == "a@b.com"  # P3 lowercase
+    assert r.email_sent is True
+    assert r.total_matches == 3 and r.best_similarity == 0.91
+    assert len(r.matched_images) == 1
+    assert r.matched_images[0].pool_url == "u1"
+    assert r.old_total_matches is None  # INSERT: no old image consulted
+
+
+def test_sparse_record_defaults(parsed):
+    r = parsed["e2"]
+    assert r.event_id_s == "43"
+    assert r.guest_id is None and r.guest_email is None  # ?. -> null
+    assert r.email_sent is None
+    assert r.total_matches == 0 and r.best_similarity == 0.0  # || '0'
+    assert r.matched_images == [] and r.match_statistics == {}
+    assert r.old_total_matches == 9  # MODIFY consults OldImage
+
+
+def test_malformed_values_degrade_not_throw(parsed):
+    r = parsed["e5"]
+    assert r.total_matches == 0  # try_cast failure -> default
+    assert r.matched_images == []  # JSON.parse failure -> []
+    assert r.match_statistics == {}

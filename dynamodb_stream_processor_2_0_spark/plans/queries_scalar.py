@@ -175,7 +175,7 @@ def f8_email_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
                        priority := CASE WHEN value >= 100.0 THEN 'high' ELSE 'normal' END,
                        source := 'dynamodb_stream_processor_2_0_spark'
                    )
-               )) AS email_job
+               ))::VARCHAR AS email_job
         FROM events
         WHERE event_type IN ('click','view','purchase','signup')
     """,
@@ -307,7 +307,7 @@ def a3_failure_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                        source := 'engine',
                        max_retries := 3,
                        retry_delay_ms := 1000)
-               )) AS message_body
+               ))::VARCHAR AS message_body
         FROM events
         WHERE event_type = 'purchase'
     """,

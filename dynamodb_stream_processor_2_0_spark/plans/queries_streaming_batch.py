@@ -203,3 +203,66 @@ def streaming_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(qname)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CASE WHEN p.user_id IS NOT NULL THEN 'purchased'
+                    WHEN c.user_id IS NOT NULL THEN 'clicked'
+                    ELSE 'viewed' END AS funnel_stage
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("streaming-batch", "funnel", "sequence"),
+    doc="Ordered conversion funnel (view -> click -> purchase): sequential min-after-threshold chain per user.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics over the event stream: each stage is the
+    earliest qualifying event strictly after the previous stage. Three
+    keyed aggregations + two left joins on user_id — all co-partitioned
+    on the same key, so at scale the extra stages reuse one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), "purchased")
+        .when(F.col("t_click").isNotNull(), "clicked")
+        .otherwise("viewed")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("funnel_stage"))
+    )

@@ -270,3 +270,54 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "lang", "n_tokens", "quality_score", disposition.alias("disposition")
     )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, string_split(text, ' ') AS toks FROM documents
+        ), grams AS (
+            SELECT lang,
+                   unnest(list_transform(range(greatest(len(toks) - 2, 0)),
+                          i -> concat(toks[i + 1], ' ', toks[i + 2], ' ', toks[i + 3])))
+                       AS gram
+            FROM toks
+        ), counted AS (
+            SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram
+        )
+        SELECT lang, gram, n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, gram) AS rn
+            FROM counted
+        ) WHERE rn <= 10
+    """,
+    tags=("text", "llm"),
+    doc="Corpus statistics: top-10 3-grams per language (explode -> count -> windowed rank, deterministic tiebreak).",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-distinct 3-grams (frequency statistics, unlike the dedup
+    shingles which are distinct per doc). Count is map-side combined on
+    (lang, gram); only per-gram partials shuffle."""
+    from pyspark.sql import Window as W
+
+    df = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    grams = df.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), "
+                "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "gram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "gram", "n")
+    )

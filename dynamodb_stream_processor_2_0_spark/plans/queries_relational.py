@@ -584,3 +584,70 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("relational", "S2"),
+    doc="TPC-H Q4-style order priority checking: EXISTS subquery compiled to a left-semi join.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left-semi join on l_orderkey with the late-ship
+    residual; only order keys shuffle, lineitem payload stays put."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+        SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                          THEN {_REVENUE_SQL} END) AS DOUBLE)
+                   / CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS DOUBLE) AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("relational",),
+    doc="TPC-H Q14-style promo revenue share: broadcast part join, conditional decimal sums, one float division at the boundary.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), _revenue())
+    ).cast("double")
+    return joined.agg(
+        (F.lit(100.0) * promo / F.sum(_revenue()).cast("double")).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

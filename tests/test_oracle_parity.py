@@ -46,3 +46,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_harness_detects_mismatch(spark, sf_dir):
+    """Meta-test: the differential harness must FAIL on a wrong result
+    (guards against a vacuously-green comparator)."""
+    import pytest
+
+    from dynamodb_stream_processor_2_0_spark.plans.registry import QuerySpec
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+    bad = QuerySpec(
+        name="deliberately_wrong",
+        fn=lambda s, d: load_table(s, d, "region").limit(3),
+        oracle="SELECT * FROM region LIMIT 2",
+    )
+    with pytest.raises(AssertionError, match="row count"):
+        compare_query(spark, bad, sf_dir)
+
+    wrong_values = QuerySpec(
+        name="deliberately_wrong_values",
+        fn=lambda s, d: load_table(s, d, "region"),
+        oracle="SELECT r_regionkey + 1 AS r_regionkey, r_name FROM region",
+    )
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare_query(spark, wrong_values, sf_dir)

@@ -651,3 +651,24 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100.0) * promo / F.sum(_revenue()).cast("double")).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "approx_stats_scale_path",
+    oracle=None,  # sketch algorithms differ per engine; driver rows-only check
+    tags=("relational", "scale", "sketch"),
+    doc="The 100 TB drop-in for exact distinct/percentiles: HLL++ approx_count_distinct "
+    "and t-digest approx_percentile (sketches are engine-specific, so this entry is "
+    "rows-only checked; the exact twins agg_value_percentiles / window_sliding_2d_1d "
+    "carry the oracle).",
+)
+def approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation: single pass, fixed-size state per
+    group regardless of cardinality — the shape that replaces exact
+    distinct/percentile at 100 TB (SCALE.md §5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )

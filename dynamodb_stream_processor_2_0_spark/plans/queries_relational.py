@@ -755,9 +755,31 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(big), orders.o_orderkey == F.col("big_orderkey"))
+        # big is NOT marked broadcast: the HAVING survivors scale with the
+        # data (unlike dims), so let AQE pick broadcast only when it fits.
+        .join(big, orders.o_orderkey == F.col("big_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
+    )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("relational", "cube"),
+    doc="CUBE over (priority, status): all 2^2 grouping sets in one pass (Expand + single hash agg).",
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("total_price"),
     )

@@ -26,7 +26,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
     "text_quality_score",
-    "sessionization",
+    "session_window_12h",
 ]
 
 

@@ -335,3 +335,63 @@ def first_occurrence(
     reference's 'first claim wins' CAS outcome, index.js:457-477)."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster assignment for dedup: connected components of the
+    candidate-pair graph via min-label propagation. Every node ends up
+    labeled with the smallest id reachable from it — the deterministic
+    cluster representative ('keep the lowest doc_id, drop the rest').
+
+    Iterative DataFrame algorithm (the class the reference cannot
+    express at all): each round is one join + one aggregation, and the
+    loop is driver-side CONTROL only — no data ever collects. Rounds
+    needed = graph diameter (LSH dedup graphs are near-cliques, so 2-4
+    in practice); each round's result is localCheckpointed to truncate
+    lineage. At 100 TB this is the standard large-graph CC recipe
+    (hash-partitioned by node, no vertex ever holds more state than
+    one label).
+    """
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    # Round 0 folded into initialization: label = min(self, neighbors).
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
+    # Labels are monotonically non-increasing, so sum(label) strictly
+    # decreases every round until the fixpoint — a scalar convergence
+    # check instead of a join-based diff.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -190,3 +190,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return dedup.ngram_jaccard_pairs(df, shingle_k=3, min_jaccard=0.01)
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) pairs
+        ), sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges
+        ), reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    tags=("dedup", "llm", "iterative", "graph"),
+    doc="Near-dup cluster assignment: connected components of the MinHash-LSH "
+    "candidate graph via min-label propagation (iterative DataFrame loop); "
+    "oracle is DuckDB's recursive transitive closure.",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    return dedup.connected_components(pairs)

@@ -783,3 +783,65 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_dec("o_totalprice")).alias("total_price"),
     )
+
+
+@register(
+    "q8_national_market_share",
+    oracle=f"""
+        WITH all_nations AS (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   {_REVENUE_SQL} AS volume,
+                   n2.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n1.n_regionkey
+            JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+                    AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+               count(*) AS n_items
+        FROM all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    tags=("relational",),
+    doc="TPC-H Q8-style national market share: 7-way star join, conditional decimal share, one boundary division per year.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", _revenue())
+    ).cast("double") / F.sum(_revenue()).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(share.alias("mkt_share"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_year")
+    )

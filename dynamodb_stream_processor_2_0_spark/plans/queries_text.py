@@ -321,3 +321,97 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("lang", "gram", "n")
     )
+
+
+@register(
+    "sample_stratified_documents",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(concat('sample:', doc_id)), 1, 8))
+                    AS BIGINT) AS h
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat('sample:', doc_id)), 1, 8))
+                   AS BIGINT) % 100 < 10
+    """,
+    tags=("text", "llm", "sampling"),
+    doc="Deterministic 10% stratum-free sample via md5 hash threshold: reproducible across runs/engines (rand() is not), filter fully pushed to the scan.",
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold sampling — the training-data way to sample: the
+    same doc always lands in the same split (stable across reruns,
+    engines, and cluster sizes), unlike rand()-based df.sample. Rate
+    changes are monotone (raising 10->20% keeps the old sample as a
+    subset) which makes dataset scaling reproducible."""
+    df = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return df.select("doc_id", "lang", h.alias("h")).filter(F.col("h") % 100 < 10)
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+        SELECT lang,
+               CAST(least(len(string_split(text, ' ')) // 50, 9) AS INTEGER)
+                   AS bucket,
+               CAST(least(len(string_split(text, ' ')) // 50, 9) * 50 AS INTEGER)
+                   AS bucket_lo,
+               count(*) AS n_docs,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+        FROM documents
+        GROUP BY 1, 2, 3
+    """,
+    tags=("text", "llm", "histogram"),
+    doc="Token-length histogram per language (fixed-width buckets, capped tail) — the length-distribution profile every corpus audit starts with.",
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    bucket = F.least(F.floor(n_tokens / 50), F.lit(9)).cast("int")
+    return df.groupBy(
+        "lang", bucket.alias("bucket"), (bucket * 50).cast("int").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+    )
+
+
+@register(
+    "corpus_shuffle_interleave",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(concat('shuffle:', doc_id)) AS shuffle_key,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY md5(concat('shuffle:', doc_id)))
+                       AS pos_in_source
+            FROM documents
+        )
+        SELECT doc_id, source, shuffle_key, pos_in_source,
+               ROW_NUMBER() OVER (ORDER BY pos_in_source, source, doc_id)
+                   AS global_pos
+        FROM keyed
+    """,
+    tags=("text", "llm", "sampling"),
+    doc="Deterministic corpus shuffle + per-source round-robin interleave: md5 order key, rank within source, then (round, source) global order — reproducible epoch ordering for training.",
+)
+def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch ordering: documents get a reproducible
+    pseudo-random order inside each source (md5 key, not rand()), then
+    sources are interleaved round-robin so a sequential reader sees a
+    balanced mix. Window ranks are the only shuffles; at 100 TB the
+    global rank would become a sort on (pos_in_source, source) written
+    out partitioned — same semantics, no single-point bottleneck."""
+    from pyspark.sql import Window as W
+
+    df = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id")))
+    keyed = df.select("doc_id", "source", key.alias("shuffle_key")).withColumn(
+        "pos_in_source",
+        F.row_number().over(W.partitionBy("source").orderBy("shuffle_key")),
+    )
+    return keyed.withColumn(
+        "global_pos",
+        F.row_number().over(W.orderBy("pos_in_source", "source", "doc_id")),
+    )

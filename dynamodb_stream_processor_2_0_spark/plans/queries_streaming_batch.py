@@ -266,3 +266,79 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("funnel_stage"))
     )
+
+
+@register(
+    "asof_join_last_order",
+    oracle="""
+        WITH ded AS (
+            SELECT o_custkey, o_orderdate,
+                   max(CAST(o_totalprice AS DECIMAL(18,2))) AS last_order_price
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               d.o_orderdate AS last_order_date,
+               d.last_order_price
+        FROM events e
+        ASOF LEFT JOIN ded d
+          ON e.user_id = d.o_custkey AND d.o_orderdate <= e.ts
+    """,
+    tags=("streaming-batch", "asof", "temporal"),
+    doc="As-of join: each event picks up the latest at-or-before order of the "
+    "same user — union-and-window implementation vs DuckDB's native ASOF JOIN.",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no ASOF JOIN; this is the scalable composition (tag +
+    union + per-key last_value window — one shuffle, no range
+    explosion). Orders are pre-deduped to one row per (custkey, date)
+    so tie-breaking is deterministic on both engines."""
+    from dynamodb_stream_processor_2_0_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_date"),
+        )
+        .agg(
+            F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "last_order_price"
+            )
+        )
+    )
+    return asof_join(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="last_order_date",
+        right_vals=["last_order_date", "last_order_price"],
+    ).select("event_id", "user_id", "ts", "last_order_date", "last_order_price")
+
+
+@register(
+    "range_join_event_neighbors",
+    oracle="""
+        SELECT a.user_id, a.event_id AS a_id, count(*) AS n_neighbors
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id <> b.event_id
+         AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+                 - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 3600
+        GROUP BY 1, 2
+    """,
+    tags=("streaming-batch", "range-join", "temporal"),
+    doc="Band/range join: same-user events within +/-1h of each other — "
+    "bucketed equi-join with residual filter vs the oracle's theta join.",
+)
+def range_join_event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inequality join becomes an equi-join on (user, time-bucket)
+    with each row probing its own + adjacent buckets — shuffle cost is
+    O(rows x 3), never the theta join's per-key n^2 probe."""
+    from dynamodb_stream_processor_2_0_spark.operators.temporal import band_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return band_join_count(
+        ev, key="user_id", ts="ts", id_col="event_id", band_seconds=3600
+    ).select(F.col("user_id"), F.col("a_id"), F.col("n_neighbors"))

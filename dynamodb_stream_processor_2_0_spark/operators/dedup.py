@@ -395,3 +395,52 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def count_min_estimates(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Deterministic Count-Min sketch: ``depth`` hash rows of ``width``
+    counters, bucket_r(x) = uint32(md5(r ':' x)) % width. Returns every
+    distinct item with its CMS estimate (min over rows) next to its
+    true count — the overestimate property (est >= true) is part of the
+    contract and is asserted by the oracle twin.
+
+    Scale shape: ONE pass builds all depth x width counters as a
+    groupBy on (row, bucket) — the sketch is ~depth*width longs total
+    regardless of input size, which is why a 100 TB stream can keep it
+    in memory per executor and merge by '+'. md5-derived buckets make
+    the sketch bit-identical across engines and runs.
+    """
+    rows = []
+    for r in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}:"), F.col(item_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+        rows.append(
+            df.select(F.lit(r).alias("r"), bucket.alias("bucket"), F.col(item_col))
+        )
+    tagged = rows[0]
+    for x in rows[1:]:
+        tagged = tagged.unionByName(x)
+    counters = tagged.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    item_buckets = tagged.select("r", "bucket", item_col).distinct()
+    estimates = (
+        item_buckets.join(counters, ["r", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    truth = df.groupBy(item_col).agg(F.count(F.lit(1)).alias("true_count"))
+    return estimates.join(truth, item_col)

@@ -218,3 +218,39 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidate_pairs(docs)
     return dedup.connected_components(pairs)
+
+
+@register(
+    "sketch_count_min",
+    oracle="""
+        WITH items AS (
+            SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        ), tagged AS (
+            SELECT r, item,
+                   CAST(concat('0x', substr(md5(concat(r, ':', item)), 1, 8))
+                        AS BIGINT) % 64 AS bucket
+            FROM items, (VALUES (0), (1), (2), (3)) AS d(r)
+        ), counters AS (
+            SELECT r, bucket, count(*) AS cnt FROM tagged GROUP BY 1, 2
+        ), est AS (
+            SELECT t.item, min(c.cnt) AS cms_estimate
+            FROM (SELECT DISTINCT r, bucket, item FROM tagged) t
+            JOIN counters c ON c.r = t.r AND c.bucket = t.bucket
+            GROUP BY t.item
+        )
+        SELECT est.item AS user_id, est.cms_estimate, tr.true_count
+        FROM est
+        JOIN (SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS true_count
+              FROM events GROUP BY 1) tr
+          ON tr.item = est.item
+    """,
+    tags=("dedup", "sketch", "llm", "scale"),
+    doc="Deterministic Count-Min sketch (4x64, md5-derived buckets): per-item "
+    "estimate (min over rows) next to the true count; fixed-size state "
+    "regardless of cardinality, bit-identical across engines.",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    return dedup.count_min_estimates(ev, "user_id", depth=4, width=64)

@@ -342,3 +342,66 @@ def range_join_event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_join_count(
         ev, key="user_id", ts="ts", id_col="event_id", band_seconds=3600
     ).select(F.col("user_id"), F.col("a_id"), F.col("n_neighbors"))
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), daily AS (
+            SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket,
+                   event_type,
+                   sum(n_events) AS n_events,
+                   sum(sum_value) AS sum_value
+            FROM hourly GROUP BY 1, 2
+        )
+        SELECT 'hour' AS resolution, bucket, event_type, n_events,
+               CAST(sum_value AS DECIMAL(38,2)) AS sum_value FROM hourly
+        UNION ALL
+        SELECT 'day', bucket, event_type, n_events,
+               CAST(sum_value AS DECIMAL(38,2)) FROM daily
+    """,
+    tags=("streaming-batch", "window", "rollup", "hypertable"),
+    doc="Hypertable-style continuous aggregate: hourly buckets aggregated from "
+    "raw rows, daily buckets RE-aggregated from the hourly partials (sum of "
+    "sums) — the multi-resolution rollup pattern, one raw scan total.",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coarser level never re-reads raw data — it merges the finer
+    level's partials (exactly how a 100 TB continuous aggregate stays
+    cheap: the daily job reads 24 hourly rows per key, not 86M raw
+    events)."""
+    ev = load_table(spark, sf_dir, "events")
+    # window() (not date_trunc) — date_trunc coerces TIMESTAMP_NTZ
+    # through the session time zone and shifts bucket boundaries in
+    # non-UTC sessions; window() is NTZ-native.
+    hourly = (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.window("bucket", "1 day").start.alias("bucket"), "event_type"
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    cast38 = lambda df: df.withColumn(  # noqa: E731
+        "sum_value", F.col("sum_value").cast("decimal(38,2)")
+    )
+    return (
+        cast38(hourly.select(F.lit("hour").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
+        .unionByName(
+            cast38(daily.select(F.lit("day").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
+        )
+    )

@@ -68,14 +68,23 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s (cold {cold:.3f}s)", file=sys.stderr)
 
+    # The driver records only the tail of stdout and parses the final
+    # JSON line; round 1's line carried every per-query timing (~3 KB)
+    # and was truncated past parseability ("parsed": null in
+    # BENCH_r01.json). Keep the parsed line compact: headline timings
+    # inline, the full per-query map on stderr.
+    print("# full timings: " + json.dumps(timings), file=sys.stderr)
+    headline_total = sum(timings[n] for n in HEADLINE if n in timings)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
-                "value": round(total, 3),
+                "value": round(headline_total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "all_queries_total_sec": round(total, 3),
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

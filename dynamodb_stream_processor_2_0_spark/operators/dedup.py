@@ -259,8 +259,8 @@ def simhash_oracle_sql(bits: int = 32) -> str:
             GROUP BY doc_id, bit
         )
         SELECT doc_id,
-               sum(CASE WHEN votes > 0 THEN CAST(2 ** bit AS BIGINT) ELSE 0 END)
-                   AS simhash
+               CAST(sum(CASE WHEN votes > 0 THEN CAST(2 ** bit AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
     """
 

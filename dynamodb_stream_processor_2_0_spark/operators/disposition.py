@@ -149,7 +149,10 @@ def disposition_summary(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
         .groupBy("action")
         .agg(
             F.sum("pn").alias("n_records"),
-            F.sum("ps").alias("sum_value"),
+            # Exact decimal sum, surfaced as DOUBLE: a decimal output
+            # column decays to float64 on the DuckDB->pandas side but
+            # stays Decimal on the Spark side and fails the driver gate.
+            F.sum("ps").cast("double").alias("sum_value"),
             F.count_if(F.col("user_id").isNotNull()).alias("n_users"),
         )
         .orderBy("action")
@@ -193,7 +196,7 @@ WITH parsed AS (
 )
 SELECT action,
        count(*) AS n_records,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM tagged
 GROUP BY action

@@ -37,14 +37,29 @@ def _revenue() -> F.Column:
 
 _REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
 
+# Output-boundary rule (driver gate): aggregate in exact decimal, but
+# surface DOUBLE — DuckDB->pandas decays DECIMAL to float64 while Spark
+# keeps Decimal objects, so a decimal-typed output column can never
+# hash-match. Both engines cast the identical exact decimal, so the
+# resulting doubles are bit-equal.
+_SUM_REVENUE_DBL = f"CAST(sum({_REVENUE_SQL}) AS DOUBLE)"
+
+
+def _sum_dbl(col: str) -> F.Column:
+    return F.sum(_dec(col)).cast("double")
+
+
+def _sum_dbl_sql(col: str) -> str:
+    return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
 
 @register(
     "q1_pricing_summary",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               sum({_REVENUE_SQL}) AS sum_disc_price,
+               {_sum_dbl_sql("l_quantity")} AS sum_qty,
+               {_sum_dbl_sql("l_extendedprice")} AS sum_base_price,
+               {_SUM_REVENUE_DBL} AS sum_disc_price,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
                count(*) AS count_order
         FROM lineitem
@@ -62,9 +77,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_revenue()).alias("sum_disc_price"),
+            _sum_dbl("l_quantity").alias("sum_qty"),
+            _sum_dbl("l_extendedprice").alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
                 "avg_qty"
             ),
@@ -77,7 +92,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     oracle=f"""
-        SELECT o.o_orderkey, sum({_REVENUE_SQL}) AS revenue,
+        SELECT o.o_orderkey, {_SUM_REVENUE_DBL} AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -104,7 +119,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -114,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_region_revenue",
     oracle=f"""
-        SELECT n.n_name, sum({_REVENUE_SQL}) AS revenue
+        SELECT n.n_name, {_SUM_REVENUE_DBL} AS revenue
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -146,7 +161,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -218,9 +233,10 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_spend,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey) AS order_seq
         FROM orders
@@ -234,9 +250,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
-            "running_spend"
-        ),
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
         F.row_number().over(w).alias("order_seq"),
     )
 
@@ -247,7 +264,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                count(*) AS n_items,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -260,7 +277,7 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            _sum_dbl("l_quantity").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -315,7 +332,8 @@ def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_priorities",
     oracle="""
         SELECT o_orderpriority, count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
         FROM orders
         WHERE o_orderstatus <> 'F'
         GROUP BY o_orderpriority
@@ -331,7 +349,7 @@ def agg_having_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("total_spend"),
+            _sum_dbl("o_totalprice").alias("total_spend"),
         )
         .filter(F.col("n_orders") > 5)
         .orderBy("o_orderpriority")
@@ -371,7 +389,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-               sum({_REVENUE_SQL}) AS revenue
+               {_SUM_REVENUE_DBL} AS revenue
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -416,7 +434,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -424,7 +442,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_returned_items",
     oracle=f"""
-        SELECT c.c_custkey, c.c_name, sum({_REVENUE_SQL}) AS revenue,
+        SELECT c.c_custkey, c.c_name, {_SUM_REVENUE_DBL} AS revenue,
                c.c_acctbal, n.n_name, c.c_mktsegment
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
@@ -455,7 +473,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -495,7 +513,7 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                max(value) AS max_value
         FROM events
         GROUP BY event_type
@@ -523,7 +541,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         final={
             "n_events": F.sum("p_n"),
-            "sum_value": F.sum("p_sum"),
+            "sum_value": F.sum("p_sum").cast("double"),
             "max_value": F.max("p_max"),
         },
     )
@@ -535,7 +553,8 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARED_ANSI_SQL = """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order
     FROM orders
@@ -558,8 +577,8 @@ def sql_api_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle=f"""
-        SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_discount AS DECIMAL(12,4))) AS revenue,
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -579,9 +598,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(12,4)")).alias(
-            "revenue"
-        ),
+        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(12,4)"))
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -667,10 +686,25 @@ def approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     group regardless of cardinality — the shape that replaces exact
     distinct/percentile at 100 TB (SCALE.md §5)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
-        F.count(F.lit(1)).alias("n"),
+    # One t-digest pass per group, then the percentile array is
+    # flattened to scalar columns: an array-typed output crashes the
+    # driver's rows-only canonicalization (pandas sort on unhashable
+    # lists).
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_pcts")[0].alias("approx_p50"),
+            F.col("_pcts")[1].alias("approx_p90"),
+            F.col("_pcts")[2].alias("approx_p99"),
+            "n",
+        )
     )
 
 
@@ -730,7 +764,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
                o.o_totalprice,
-               sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS total_qty
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -759,7 +794,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         # data (unlike dims), so let AQE pick broadcast only when it fits.
         .join(big, orders.o_orderkey == F.col("big_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .agg(_sum_dbl("l_quantity").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
@@ -770,7 +805,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
@@ -781,7 +817,7 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).alias("total_price"),
+        _sum_dbl("o_totalprice").alias("total_price"),
     )
 
 

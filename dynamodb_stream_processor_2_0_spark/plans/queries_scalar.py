@@ -69,7 +69,7 @@ def f3_null_pass_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                lower(event_type) AS event_type_norm,
                COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k,
                COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0) AS missing_metric,
-               CAST(value AS DECIMAL(18,2)) AS value_dec,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
                strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
         FROM events
     """,
@@ -84,7 +84,9 @@ def p1_typed_parse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("event_type").alias("event_type_norm"),
         P.json_int("props", "$.k").alias("k"),
         P.json_double("props", "$.missing").alias("missing_metric"),
-        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        # typed 2-decimal parse, surfaced as double (decimal outputs
+        # fail the driver's pandas-level hash; see tests/oracle_harness)
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value_dec"),
         P.iso_timestamp("ts").alias("ts_iso"),
     )
 

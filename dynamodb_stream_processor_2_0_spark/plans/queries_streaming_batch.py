@@ -18,8 +18,10 @@ Scale notes:
   at 100 TB, pre-filter bot-like keys or cap session length upstream.
 
 Float determinism: decimal(18,2) sums (value is generated with 2
-decimals), cast back only at the boundary — bit-exact vs the DuckDB
-oracle.
+decimals), cast to DOUBLE only at the output boundary (both engines
+cast the identical exact decimal, so the doubles are bit-equal; a raw
+decimal output would decay to float64 on the DuckDB->pandas side but
+stay Decimal on the Spark side and fail the driver's stringify).
 """
 
 from __future__ import annotations
@@ -34,14 +36,22 @@ def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
+# Exact decimal sum, surfaced as double at the output boundary.
+def _dsum(col: str) -> F.Column:
+    return F.sum(_dec(col)).cast("double")
+
+
+_DSUM_SQL = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
 @register(
     "window_tumbling_daily",
-    oracle="""
+    oracle=f"""
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
                CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS win_end,
                event_type,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               {_DSUM_SQL} AS sum_value
         FROM events
         GROUP BY 1, 2, 3
     """,
@@ -54,7 +64,7 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("sum_value"),
+            _dsum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -68,7 +78,7 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_sliding_2d_1d",
-    oracle="""
+    oracle=f"""
         WITH expanded AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
                        - o.off * INTERVAL 1 DAY AS win_start,
@@ -79,7 +89,7 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                win_start + INTERVAL 2 DAY AS win_end,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               {_DSUM_SQL} AS sum_value
         FROM expanded
         GROUP BY 1, 2
     """,
@@ -93,7 +103,7 @@ def window_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(_dec("value")).alias("sum_value"),
+            _dsum("value").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -107,7 +117,7 @@ def window_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_12h",
-    oracle="""
+    oracle=f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -124,7 +134,7 @@ def window_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(ts) AS session_start,
                max(ts) + INTERVAL 12 HOUR AS session_end,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               {_DSUM_SQL} AS sum_value
         FROM numbered
         GROUP BY user_id, sid
     """,
@@ -137,7 +147,7 @@ def session_window_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("sum_value"),
+            _dsum("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -273,7 +283,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ded AS (
             SELECT o_custkey, o_orderdate,
-                   max(CAST(o_totalprice AS DECIMAL(18,2))) AS last_order_price
+                   CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS last_order_price
             FROM orders GROUP BY 1, 2
         )
         SELECT e.event_id, e.user_id, e.ts,
@@ -302,9 +313,9 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("last_order_date"),
         )
         .agg(
-            F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "last_order_price"
-            )
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("last_order_price")
         )
     )
     return asof_join(
@@ -360,11 +371,13 @@ def range_join_event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(sum_value) AS sum_value
             FROM hourly GROUP BY 1, 2
         )
-        SELECT 'hour' AS resolution, bucket, event_type, n_events,
-               CAST(sum_value AS DECIMAL(38,2)) AS sum_value FROM hourly
+        SELECT 'hour' AS resolution, bucket, event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(sum_value AS DOUBLE) AS sum_value FROM hourly
         UNION ALL
-        SELECT 'day', bucket, event_type, n_events,
-               CAST(sum_value AS DECIMAL(38,2)) FROM daily
+        SELECT 'day', bucket, event_type,
+               CAST(n_events AS BIGINT),
+               CAST(sum_value AS DOUBLE) FROM daily
     """,
     tags=("streaming-batch", "window", "rollup", "hypertable"),
     doc="Hypertable-style continuous aggregate: hourly buckets aggregated from "
@@ -396,12 +409,12 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_value").alias("sum_value"),
         )
     )
-    cast38 = lambda df: df.withColumn(  # noqa: E731
-        "sum_value", F.col("sum_value").cast("decimal(38,2)")
-    )
+    boundary = lambda df: df.withColumn(  # noqa: E731
+        "sum_value", F.col("sum_value").cast("double")
+    ).withColumn("n_events", F.col("n_events").cast("bigint"))
     return (
-        cast38(hourly.select(F.lit("hour").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
+        boundary(hourly.select(F.lit("hour").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
         .unionByName(
-            cast38(daily.select(F.lit("day").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
+            boundary(daily.select(F.lit("day").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
         )
     )

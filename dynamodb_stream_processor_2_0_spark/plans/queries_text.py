@@ -358,7 +358,8 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(least(len(string_split(text, ' ')) // 50, 9) * 50 AS INTEGER)
                    AS bucket_lo,
                count(*) AS n_docs,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                   AS total_tokens
         FROM documents
         GROUP BY 1, 2, 3
     """,

@@ -196,22 +196,34 @@ def streaming_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateful streaming runs without AQE coalescing; a default 200
     # shuffle partitions means 200 near-empty state tasks per
     # micro-batch at test scale. Result is partitioning-independent
-    # (per-key state), so cap the width. Runtime conf — no restart.
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-    staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
-    schema = spark.read.parquet(f"{staged}/chunk=0").schema
-    stream = replay.read_event_stream(spark, staged, schema)
-    qname = f"delivery_e2e_{uuid.uuid4().hex[:8]}"
-    q = (
-        sinks.observed(apply_delivery_state(stream))
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    # (per-key state), so cap the width for the streaming run only —
+    # the prior value is restored so this query doesn't silently
+    # reshape every later plan in the shared session.
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        qname = f"delivery_e2e_{uuid.uuid4().hex[:8]}"
+        q = (
+            sinks.observed(apply_delivery_state(stream))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_delivery_e2e: availableNow query did not "
+                "terminate within 180s — refusing to return a partial "
+                "memory table"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(qname)
 
 

@@ -65,11 +65,19 @@ def make_delivery_fn(
             status, delivered_id, attempts = "pending", None, 0
 
         out: list[dict] = []
-        for pdf in pdfs:
-            # deterministic per-key order: event-time then id (the
-            # reference processes records in stream order, index.js:53)
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for event_id in pdf["event_id"]:
+        # A key's rows in one micro-batch may arrive as multiple Arrow
+        # chunks (> arrow.maxRecordsPerBatch rows per group), and chunk
+        # order is not ts-ordered after the shuffle — materialize the
+        # whole group before the single deterministic sort, or the
+        # delivered winner is no longer the global (ts, event_id)
+        # minimum (the reference processes records in stream order,
+        # index.js:53). Group state is bounded per (user_id, event_type)
+        # key, so this buffers one key's batch slice, not the stream.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values(["ts", "event_id"])
+            for event_id in whole["event_id"]:
                 attempts += 1
                 event_id = int(event_id)
                 if status == "delivered":

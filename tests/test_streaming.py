@@ -77,6 +77,92 @@ def test_delivery_state_machine_exactly_once(spark, sf_dir, staged):
     assert mismatches == 0, "streaming winners must match batch first-occurrence"
 
 
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing the stateful fn."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_delivery_fn_multi_chunk_global_order():
+    """A key's micro-batch slice can span multiple Arrow chunks
+    (> arrow.maxRecordsPerBatch rows per group), and chunk order is not
+    ts-ordered after the shuffle. The winner must still be the global
+    (ts, event_id) minimum — a per-chunk sort would deliver whatever
+    the first chunk happens to hold (the round-1 bug: hidden at test
+    scale because groups fit in one chunk)."""
+    import pandas as pd
+
+    from dynamodb_stream_processor_2_0_spark.streaming.delivery_state import (
+        make_delivery_fn,
+    )
+
+    fn = make_delivery_fn()
+    # Adversarial arrival: the event-time-first event (id=10) is in the
+    # LAST chunk; chunk 0 holds later events.
+    chunks = [
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2026-01-03", "2026-01-04"]),
+             "event_id": [30, 40]}
+        ),
+        pd.DataFrame({"ts": pd.to_datetime(["2026-01-02"]), "event_id": [20]}),
+        pd.DataFrame({"ts": pd.to_datetime(["2026-01-01"]), "event_id": [10]}),
+    ]
+    state = _FakeGroupState()
+    [out] = list(fn((1, "click"), iter(chunks), state))
+    assert list(out[out.action == "email_triggered"].event_id) == [10]
+    assert list(out.event_id) == [10, 20, 30, 40], "emitted in global ts order"
+    status, delivered_id, attempts = state.get
+    assert (status, delivered_id, attempts) == ("delivered", 10, 4)
+
+
+def test_delivery_state_exactly_once_tiny_arrow_batches(spark, sf_dir, staged):
+    """E2E variant of the multi-chunk case: force 2-row Arrow batches so
+    every real group spans chunks, and require streaming winners to
+    still equal the batch first-occurrence oracle."""
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = replay.read_event_stream(
+            spark, staged, _batch_schema(spark, staged)
+        )
+        q = (
+            apply_delivery_state(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dispositions_tiny_chunks")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
+    out = spark.table("dispositions_tiny_chunks")
+    events = load_table(spark, sf_dir, "events")
+    assert out.count() == events.count()
+    triggered = out.filter(F.col("action") == "email_triggered")
+    expected = first_occurrence(
+        events, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id")
+    assert (
+        triggered.select("user_id", "event_type", "event_id")
+        .exceptAll(expected)
+        .count()
+        == 0
+    ), "streaming winners must match batch first-occurrence"
+
+
 def test_delivery_state_sink_failure_compensation(spark, sf_dir, staged):
     """S7: a failing sink send must not mark the key delivered — the
     next attempt for that key must still be able to trigger."""

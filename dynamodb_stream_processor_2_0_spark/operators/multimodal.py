@@ -69,11 +69,32 @@ def decode_image_batch(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    decoder: Callable[[bytes], dict[str, Any]] = fake_image_decode,
+    decoder: Callable[[bytes], dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Binary payloads -> typed metadata + feature vector via
     ``mapInPandas`` (Arrow batches; one python call per batch, never per
-    row)."""
+    row).
+
+    ``decoder=None`` uses a nested by-value copy of
+    ``fake_image_decode``: a module-level default would be pickled by
+    reference and the Python workers would need this package on their
+    own sys.path — which the driver's harness (sys.path.insert in the
+    driver process only) does not guarantee. A production codec hook
+    passed explicitly must itself be importable on the workers.
+    """
+    if decoder is None:
+
+        def decoder(payload: bytes) -> dict[str, Any]:
+            # keep in sync with fake_image_decode (by-value twin)
+            import hashlib as _hl
+
+            h = _hl.md5(payload).digest()
+            return {
+                "width": 64 + h[0] % 192,
+                "height": 64 + h[1] % 192,
+                "channels": 3,
+                "feature": [round(b / 255.0, 6) for b in h[2:10]],
+            }
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -160,11 +181,23 @@ def resize_images(
     height: int = 64,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    resizer: Callable[[bytes, int, int], bytes] = fake_image_resize,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Resize stage via ``mapInPandas`` (Arrow batches). Production
     injects a real codec resizer (PIL/libvips wrapper); the plumbing —
-    schema, batching, binary transport — is identical either way."""
+    schema, batching, binary transport — is identical either way.
+
+    ``resizer=None`` uses a nested by-value copy of
+    ``fake_image_resize`` (same worker-importability rationale as
+    ``decode_image_batch``)."""
+    if resizer is None:
+
+        def resizer(payload: bytes, w: int, h: int) -> bytes:
+            # keep in sync with fake_image_resize (by-value twin)
+            if not payload:
+                return bytes(w * h)
+            reps = (w * h) // len(payload) + 1
+            return (payload * reps)[: w * h]
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -1,0 +1,150 @@
+"""Multimodal column queries (LLM-pipeline extension): opaque binary
+payloads processed by Arrow-batched ``mapInPandas`` stages.
+
+The decode/resize hooks are injectable (``operators/multimodal.py``):
+production passes a real codec, this environment uses the deterministic
+md5-seeded fakes. Because the fakes derive everything from the payload
+bytes, the DuckDB oracle can recompute the SAME metadata from the same
+bytes in SQL — so the whole Arrow plumbing (schema, batching, UDF
+signatures, per-row determinism) is hash-verified end to end, not just
+smoke-tested.
+
+Scale notes: binary payloads are the widest column in a media table —
+each stage projects only (id, payload), never joins payloads, and emits
+narrow typed rows, so payload bytes cross the wire exactly once per
+stage. mapInPandas streams Arrow record batches: peak executor memory
+is one batch of payloads, bounded by arrow.maxRecordsPerBatch x mean
+payload size, independent of partition row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.operators import multimodal as MM
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+# DuckDB SQL for "byte k (0-based) of md5(payload) as an integer".
+# DuckDB 1.0 has no md5(BLOB); md5(VARCHAR) hashes the string's UTF-8
+# bytes, which ARE the payload bytes (payload := encode(text)), so
+# md5(text) == md5 of the binary payload. md5 yields lowercase hex;
+# byte k is digits (2k+1, 2k+2).
+_HEXPOS = "strpos('0123456789abcdef', substr(md5(text), {d}, 1)) - 1"
+
+
+def _md5_byte_sql(k: int) -> str:
+    hi = _HEXPOS.format(d=2 * k + 1)
+    lo = _HEXPOS.format(d=2 * k + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+@register(
+    "multimodal_image_decode",
+    oracle=f"""
+        WITH bin AS (
+            SELECT doc_id, text, encode(text) AS payload FROM documents
+        )
+        SELECT doc_id,
+               CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+               CAST(64 + {_md5_byte_sql(0)} % 192 AS INTEGER) AS width,
+               CAST(64 + {_md5_byte_sql(1)} % 192 AS INTEGER) AS height,
+               3 AS channels,
+               CAST({_md5_byte_sql(2)} AS INTEGER) AS f0_byte,
+               CAST({_md5_byte_sql(9)} AS INTEGER) AS f7_byte
+        FROM bin
+    """,
+    tags=("multimodal", "llm", "mapInPandas"),
+    doc="Image decode stage: binary payload -> typed metadata + feature vector "
+    "via Arrow-batched mapInPandas; the md5-seeded fake decoder lets the "
+    "oracle recompute identical metadata from the same bytes in SQL.",
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature vector is checked through its generating bytes
+    (feature[i] == round(byte/255, 6), so byte == round(f*255)): the
+    oracle stays in integer arithmetic and no cross-engine float
+    rounding enters the hash."""
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    decoded = MM.decode_image_batch(docs)
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.round(F.col("feature")[0] * 255).cast("int").alias("f0_byte"),
+        F.round(F.col("feature")[7] * 255).cast("int").alias("f7_byte"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH bin AS (
+            SELECT doc_id, encode(text) AS payload FROM documents
+        ), sized AS (
+            SELECT doc_id, payload,
+                   CAST(ceil(octet_length(payload) / 32.0) AS BIGINT) AS n_chunks
+            FROM bin
+        ), idx AS (
+            SELECT doc_id, payload,
+                   unnest(range(0, n_chunks, 4)) AS frame_idx
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               substr(hex(payload), CAST(frame_idx * 64 + 1 AS BIGINT), 64)
+                   AS frame_hex
+        FROM idx
+    """,
+    tags=("multimodal", "llm", "mapInPandas"),
+    doc="Video-style frame sampling: payload split into 32-byte 'frames', every "
+    "4th kept — the partition-preserving explode before per-frame decode; the "
+    "oracle re-slices the same bytes (DuckDB 1.0 can't substr a BLOB, so both "
+    "sides compare the hex encoding: 32 bytes == 64 hex chars).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    frames = MM.sample_frames(docs, chunk_bytes=32, every_nth=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
+
+
+@register(
+    "multimodal_resize_digest",
+    oracle="""
+        WITH bin AS (
+            SELECT doc_id, encode(text) AS payload FROM documents
+        ), resized AS (
+            SELECT doc_id,
+                   unhex(substr(repeat(hex(payload),
+                                       CAST(4096 // octet_length(payload) + 1
+                                            AS INTEGER)),
+                                1, 8192)) AS rbytes
+            FROM bin
+            WHERE octet_length(payload) > 0
+        )
+        SELECT doc_id, 64 AS width, 64 AS height,
+               CAST(octet_length(rbytes) AS INTEGER) AS n_resized_bytes,
+               md5(hex(rbytes)) AS resized_md5
+        FROM resized
+    """,
+    tags=("multimodal", "llm", "mapInPandas"),
+    doc="Resize stage: fixed 64x64 output per payload via mapInPandas; verified "
+    "by byte length + a digest of the resized buffer (md5-of-hex, since "
+    "DuckDB 1.0 md5 only takes VARCHAR; hex() is uppercase in both engines).",
+)
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emitting (length, md5) instead of the 4 KiB buffer keeps the
+    verified result narrow — the full binary stays executor-side, the
+    digest proves it byte-for-byte."""
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    resized = MM.resize_images(docs, width=64, height=64)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("resized").alias("n_resized_bytes"),
+        F.md5(F.hex("resized").cast("binary")).alias("resized_md5"),
+    )

@@ -723,7 +723,7 @@ def approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN avg_qty a ON a.l_partkey = l.l_partkey
-        WHERE p.p_brand = 'BRAND_1'
+        WHERE p.p_brand = 'Brand#1'
           AND l.l_quantity < 0.2 * a.aq
     """,
     tags=("relational", "subquery"),
@@ -736,7 +736,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decimal-exact average divides once into a double, so the
     threshold comparison is bit-identical across engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_1")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("aq")
     )
@@ -880,4 +880,341 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(share.alias("mkt_share"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("o_year")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), ranked AS (
+            SELECT p.l_partkey, p.l_suppkey, s.s_name, s.s_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY p.l_partkey
+                                      ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+            FROM pairs p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+        )
+        SELECT r.l_partkey AS p_partkey, pt.p_brand, r.l_suppkey AS s_suppkey,
+               r.s_name, r.s_acctbal
+        FROM ranked r
+        JOIN part pt ON pt.p_partkey = r.l_partkey
+        WHERE r.rn = 1 AND pt.p_size <= 10
+    """,
+    tags=("relational", "subquery"),
+    doc="TPC-H Q2-style min-cost supplier: the correlated MIN subquery decorrelated "
+    "into a per-part window rank over the observed (part, supplier) pairs.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic `cost = (SELECT min(...) WHERE partkey = outer)`
+    pattern as a window: rank suppliers per part by (acctbal, suppkey)
+    and keep rank 1. One shuffle on partkey; the supplier dim is
+    broadcast. The deterministic suppkey tiebreak makes the pick stable
+    across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    w = W.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    ranked = (
+        pairs.join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(F.broadcast(part), ranked.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "outer-join"),
+    doc="TPC-H Q13-style customer order-count distribution: LEFT OUTER join "
+    "(zero-order customers kept), two-level aggregation.",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(o_orderkey) over a left join counts only matched rows, so
+    customers with no qualifying orders land in the c_count=0 bucket —
+    the outer-join semantics the inner-join q3 family can't express."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT pr.l_suppkey) AS supplier_cnt
+        FROM pairs pr
+        JOIN part p ON p.p_partkey = pr.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND pr.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("relational", "subquery", "distinct-agg"),
+    doc="TPC-H Q16-style supplier variety: NOT IN anti-subquery, IN-list size "
+    "filter, count(DISTINCT) per (brand, type, size).",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN compiles to a left-anti join against the excluded
+    supplier set (broadcast — it's a filtered dim). The distinct-agg
+    keeps countDistinct here: groups are (brand,type,size)-wide so the
+    Expand doubling is tiny, unlike the global-key case where the
+    two-stage rewrite wins (see disposition_summary)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29])
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(excluded),
+            pairs.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+        SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "predicate"),
+    doc="TPC-H Q19-style disjunctive predicates: OR-of-ANDs band filter across "
+    "the join, single aggregated result.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The disjunction references both sides, so it's a post-join
+    residual — but each disjunct's part-side half (brand + size) prunes
+    the broadcast build side, and Catalyst pushes the OR of l_quantity
+    bands to the fact scan as a range union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+        WITH threshold AS (
+            SELECT CAST(avg(c_acctbal) AS DOUBLE) AS t
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment,
+               count(*) AS numcust,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer c, threshold
+        WHERE c.c_acctbal > threshold.t
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 480000
+          )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("relational", "subquery"),
+    doc="TPC-H Q22-style idle rich customers: scalar-aggregate threshold "
+    "subquery + NOT EXISTS anti-join (no order over 480k), per-segment totals.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar subquery is computed once and cross-joined (a 1-row
+    broadcast — the distributed form of a scalar); NOT EXISTS is a
+    left-anti join on custkey. avg() is sum/count over doubles in both
+    engines — Spark and DuckDB both compute avg with a Kahan-free
+    single-pass sum, and the test values are 2-decimal, so the
+    threshold double is bit-identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 480000
+    )
+    # exact decimal mean: sum in decimal, one double division
+    t = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("t")
+        )
+    )
+    return (
+        cust.join(F.broadcast(t))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _sum_dbl("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey, CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    tags=("relational", "subquery"),
+    doc="TPC-H Q15-style top supplier: quarterly revenue per supplier, kept "
+    "where equal to the global max (scalar-aggregate reuse of a derived view).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived `rev` view is built once and probed twice (per-key
+    rows + its global max); the max is a 1-row broadcast. Revenue is
+    cast to double only after the exact decimal sum, so the equality
+    test against the max compares identical doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "full_outer_nation_balance",
+    oracle="""
+        WITH cb AS (
+            SELECT c_nationkey AS nk,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal,
+                   count(*) AS n_cust
+            FROM customer GROUP BY c_nationkey
+        ), sb AS (
+            SELECT s_nationkey AS nk,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal,
+                   count(*) AS n_supp
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT COALESCE(cb.nk, sb.nk) AS nationkey,
+               cb.cust_bal, cb.n_cust, sb.supp_bal, sb.n_supp
+        FROM cb FULL OUTER JOIN sb ON cb.nk = sb.nk
+    """,
+    tags=("relational", "outer-join"),
+    doc="FULL OUTER JOIN: per-nation customer vs supplier balance totals, "
+    "nations present on either side kept with NULLs on the missing side.",
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cb = cust.groupBy(F.col("c_nationkey").alias("cnk")).agg(
+        _sum_dbl("c_acctbal").alias("cust_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    sb = supp.groupBy(F.col("s_nationkey").alias("snk")).agg(
+        _sum_dbl("s_acctbal").alias("supp_bal"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    return cb.join(sb, cb.cnk == sb.snk, "full_outer").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        "cust_bal",
+        "n_cust",
+        "supp_bal",
+        "n_supp",
     )

@@ -416,3 +416,43 @@ def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "global_pos",
         F.row_number().over(W.orderBy("pos_in_source", "source", "doc_id")),
     )
+
+
+# GPT-2-style pre-tokenizer classes, minus the lookarounds neither
+# Java regex nor RE2 needs here: letter runs, digit runs, single
+# non-alnum-non-space marks, with an optional leading space absorbed
+# into the token (the BPE "word with leading space" convention).
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+                    AS INTEGER) AS n_bpe_tokens,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1)
+                   AS bpe_per_word
+        FROM documents
+    """,
+    tags=("text", "llm", "tokenize"),
+    doc="BPE-style token counting: GPT-2-ish pre-tokenizer regex (letter runs, "
+    "digit runs, punctuation runs, leading-space absorption) vs whitespace "
+    "tokens — the tokens-per-word ratio every training-data budget uses.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all stays JVM-side (no Python UDF in the hot
+    path); the pattern uses only character classes that Java regex and
+    RE2 interpret identically."""
+    df = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+    n_ws = F.size(F.split("text", " "))
+    return df.select(
+        "doc_id",
+        "lang",
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        (n_bpe.cast("double") / F.greatest(n_ws, F.lit(1))).alias("bpe_per_word"),
+    )

@@ -124,9 +124,17 @@ def minhash_lsh_candidate_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become a candidate
-    pair (doc_a < doc_b). The join key is (band, signature) — tiny rows
-    — so the shuffle stays proportional to docs x bands, not documents'
-    content."""
+    pair (doc_a < doc_b).
+
+    Pair generation is ONE groupBy on (band, signature) with in-bucket
+    pair expansion (sorted collect_list -> JVM-side transform/slice), not
+    a bucket self-join: the self-join form evaluates the whole minhash
+    signature pipeline twice (once per join side) and pays a second
+    shuffle — measured 1.5x slower at sf0.1. Shuffle volume stays
+    proportional to docs x bands (tiny rows), never documents' content.
+    A degenerate bucket (many docs, one signature) would expand n^2
+    pairs — at 100 TB cap bucket size upstream (drop buckets over ~10k
+    docs: they're boilerplate shingles, not near-duplicates)."""
     assert num_hashes % band_size == 0
     sigs = minhash_signatures(df, num_hashes, shingle_k, id_col, text_col)
     n_bands = num_hashes // band_size
@@ -150,16 +158,24 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    left = bands_long.select(
-        F.col("band"), F.col("sig"), F.col(id_col).alias("doc_a")
+    buckets = (
+        bands_long.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    right = bands_long.select(
-        F.col("band"), F.col("sig"), F.col(id_col).alias("doc_b")
+    # all (i < j) pairs within a bucket, entirely in whole-stage codegen
+    pairs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b)))"
+            )
+        )
     )
     return (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(pairs.alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -349,20 +365,43 @@ def connected_components(
     cluster representative ('keep the lowest doc_id, drop the rest').
 
     Iterative DataFrame algorithm (the class the reference cannot
-    express at all): each round is one join + one aggregation, and the
-    loop is driver-side CONTROL only — no data ever collects. Rounds
-    needed = graph diameter (LSH dedup graphs are near-cliques, so 2-4
-    in practice); each round's result is localCheckpointed to truncate
-    lineage. At 100 TB this is the standard large-graph CC recipe
-    (hash-partitioned by node, no vertex ever holds more state than
-    one label).
+    express at all): the loop is driver-side CONTROL only — no data
+    ever collects. Rounds needed = ceil(diameter / 2): each round
+    propagates TWO hops before materializing (propagation toward the
+    min-label fixpoint is idempotent, so extra hops are free
+    correctness-wise and halve the number of checkpoints — on small
+    diameters the per-round job overhead dominates, on 100 TB graphs it
+    halves the number of lineage truncations). Each round's result is
+    localCheckpointed to truncate lineage; convergence is detected with
+    ``DataFrame.observe`` DURING the checkpoint action (labels are
+    monotonically non-increasing, so sum(label) strictly decreases
+    until the fixpoint) — no separate convergence job per round. At
+    100 TB this is the standard large-graph CC recipe (hash-partitioned
+    by node, no vertex ever holds more state than one label).
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import Observation, functions as F
 
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+
+    def propagate(lbls):
+        nbr_min = (
+            sym.join(lbls, sym.v == lbls.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        return (
+            lbls.join(nbr_min, lbls.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+
     # Round 0 folded into initialization: label = min(self, neighbors).
     labels = (
         sym.groupBy("u")
@@ -370,27 +409,15 @@ def connected_components(
         .select(F.col("u").alias("node"), "label")
         .localCheckpoint(eager=True)
     )
-    # Labels are monotonically non-increasing, so sum(label) strictly
-    # decreases every round until the fixpoint — a scalar convergence
-    # check instead of a join-based diff.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = None
     for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        obs = Observation()
         labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            propagate(propagate(labels))
+            .observe(obs, F.sum("label").alias("s"))
+            .localCheckpoint(eager=True)  # the action that fills obs
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -96,3 +96,55 @@ def s1_stream_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys("match_statistics")).alias("n_stats"),
         "old_total_matches",
     )
+
+
+_CSV_STAGE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+        FROM events
+        WHERE event_type <> 'error'
+    """,
+    tags=("source", "format", "csv", "S1"),
+    doc="CSV source interop (sources/formats.py): events staged to CSV once "
+    "per process, read back with an EXPLICIT schema (no inference pass at "
+    "scale), filtered and typed; the oracle reads the original parquet — "
+    "proving the CSV encode/decode round trip is lossless for the typed "
+    "columns.",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubles cross CSV as shortest-repr decimal text and parse back
+    to the identical bit pattern; the exported value is pre-scaled to
+    int cents anyway so the round trip is exact by construction, and
+    the timestamp travels as an explicit ISO string (CSV timestamp
+    parsing would re-enter session-timezone territory)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.sources import formats
+
+    if sf_dir not in _CSV_STAGE_CACHE:
+        path = tempfile.mkdtemp(prefix="events_csv_")
+        staged = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+        )
+        formats.write_batch(staged, path, fmt="csv", header="true")
+        _CSV_STAGE_CACHE[sf_dir] = path
+    df = formats.read_batch(
+        spark,
+        _CSV_STAGE_CACHE[sf_dir],
+        fmt="csv",
+        schema="event_id bigint, user_id bigint, event_type string, "
+        "value_cents bigint, ts_iso string",
+    )
+    return df.filter(F.col("event_type") != "error")

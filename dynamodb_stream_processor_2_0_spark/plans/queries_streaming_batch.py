@@ -430,3 +430,93 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             boundary(daily.select(F.lit("day").alias("resolution"), "bucket", "event_type", "n_events", "sum_value"))
         )
     )
+
+
+@register(
+    "streaming_stream_join_e2e",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.ts AS purchase_ts,
+               c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+    """,
+    tags=("streaming", "stream-stream-join", "S1"),
+    doc="Stream-stream interval join under the differential gate: two replays "
+    "of the event stream (purchases vs clicks) joined on user within a 1h "
+    "look-back, run as a real Structured Streaming query (availableNow) and "
+    "checked against the batch theta-join oracle.",
+)
+def streaming_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner interval joins emit on match (watermarks bound STATE, not
+    results): each side keeps only a 1h+delay window of rows per user in
+    the state store, which is what makes the join runnable on an
+    unbounded stream — the batch equivalent would need the full history
+    on both sides. Replay chunks are exact ts slices, so nothing is
+    late and the availableNow result equals the batch theta join."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        purchases = (
+            replay.read_event_stream(spark, staged, schema)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        clicks = (
+            replay.read_event_stream(spark, staged, schema)
+            .filter(F.col("event_type") == "click")
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+        ).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            "purchase_ts",
+            "click_ts",
+        )
+        qname = f"stream_join_e2e_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_stream_join_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(qname)

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "dynamodb_stream_processor_2_0_spark.plans.queries_dedup",
     "dynamodb_stream_processor_2_0_spark.plans.queries_text",
     "dynamodb_stream_processor_2_0_spark.plans.queries_multimodal",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_udf",
     "dynamodb_stream_processor_2_0_spark.plans.queries_similarity",
     "dynamodb_stream_processor_2_0_spark.plans.queries_streaming_batch",
 )

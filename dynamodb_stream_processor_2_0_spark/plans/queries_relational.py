@@ -1218,3 +1218,258 @@ def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_bal",
         "n_supp",
     )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_SUM_REVENUE_DBL} AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    tags=("relational", "join", "A1"),
+    doc="TPC-H Q9-shaped profit rollup (the test schema has no partsupp, "
+    "so profit is discounted revenue): lineitem x part(name filter) x "
+    "supplier x nation x orders, grouped by nation and order year. "
+    "Reference analog: the multi-table enrichment the D3 lookup family "
+    "implies (index.js:107-141) generalized to a 5-way join.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part/supplier/nation are all dimension-sized -> broadcast, so the
+    only shuffle is lineitem x orders on orderkey (sort-merge under AQE);
+    the p_name filter is applied before the broadcast so the hash table
+    ships only matching parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q12_ship_delay_priority",
+    oracle="""
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) >= 90
+                    THEN 'late' ELSE 'ontime' END AS delay_class,
+               count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY delay_class
+        ORDER BY delay_class
+    """,
+    tags=("relational", "join", "A1", "P10"),
+    doc="TPC-H Q12-shaped priority-by-delay count (no l_shipmode/"
+    "commitdate in the test schema, so the mode column is replaced by a "
+    "computed ship-delay class): orders x lineitem with conditional "
+    "counts — the reference's priority routing (index.js:563) as a "
+    "grouped aggregate.",
+)
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts compile to count_if inside one hash aggregate
+    (single pass, map-side combinable) — not two joins or a pivot. The
+    orders->lineitem join is fact x fact on orderkey: sort-merge, and
+    both sides prune to the 3 columns the query needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) >= 90,
+                "late",
+            )
+            .otherwise("ontime")
+            .alias("delay_class"),
+            high.alias("is_high"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.count_if(F.col("is_high")).alias("high_line_count"),
+            F.count_if(~F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@register(
+    "q21_last_supplier_wait",
+    oracle="""
+        WITH per_supp AS (
+            SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ), flagged AS (
+            SELECT l_suppkey,
+                   supp_last = max(supp_last) OVER w AS is_last,
+                   count(*) OVER w AS n_supp,
+                   count(*) FILTER (supp_last = max_last) OVER w AS n_at_last
+            FROM (SELECT *, max(supp_last) OVER (PARTITION BY l_orderkey)
+                             AS max_last
+                  FROM per_supp)
+            WINDOW w AS (PARTITION BY l_orderkey)
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        WHERE is_last AND n_supp >= 2 AND n_at_last = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    tags=("relational", "join", "window", "A1"),
+    doc="TPC-H Q21-shaped sole-blocking-supplier: for finalized orders "
+    "with >=2 suppliers, find the single supplier whose last shipment "
+    "alone set the order's completion date (EXISTS another supplier / "
+    "NOT EXISTS another equally-late one, expressed as window counts). "
+    "No commitdate in the test schema, so 'late' = sole latest shipper.",
+)
+def q21_last_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic EXISTS/NOT-EXISTS pair would be two extra self-joins
+    of lineitem; one window over l_orderkey computes both existence
+    tests in a single shuffle. Order of shuffles: groupBy (orderkey,
+    suppkey) then window on orderkey — the second is cheap because
+    AQE coalesces the already-small per-supplier aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_suppkey",
+        (F.col("supp_last") == F.max("supp_last").over(w)).alias("is_last"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.count_if(F.col("supp_last") == F.max("supp_last").over(w))
+        .over(w)
+        .alias("n_at_last"),
+    )
+    return (
+        flagged.filter(F.col("is_last") & (F.col("n_supp") >= 2) & (F.col("n_at_last") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q20_dominant_supplier",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+            GROUP BY l_partkey, l_suppkey
+        ), with_tot AS (
+            SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+            FROM shipped
+        )
+        SELECT s_name, n_name AS nation, count(*) AS n_parts_dominated
+        FROM with_tot
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE supp_qty * 2 > part_qty
+        GROUP BY s_name, n_name
+        ORDER BY s_name
+    """,
+    tags=("relational", "join", "window", "A1"),
+    doc="TPC-H Q20-shaped dominant-supplier selection (no partsupp "
+    "availqty in the test schema, so the 50% threshold applies to each "
+    "supplier's share of a part's shipped quantity): per-(part,supplier) "
+    "quantity vs per-part total via a window, threshold in exact decimal.",
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The share threshold compares decimal*2 to a decimal window sum —
+    exact in both engines (a double share ratio would be partition-order
+    dependent). part filter broadcasts BEFORE the fact shuffle so only
+    matching partkeys aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    with_tot = shipped.withColumn(
+        "part_qty", F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+    )
+    return (
+        with_tot.filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "grouping_sets_priority_status",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER)
+                   AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("relational", "grouping-sets", "A1"),
+    doc="Explicit GROUPING SETS (beyond rollup/cube): the three specific "
+    "groupings in one pass, disambiguated by grouping_id — Spark's "
+    "Expand-based plan reads the input once for all three.",
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() (bitmask, msb = first grouping column) matches
+    DuckDB's GROUPING(a, b) bit-for-bit, which is what lets NULL-valued
+    group cells be told apart from the ALL row in the hash compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _sum_dbl("o_totalprice").alias("sum_price"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
+        .orderBy("gid", F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
+    )

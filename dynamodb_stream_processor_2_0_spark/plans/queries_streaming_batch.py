@@ -520,3 +520,60 @@ def streaming_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(qname)
+
+
+@register(
+    "streaming_dedup_watermark_e2e",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "watermark", "D4"),
+    doc="Streaming dedup with bounded state: dropDuplicatesWithinWatermark "
+    "on (user_id, event_type) over the replayed event stream — the "
+    "streaming form of the reference's dedup layers (index.js:107-141): "
+    "a key is admitted once and suppressed for as long as its state "
+    "lives, with the watermark bounding state lifetime (the scale knob "
+    "plain dropDuplicates lacks).",
+)
+def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark delay (3650 days) exceeds the test replay's span,
+    so no key's state is evicted mid-replay and the availableNow result
+    equals exact DISTINCT — which is what makes the oracle valid. In
+    production the delay is the dedup horizon: state is dropped once
+    the watermark passes last-seen + delay, holding per-executor state
+    at O(live keys within horizon) instead of O(all keys ever). Only
+    the key columns are projected: within a micro-batch the kept row
+    for a key is arrival-order dependent, the key itself is not."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        deduped = (
+            replay.read_event_stream(spark, staged, schema)
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_watermark_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(qname)

@@ -456,3 +456,64 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("int").alias("n_ws_tokens"),
         (n_bpe.cast("double") / F.greatest(n_ws, F.lit(1))).alias("bpe_per_word"),
     )
+
+
+_EMAIL_PAT = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+"
+_PHONE_PAT = r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   'contact u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or 555-123-4567 ' || text
+                       AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '{_EMAIL_PAT}'))
+                    AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '{_PHONE_PAT}'))
+                    AS INTEGER) AS n_phones,
+               md5(regexp_replace(regexp_replace(raw, '{_EMAIL_PAT}',
+                       '[EMAIL]', 'g'), '{_PHONE_PAT}', '[PHONE]', 'g'))
+                   AS redacted_md5
+        FROM injected
+    """,
+    tags=("text", "llm", "pii", "F8"),
+    doc="PII redaction for training-data curation: scrub email/phone "
+    "patterns to typed placeholders and count matches — the inverse of "
+    "the reference's email validation F8 (index.js:400-403). The corpus "
+    "is synthetic, so a deterministic per-doc email+phone is injected "
+    "first; the oracle injects and redacts identically in DuckDB.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure JVM expressions (regexp_replace / regexp_extract_all) — at
+    100 TB redaction is a map-only stage with zero shuffle, limited
+    only by scan + regex throughput. The patterns use only literal
+    classes and bounded constructs so Java regex and RE2 (DuckDB) agree;
+    Spark's regexp_replace is replace-ALL by default, DuckDB needs the
+    'g' flag. Output is md5(redacted) not the text itself: smaller gate
+    payload, and any escaping divergence still changes the hash."""
+    df = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-4567 "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_PAT, "[EMAIL]"), _PHONE_PAT, "[PHONE]"
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

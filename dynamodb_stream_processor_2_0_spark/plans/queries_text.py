@@ -401,10 +401,13 @@ def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-epoch ordering: documents get a reproducible
     pseudo-random order inside each source (md5 key, not rand()), then
     sources are interleaved round-robin so a sequential reader sees a
-    balanced mix. Window ranks are the only shuffles; at 100 TB the
-    global rank would become a sort on (pos_in_source, source) written
-    out partitioned — same semantics, no single-point bottleneck."""
+    balanced mix. The global position uses operators/ranking.py
+    global_rank — range-partitioned local ranks + broadcast offsets —
+    NOT a single-partition Window.orderBy, which would funnel the whole
+    corpus through one task at scale."""
     from pyspark.sql import Window as W
+
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
 
     df = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id")))
@@ -412,10 +415,9 @@ def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_in_source",
         F.row_number().over(W.partitionBy("source").orderBy("shuffle_key")),
     )
-    return keyed.withColumn(
-        "global_pos",
-        F.row_number().over(W.orderBy("pos_in_source", "source", "doc_id")),
-    )
+    return global_rank(
+        keyed, ["pos_in_source", "source", "doc_id"], out_col="global_pos"
+    ).select("doc_id", "source", "shuffle_key", "pos_in_source", "global_pos")
 
 
 # GPT-2-style pre-tokenizer classes, minus the lookarounds neither

@@ -246,3 +246,46 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "event_type", "value_cents"
     )
+
+
+_ORC_STAGE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND user_id % 3 = 0
+    """,
+    tags=("source", "format", "orc", "S1"),
+    doc="ORC source interop (sources/formats.py): the engine's third "
+    "columnar-capable format — events staged to ORC, read back "
+    "(self-describing schema), filtered with predicates that push down "
+    "to the ORC reader; oracle reads the original parquet.",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both filters reach the ORC scan as PushedFilters (In + IsNotNull;
+    the modulo evaluates post-scan) — same pushdown contract as parquet,
+    proven by the round trip hashing equal to the parquet-side oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.sources import formats
+
+    if sf_dir not in _ORC_STAGE_CACHE:
+        path = tempfile.mkdtemp(prefix="events_orc_")
+        staged = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        formats.write_batch(staged, path, fmt="orc")
+        _ORC_STAGE_CACHE[sf_dir] = path
+    df = formats.read_batch(spark, _ORC_STAGE_CACHE[sf_dir], fmt="orc")
+    return df.filter(
+        F.col("event_type").isin("purchase", "click") & (F.col("user_id") % 3 == 0)
+    ).select("event_id", "user_id", "event_type", "value_cents")

@@ -1473,3 +1473,108 @@ def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "sum_price")
         .orderBy("gid", F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
     )
+
+
+@register(
+    "q11_important_balance",
+    oracle="""
+        SELECT s_nationkey,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS nation_bal
+        FROM supplier
+        GROUP BY s_nationkey
+        HAVING sum(CAST(s_acctbal AS DECIMAL(18,2)))
+               > (SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) * 0.03
+                  FROM supplier)
+        ORDER BY nation_bal DESC, s_nationkey
+    """,
+    tags=("relational", "scalar-subquery", "A1"),
+    doc="TPC-H Q11-shaped 'important share' (no partsupp in the test "
+    "schema, so the value is supplier account balance): per-nation total "
+    "kept only when it exceeds a fraction of the GLOBAL total — a "
+    "scalar subquery against the same input, evaluated once and "
+    "broadcast into the HAVING.",
+)
+def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global total is a one-row aggregate cross-joined (broadcast)
+    into the per-nation aggregate — Spark evaluates the subquery once,
+    not per group. The threshold compare stays in exact decimal
+    (decimal * 0.03 literal), only the surfaced column decays to
+    double."""
+    supp = load_table(spark, sf_dir, "supplier")
+    per_nation = supp.groupBy("s_nationkey").agg(
+        F.sum(_dec("s_acctbal")).alias("bal_dec")
+    )
+    total = supp.agg(
+        (F.sum(_dec("s_acctbal")) * F.lit("0.03").cast("decimal(4,2)")).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("bal_dec") > F.col("threshold"))
+        .select(
+            "s_nationkey",
+            F.col("bal_dec").cast("double").alias("nation_bal"),
+        )
+        .orderBy(F.col("nation_bal").desc(), "s_nationkey")
+    )
+
+
+@register(
+    "window_function_battery",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cdist,
+               CAST(round(lag(o_totalprice, 1) OVER w * 100) AS BIGINT)
+                   AS prev_cents,
+               CAST(round(lead(o_totalprice, 1) OVER w * 100) AS BIGINT)
+                   AS next_cents,
+               CAST(round(first_value(o_totalprice) OVER w * 100) AS BIGINT)
+                   AS first_cents,
+               CAST(round(nth_value(o_totalprice, 2) OVER w * 100) AS BIGINT)
+                   AS second_cents
+        FROM orders
+        WHERE o_custkey <= 300
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "window"),
+    doc="Window-function battery: ranking (rank/dense_rank/row_number/"
+    "ntile/percent_rank/cume_dist) and navigation (lag/lead/first_value/"
+    "nth_value) over per-customer order history in one window — the "
+    "sequential-context functions a per-record engine like the "
+    "reference cannot express at all.",
+)
+def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle for all ten functions (same window spec -> one
+    exchange + one sort). The ORDER BY carries o_orderkey as tiebreak so
+    every navigation function is deterministic; prices surface as
+    rounded cents (lag/lead of a raw double would hash-match anyway,
+    but the battery keeps the engine's no-float-at-the-boundary rule)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    price = F.col("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        cents(F.lag(price, 1).over(w)).alias("prev_cents"),
+        cents(F.lead(price, 1).over(w)).alias("next_cents"),
+        cents(F.first(price).over(w)).alias("first_cents"),
+        cents(F.nth_value(price, 2).over(w)).alias("second_cents"),
+    )

@@ -373,3 +373,72 @@ def e1_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("value"), k.cast("double")).alias("value_per_k"),
         F.when(k == 0, F.lit("division_by_zero")).alias("error"),
     )
+
+
+@register(
+    "scalar_function_battery",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name) AS up_name,
+               lower(c_mktsegment) AS low_seg,
+               substr(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               replace(c_name, '#', '-') AS name_dashed,
+               lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+               trim('  x  ') || CAST(c_nationkey AS VARCHAR) AS trimmed_tag,
+               reverse(substr(c_name, 1, 6)) AS rev_prefix,
+               strpos(c_name, '#') AS hash_pos,
+               split_part(c_name, '#', 1) AS name_stem,
+               left(c_mktsegment, 3) AS seg3,
+               right(c_name, 4) AS name_tail,
+               repeat('ab', 3) AS repeated,
+               CAST(abs(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS abs_cents,
+               greatest(c_nationkey, 10) AS nk_floor10,
+               least(c_nationkey, 10) AS nk_cap10,
+               CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
+               concat_ws(':', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+                   AS seg_nation
+        FROM customer
+        WHERE c_custkey <= 500
+    """,
+    tags=("scalar", "functions", "P3", "P5"),
+    doc="Scalar-function battery: the string/number function surface "
+    "(case map, substring, pad, trim, replace, split, search, reverse, "
+    "repeat, abs/mod/greatest/least, concat) proven semantics-identical "
+    "against the oracle — the JS string ops of index.js:350-403 and "
+    "528-568 re-expressed as built-in JVM expressions.",
+)
+def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All whole-stage-codegen expressions, zero shuffle: this is the
+    map-stage function surface, and the query exists to pin each
+    function's cross-engine semantics (1-based substr/strpos, empty
+    split_part behavior, lpad truncation) with the gate hash."""
+    df = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return df.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("low_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.concat(F.trim(F.lit("  x  ")), F.col("c_nationkey").cast("string")).alias(
+            "trimmed_tag"
+        ),
+        F.reverse(F.substring("c_name", 1, 6)).alias("rev_prefix"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_stem"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.substr(
+            F.col("c_name"), F.length("c_name") - F.lit(3), F.lit(4)
+        ).alias("name_tail"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.abs(F.round(F.col("c_acctbal") * 100).cast("long")).alias("abs_cents"),
+        F.greatest("c_nationkey", F.lit(10)).alias("nk_floor10"),
+        F.least("c_nationkey", F.lit(10)).alias("nk_cap10"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )

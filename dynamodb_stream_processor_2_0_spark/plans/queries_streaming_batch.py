@@ -577,3 +577,83 @@ def streaming_dedup_watermark_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(qname)
+
+
+@register(
+    "streaming_window_agg_e2e",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY day, event_type
+        HAVING CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tags=("streaming", "watermark", "window", "A1"),
+    doc="Streaming event-time windowed aggregation, append mode: 1-day "
+    "tumbling windows with a 10-minute watermark over the replayed "
+    "stream. Append emits a window exactly once, when the watermark "
+    "passes its end — the oracle reproduces that emission rule in SQL "
+    "(windows whose end <= max event time - delay; availableNow runs a "
+    "final flush batch after the last data batch, so the terminal "
+    "watermark is max(ts) - delay).",
+)
+def streaming_window_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session timezone is pinned to UTC for the duration of the
+    run: the replay source casts TIMESTAMP_NTZ to an instant (watermarks
+    reject NTZ) and F.window aligns to UTC epoch days, so a non-UTC
+    driver session would shift both the cast and the rendered window
+    label. All output columns are strings/longs computed inside the
+    pinned scope — nothing timezone-sensitive escapes to the gate.
+    Append + watermark is the scale contract: per-key state is one
+    partial aggregate per open window, closed windows leave the store."""
+    import uuid
+
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        if int(prior_parts) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        agg = (
+            replay.read_event_stream(spark, staged, schema)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+        )
+        qname = f"stream_wagg_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_window_agg_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+    return spark.table(qname)

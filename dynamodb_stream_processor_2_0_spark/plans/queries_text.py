@@ -519,3 +519,117 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@register(
+    "text_token_packing",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_tokens) / 2048) AS BIGINT)
+                   AS pack_id
+        FROM sized
+    """,
+    tags=("text", "llm", "packing"),
+    doc="Sequence packing for training: documents assigned to ~2048-token "
+    "packs per source by running-token-offset (offset div budget — the "
+    "streaming form of greedy packing, exactly reproducible and "
+    "SQL-expressible, unlike bin-packing heuristics).",
+)
+def text_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window per source partition — packing parallelizes across
+    sources (at 100 TB, across shards: the partition key would be
+    (source, shard) with per-shard token budgets). Integer token counts
+    make the running sum exact; pack_id = prior-tokens div budget means
+    a doc spanning a boundary starts the next pack, never splits."""
+    from pyspark.sql import Window as W
+
+    df = load_table(spark, sf_dir, "documents")
+    sized = df.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast(
+            "long"
+        ),
+    )
+
+
+_BENCH_SOURCES = ("src0", "src1")
+
+
+@register(
+    "text_benchmark_contamination",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+        ), shingled AS (
+            SELECT doc_id, source, unnest(list_distinct(list_transform(range(greatest(len(toks) - 2, 0)), i -> concat(toks[i + 1], ' ', toks[i + 2], ' ', toks[i + 3])))) AS shingle
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT shingle FROM shingled
+            WHERE source IN ('src0', 'src1')
+        )
+        SELECT s.doc_id,
+               count(*) AS n_shingles,
+               count(b.shingle) AS n_contaminated,
+               CAST(count(b.shingle) AS DOUBLE) / count(*) AS contamination
+        FROM shingled s LEFT JOIN bench b ON s.shingle = b.shingle
+        WHERE s.source NOT IN ('src0', 'src1')
+        GROUP BY s.doc_id
+    """,
+    tags=("text", "llm", "dedup", "contamination"),
+    doc="Benchmark-contamination check: candidate documents scored by the "
+    "fraction of their 3-token shingles that appear anywhere in a "
+    "benchmark partition (src0/src1) — the decontamination gate every "
+    "training corpus runs against eval sets.",
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The benchmark shingle set is DISTINCT'd then broadcast — eval
+    sets are tiny next to the corpus, so the candidate side never
+    shuffles: scan -> shingle -> broadcast-hash probe -> per-doc agg.
+    Shingles are distinct per doc by construction, so count(*) is the
+    doc's shingle vocabulary and the ratio is exact."""
+    from dynamodb_stream_processor_2_0_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", dedup.tokens_col("text")
+    )
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.shingles_col("toks", 3)).alias("shingle"),
+    )
+    bench = (
+        shingled.filter(F.col("source").isin(*_BENCH_SOURCES))
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = shingled.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return (
+        cand.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -289,3 +289,65 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(
         F.col("event_type").isin("purchase", "click") & (F.col("user_id") % 3 == 0)
     ).select("event_id", "user_id", "event_type", "value_cents")
+
+
+@register(
+    "e2_corrupt_record_routing",
+    oracle="""
+        WITH mangled AS (
+            SELECT event_id, user_id,
+                   CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 3)
+                        ELSE props END AS payload
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CASE WHEN json_valid(payload) THEN 'parsed'
+                    ELSE 'corrupt' END AS disposition,
+               CASE WHEN json_valid(payload)
+                    THEN TRY_CAST(json_extract_string(payload, '$.k')
+                                  AS INTEGER) END AS k,
+               CASE WHEN json_valid(payload) THEN NULL
+                    ELSE payload END AS corrupt_payload
+        FROM mangled
+    """,
+    tags=("E1", "E2", "P2", "error-handling"),
+    doc="Per-record parse-error isolation (E1/E2, index.js:53-80): "
+    "deliberately mangled JSON envelopes parsed with from_json in "
+    "PERMISSIVE mode — corrupt rows don't fail the batch, they carry "
+    "their raw payload to a side output with a disposition tag, the "
+    "tag-don't-drop rule (F12) applied to parse errors.",
+)
+def e2_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json + columnNameOfCorruptRecord is the engine's row-level
+    try/except: the malformed payload lands in the _corrupt column and
+    every typed field is NULL — no task failure, no Python in the loop.
+    One corrupt row per 97 exercises both branches of every downstream
+    expression. The corruption is keyed to event_id so Spark and the
+    oracle mangle identical rows."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 97 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_id",
+        "user_id",
+        F.from_json(
+            payload,
+            "k int, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+        payload.alias("payload"),
+    )
+    return parsed.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("j._corrupt").isNull(), "parsed")
+        .otherwise("corrupt")
+        .alias("disposition"),
+        F.col("j.k").alias("k"),
+        F.when(F.col("j._corrupt").isNotNull(), F.col("payload")).alias(
+            "corrupt_payload"
+        ),
+    )

@@ -1578,3 +1578,74 @@ def window_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.first(price).over(w)).alias("first_cents"),
         cents(F.nth_value(price, 2).over(w)).alias("second_cents"),
     )
+
+
+_BUCKETED_STAGE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("relational", "join", "bucketing", "scale"),
+    doc="Co-located fact-fact join via bucketed tables: orders and "
+    "lineitem staged bucketBy(orderkey) into the same bucket count, so "
+    "the join runs with ZERO exchange on the join key (bucket i joins "
+    "bucket i in place) — the 100 TB answer to the orders x lineitem "
+    "shuffle, pre-paid once at write time and amortized over every "
+    "subsequent join.",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A merge-join HINT (not a conf toggle — confs are read at action
+    time, after this function returns) pins the bucketed sort-merge
+    path the optimization targets; at test scale AQE would otherwise
+    broadcast the join and hide it. The executed plan carries
+    SelectedBucketsCount and no exchange below the join — asserted in
+    tests. Bucketed staging happens once per (process, sf_dir); table
+    names carry an sf digest so concurrent scale factors don't collide
+    in a shared session catalog."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_lineitem = f"b_orders_{key}", f"b_lineitem_{key}"
+    if sf_dir not in _BUCKETED_STAGE_CACHE or not spark.catalog.tableExists(
+        t_orders
+    ):
+        base = tempfile.mkdtemp(prefix="bucketed_")
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/{t_orders}")
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/{t_lineitem}")
+            .mode("overwrite")
+            .saveAsTable(t_lineitem)
+        )
+        _BUCKETED_STAGE_CACHE[sf_dir] = (t_orders, t_lineitem)
+    orders = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        orders.hint("merge")
+        .join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _sum_dbl("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

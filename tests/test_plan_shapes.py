@@ -1,0 +1,55 @@
+"""Physical-plan shape assertions: the scale properties SCALE.md
+claims (pruning, broadcast, co-location, no global windows) must be
+visible in the executed plan, not just asserted in prose."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamodb_stream_processor_2_0_spark.plans import registry
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange_on_join_key(spark, sf_dir):
+    df = registry.get("bucketed_colocated_join").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan  # bucketed scan actually used
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning(o_orderkey" not in below_join
+    assert "Exchange hashpartitioning(l_orderkey" not in below_join
+
+
+def test_partitioned_source_prunes(spark, sf_dir):
+    df = registry.get("source_partitioned_pruning").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan.replace("#", " #").replace(
+        "event_type#", "event_type "
+    ) or "PartitionFilters" in plan
+    # the pruned scan must not carry the predicate as a post-scan filter
+    assert "PartitionCount: 1" in plan or "PartitionFilters" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _executed_plan(registry.get("q9_profit_by_nation_year").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only allowed shuffle joins are fact-fact on orderkey
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_no_single_partition_global_window(spark, sf_dir):
+    """No registered batch query may compile to a global (empty
+    partition spec) window — Spark funnels those through one task."""
+    plan = _executed_plan(registry.get("corpus_shuffle_interleave").fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_orc_roundtrip_pushes_filters(spark, sf_dir):
+    df = registry.get("source_orc_roundtrip").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "In(event_type" in plan

@@ -351,3 +351,154 @@ def e2_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corrupt_payload"
         ),
     )
+
+
+@register(
+    "cdc_upsert_compaction",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, ts,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_versions
+            FROM events
+        )
+        SELECT user_id,
+               event_type AS last_event_type,
+               value_cents AS last_value_cents,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS last_ts_iso,
+               n_versions
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("S5", "S6", "D4", "cdc", "upsert"),
+    doc="CDC upsert compaction — the batch analog of the reference's "
+    "table point-writes (markAsProcessed / status CAS, index.js:324-344, "
+    "448-497): a change log compacts to latest-state-per-key, "
+    "latest-wins on (ts, event_id), with the superseded version count "
+    "carried for audit. At scale this IS how a DynamoDB-stream-fed "
+    "snapshot table is rebuilt: one shuffle on the key, no point reads.",
+)
+def cdc_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror image of d5_first_occurrence_dedup (DESC order = upsert,
+    ASC = dedup — same one-shuffle window machinery expressing both
+    sides of the reference's state semantics). The version count rides
+    the same window partition, so compaction and audit cost one
+    exchange together."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = W.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("last_ts_iso"),
+            "n_versions",
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        )
+        SELECT strftime(CAST(f.cohort_week AS TIMESTAMP),
+                        '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('week', f.cohort_week, a.active_week)
+                    AS BIGINT) AS week_offset,
+               count(*) AS n_active_users
+        FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        GROUP BY f.cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    tags=("relational", "A1", "analytics"),
+    doc="Retention cohort matrix: users grouped by first-seen week, "
+    "counted per subsequent active week — the standard product-analytics "
+    "rollup (two aggs + one key join), exercising min-agg, distinct "
+    "projection, date arithmetic, and a same-key self-join that "
+    "co-partitions (both sides hash on user_id, no extra exchange).",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both aggregates and the join share hashpartitioning(user_id), so
+    Catalyst reuses one exchange per side and the join adds none. weeks
+    are Monday-aligned date_trunc in both engines; the offset is exact
+    integer weeks because the truncated values differ by whole weeks."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "skew_replicated_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS first_ts_iso
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type, d.first_ts_iso
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+    tags=("skew", "join", "scale"),
+    doc="Skew-resistant replicated join (operators/skew.py salted_join): "
+    "the fact side salted on row identity, the per-user dim replicated "
+    "once per salt, join key widened to (user_id, salt) — a hot user's "
+    "rows spread over n_salts tasks instead of one straggler; the "
+    "oracle is the plain equi-join, proving the rewrite is "
+    "semantics-preserving.",
+)
+def skew_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For when the small side exceeds broadcast budget AND AQE's
+    skew-split can't apply (forced shuffle-hash, or skew inside an
+    aggregation feeding the join). Salt comes from event_id (row
+    identity, uniform), never the hot key — salting by the key itself
+    would keep the hot rows together. n_salts=8 bounds replication at
+    8x the dim, the knob traded against straggler depth."""
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("first_ts_iso")
+    )
+    fact = ev.select("event_id", "user_id", "event_type")
+    return salted_join(
+        fact, dim, on="user_id", entropy_col="event_id", n_salts=8
+    ).select("event_id", "user_id", "event_type", "first_ts_iso")

@@ -95,3 +95,72 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_v"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+        WITH exact_r AS (
+            {S.cosine_topk_oracle_sql(k=5, query_pred=_QUERY_PRED_SQL)}
+        ), lsh_r AS (
+            {S.lsh_bucket_topk_oracle_sql(_PLANES, k=5, query_pred=_QUERY_PRED_SQL)}
+        ), ivf_r AS (
+            {S.ivf_probe_topk_oracle_sql(k=5, query_pred=_QUERY_PRED_SQL)}
+        )
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               count(l.neighbor_id) AS n_hit_lsh,
+               CAST(count(l.neighbor_id) AS DOUBLE) / count(*) AS recall_lsh,
+               count(i.neighbor_id) AS n_hit_ivf,
+               CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall_ivf
+        FROM exact_r e
+        LEFT JOIN lsh_r l
+          ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        LEFT JOIN ivf_r i
+          ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """,
+    tags=("similarity", "llm", "ann", "eval"),
+    doc="ANN quality evaluation: recall@5 of BOTH approximate indexes "
+    "(sign-LSH buckets, IVF nProbe=1) against exact brute-force ground "
+    "truth per query vector — the metric that decides which index "
+    "configuration is usable; all arms reuse the production operators, "
+    "so the eval measures what ships.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground truth (brute force) is the expensive arm and exists only
+    at eval time over a query SAMPLE — the pattern at 100 TB: exact
+    top-k over a few hundred probes prices the index, never the full
+    corpus. The hit-join is per (query, neighbor) on two k-row-per-query
+    frames: negligible next to the scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    lsh = (
+        S.lsh_bucket_topk(emb, queries, _PLANES, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_lsh", F.lit(1))
+    )
+    ivf = (
+        S.ivf_probe_topk(emb, F.col("vec_id") < 8, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_ivf", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit_lsh").alias("n_hit_lsh"),
+            (F.count("hit_lsh").cast("double") / F.count(F.lit(1))).alias(
+                "recall_lsh"
+            ),
+            F.count("hit_ivf").alias("n_hit_ivf"),
+            (F.count("hit_ivf").cast("double") / F.count(F.lit(1))).alias(
+                "recall_ivf"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -128,10 +128,16 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDTF runs over a 5% doc sample (UDTFs are the slow path —
     fine for expansion logic too irregular for builtins, but this
     particular expansion IS expressible with posexplode; the point here
-    is exercising the UDTF surface against the same oracle)."""
+    is exercising the UDTF surface against the same oracle).
+    useArrow=True pins the Arrow-batched eval path (ArrowEvalPythonUDTF
+    in the plan) regardless of session conf — row-at-a-time
+    BatchEvalPython is banned engine-wide by the plan lint."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="doc_id: long, pos: int, token: string, token_len: int")
+    @udtf(
+        returnType="doc_id: long, pos: int, token: string, token_len: int",
+        useArrow=True,
+    )
     class TokenPositions:
         def eval(self, doc_id: int, text: str):
             if text is None:

@@ -53,3 +53,35 @@ def test_orc_roundtrip_pushes_filters(spark, sf_dir):
     plan = _executed_plan(df)
     assert "PushedFilters: [" in plan
     assert "In(event_type" in plan
+
+
+def test_engine_wide_plan_lint(spark, sf_dir):
+    """Every registered batch query must be free of the scale
+    anti-patterns: CartesianProduct (unbounded pair blowup),
+    BatchEvalPython (row-at-a-time Python — Arrow paths only), and a
+    Window fed by a single-partition exchange (all data through one
+    task). One-row scalar-aggregate exchanges are legitimate and not
+    flagged."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    failures = {}
+    for name in sorted(registry.all_queries()):
+        q = registry.get(name)
+        if "streaming" in q.tags:
+            continue  # streaming plans are checked by their e2e tests
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython(row-at-a-time)")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window" in line and "WindowGroupLimit" not in line:
+                below = " ".join(lines[i + 1 : i + 3])
+                if "Exchange SinglePartition" in below:
+                    flags.append("global-window")
+                    break
+        if flags:
+            failures[name] = flags
+    assert not failures, f"plan lint failures: {failures}"

@@ -1,0 +1,56 @@
+"""Unit tests for operators/ranking.global_rank — the scalable
+replacement for single-partition global windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
+
+
+def _ranks(df, order_cols, **kw):
+    out = global_rank(df, order_cols, out_col="r", **kw)
+    return {tuple(row[c] for c in order_cols): row["r"] for row in out.collect()}
+
+
+def test_matches_global_window_semantics(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("tie")
+    )
+    got = _ranks(df, ["k", "tie"], num_partitions=8)
+    rows = sorted(got)
+    assert [got[r] for r in rows] == list(range(1, 1001))
+
+
+def test_single_row_and_empty(spark):
+    one = spark.range(1).select(F.col("id").alias("k"))
+    assert _ranks(one, ["k"]) == {(0,): 1}
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert global_rank(empty, ["k"]).count() == 0
+
+
+def test_more_partitions_than_rows(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    got = _ranks(df, ["k"], num_partitions=16)
+    assert got == {(0,): 1, (1,): 2, (2,): 3}
+
+
+def test_descending_order_expression_columns(spark):
+    # order columns must be names (the contract) — ranks follow the
+    # ascending total order of the named columns
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 1), ("a", 2), ("b", 1)], "s string, n int"
+    )
+    got = _ranks(df, ["s", "n"], num_partitions=2)
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 3, ("b", 2): 4}
+
+
+def test_no_single_partition_exchange_in_plan(spark):
+    df = spark.range(0, 500).select((F.col("id") % 91).alias("k"), "id")
+    out = global_rank(df, ["k", "id"], out_col="r")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line:
+            assert "Exchange SinglePartition" not in " ".join(lines[i + 1 : i + 3])

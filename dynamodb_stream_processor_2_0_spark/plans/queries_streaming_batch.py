@@ -657,3 +657,76 @@ def streaming_window_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         spark.conf.set("spark.sql.session.timeZone", prior_tz)
     return spark.table(qname)
+
+
+@register(
+    "streaming_sessionize_e2e",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), sessions AS (
+            SELECT user_id, event_id, ts,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 1 HOUR
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_no
+            FROM gaps
+        )
+        SELECT user_id, event_id, session_no,
+               CAST(row_number() OVER (PARTITION BY user_id, session_no
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS event_in_session
+        FROM sessions
+    """,
+    tags=("streaming", "stateful", "session", "D4"),
+    doc="Custom gap-based sessionizer (streaming/sessionize.py, "
+    "applyInPandasWithState): per-user numbered sessions carried across "
+    "micro-batches with per-event labels — session semantics the "
+    "built-in session_window cannot express; the oracle is the batch "
+    "gaps-and-islands computation.",
+)
+def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric per-key state (last ts, session counter) instead of the
+    delivery machine's status enum; same replay determinism argument:
+    chunks are exact (ts, event_id) slices, so streaming arrival order
+    per key is event-time order and the labels equal the batch
+    computation."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+    from dynamodb_stream_processor_2_0_spark.streaming.sessionize import (
+        apply_sessionize,
+    )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        qname = f"sessionize_e2e_{uuid.uuid4().hex[:8]}"
+        q = (
+            apply_sessionize(stream, gap_seconds=3600)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_sessionize_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(qname).select(
+        "user_id", "event_id", "session_no", "event_in_session"
+    )

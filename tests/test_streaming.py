@@ -336,3 +336,53 @@ def test_session_window_stream_matches_batch(spark, sf_dir, staged):
     # append mode only emits watermark-closed sessions; each must match
     for key, n in got.items():
         assert batch.get(key) == n, f"session {key}: stream {n} != batch {batch.get(key)}"
+
+
+def test_sessionize_fn_chunk_spanning_and_state_carry():
+    """make_sessionize_fn must (a) sort a key's batch slice across
+    Arrow chunks before numbering and (b) carry (last_ts, session_no)
+    across invocations (micro-batches)."""
+    import pandas as pd
+
+    from dynamodb_stream_processor_2_0_spark.streaming.sessionize import (
+        make_sessionize_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = make_sessionize_fn(gap_seconds=3600)
+    state = FakeState()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": [r[0] for r in rows],
+                "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+            }
+        )
+
+    # batch 1 arrives as two chunks, out of ts order across chunks:
+    # events at 0s, 10s, then a 2h gap to 7210s
+    out1 = pd.concat(
+        list(fn((1,), iter([pdf([(3, 7210), (1, 0)]), pdf([(2, 10)])]), state))
+    )
+    got1 = dict(zip(out1.event_id, zip(out1.session_no, out1.event_in_session)))
+    assert got1 == {1: (1, 1), 2: (1, 2), 3: (2, 1)}
+
+    # batch 2: 30 min after the last event -> same session; then 2h -> new
+    out2 = pd.concat(list(fn((1,), iter([pdf([(4, 9010), (5, 16300)])]), state)))
+    got2 = dict(zip(out2.event_id, zip(out2.session_no, out2.event_in_session)))
+    assert got2 == {4: (2, 2), 5: (3, 1)}

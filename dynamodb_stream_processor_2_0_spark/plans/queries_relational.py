@@ -1649,3 +1649,40 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "right_outer_supplier_lines",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name,
+               count(l.l_orderkey) AS n_lines,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) l
+        RIGHT OUTER JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY s.s_suppkey
+    """,
+    tags=("relational", "outer-join"),
+    doc="RIGHT OUTER JOIN (completing the join-type matrix: inner, "
+    "left/right/full outer, semi, anti, cross): every supplier kept "
+    "with zero-filled aggregates when the filtered lineitem side has "
+    "no match — count(col) vs count(*) null semantics included.",
+)
+def right_outer_supplier_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count('l_orderkey') counts only matched rows (NULL-skipping),
+    so unmatched suppliers report 0 — the count(*) form would report 1
+    and corrupt the rollup; sum over an all-NULL group yields NULL in
+    both engines. Preserved side is the small one: Spark flips a right
+    outer to a broadcast LEFT outer with supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "right_outer")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            _sum_dbl("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -730,3 +730,157 @@ def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select(
         "user_id", "event_id", "session_no", "event_in_session"
     )
+
+
+@register(
+    "streaming_static_enrich_e2e",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS first_ts_iso,
+                   count(*) AS lifetime_events
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type,
+               d.first_ts_iso, d.lifetime_events
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+    tags=("streaming", "join", "S2", "D3"),
+    doc="Stream-static enrichment join: the replayed event stream joined "
+    "per micro-batch against a broadcast static profile dim — the "
+    "streaming form of the reference's keyed point lookup (S2/D3, "
+    "index.js:107-141): every record enriched by key with no state "
+    "store (the static side re-resolves per batch, so dim updates are "
+    "picked up between batches).",
+)
+def streaming_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static joins are stateless — each micro-batch inner-joins
+    against the current static snapshot, so output = batch join exactly
+    (no watermark, no late-data semantics to model in the oracle). The
+    dim is broadcast: the stream side never shuffles, which at 100 TB/day
+    stream rates is the difference between an enrichment map stage and a
+    continuous shuffle."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                    "first_ts_iso"
+                ),
+                F.count(F.lit(1)).alias("lifetime_events"),
+            )
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "event_type", "first_ts_iso", "lifetime_events"
+        )
+        qname = f"static_enrich_{uuid.uuid4().hex[:8]}"
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_static_enrich_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(qname)
+
+
+@register(
+    "streaming_foreachbatch_sink_e2e",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT CAST(user_id AS VARCHAR) || '-' || lower(event_type)
+                   AS dedup_id,
+               'email_' || CAST(user_id AS VARCHAR) || '_'
+                   || CAST(event_id AS VARCHAR) AS msg_id,
+               'face_match_email' AS msg_type,
+               event_id, user_id, event_type
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "S3", "D5", "E2", "sink"),
+    doc="foreachBatch queue-sink e2e (S3/D5, index.js:570-611): the "
+    "delivery state machine's triggered emails written as JSON message "
+    "envelopes to an epoch-keyed path (idempotent retry target), then "
+    "read back and unpacked — the gate checks what actually landed in "
+    "the sink files, not what the query planned to send.",
+)
+def streaming_foreachbatch_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only email_triggered rows are sinked: exactly one per (user_id,
+    event_type) across the whole stream, so the landed envelope set is
+    deterministic (the envelope's enqueuedAt wall-clock stamp is
+    excluded from the comparison — everything else round-trips through
+    to_json and back). Epoch-keyed overwrite directories make a retried
+    epoch rewrite the same path: at-least-once delivery + idempotent
+    sink = exactly-once observed output, the E2 contract."""
+    import tempfile
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay, sinks
+    from dynamodb_stream_processor_2_0_spark.streaming.delivery_state import (
+        apply_delivery_state,
+    )
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    out_dir = tempfile.mkdtemp(prefix="envelope_sink_")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        write = sinks.write_envelopes(out_dir)
+
+        def sink_triggered(batch_df, epoch_id):
+            write(batch_df.filter(F.col("action") == "email_triggered"), epoch_id)
+
+        q = (
+            apply_delivery_state(stream)
+            .writeStream.foreachBatch(sink_triggered)
+            .queryName(f"envelope_sink_{uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_foreachbatch_sink_e2e: availableNow query did "
+                "not terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    landed = spark.read.schema("dedup_id string, message_body string").json(
+        f"{out_dir}/epoch=*"
+    )
+    body = F.col("message_body")
+    return landed.select(
+        "dedup_id",
+        F.get_json_object(body, "$.id").alias("msg_id"),
+        F.get_json_object(body, "$.type").alias("msg_type"),
+        F.get_json_object(body, "$.payload.event_id").cast("long").alias("event_id"),
+        F.get_json_object(body, "$.payload.user_id").cast("long").alias("user_id"),
+        F.get_json_object(body, "$.payload.event_type").alias("event_type"),
+    )

@@ -472,3 +472,107 @@ def lsh_bucket_topk_oracle_sql(
         )
         SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
     """
+
+
+def lsh_multiprobe_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes its own bucket AND
+    every Hamming-distance-1 bucket (flip one of the b sign bits).
+
+    Rationale: a near neighbor that lands on the wrong side of ONE
+    hyperplane is lost to single-probe LSH — with b=6 planes that is
+    the dominant failure mode (measured recall@5 ~0.05 on isotropic
+    vectors). Probing the b adjacent buckets recovers exactly those
+    one-bit misses for (b+1)x the candidate work, the standard
+    recall/cost knob (Lv et al., multi-probe LSH) — and the SAME index:
+    nothing is rebuilt, only the probe set widens.
+
+    Plan shape: identical to lsh_bucket_topk except the broadcast query
+    side explodes to (b+1) probe rows per query — the join stays a
+    broadcast HASH join on bucket = probe (a candidate pairs at most
+    once per query: its single bucket matches exactly one probe)."""
+    b = len(planes)
+    cand = with_lsh_bucket(with_norm(candidates, vec_col), planes, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col("norm").alias("cand_norm"),
+        "bucket",
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.expr(f"qbucket ^ {2 ** p}").cast("bigint") for p in range(b)],
+    )
+    qry = (
+        with_lsh_bucket(with_norm(queries, vec_col), planes, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.col("norm").alias("query_norm"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select("query_id", "query_vec", "query_norm", F.explode(probes).alias("probe"))
+    )
+    scored = cand.join(
+        F.broadcast(qry),
+        (F.col("bucket") == F.col("probe")) & (F.col("cand_id") != F.col("query_id")),
+    ).withColumn(
+        "cosine",
+        _dot_fold("query_vec", "cand_vec") / (F.col("query_norm") * F.col("cand_norm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def lsh_multiprobe_topk_oracle_sql(
+    planes: list[list[float]], k: int, query_pred: str, table: str = "embeddings"
+) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    bucket_terms = []
+    for p, signs in enumerate(planes):
+        arr = "[{}]".format(", ".join(f"CAST({s} AS DOUBLE)" for s in signs))
+        bucket_terms.append(
+            f"(CASE WHEN {dot.format(a='embedding', b=arr)} > 0 "
+            f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    probe_list = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, CAST({2**p} AS BIGINT))" for p in range(len(planes))]
+    )
+    return f"""
+        WITH coded AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm,
+                   {bucket} AS bucket
+            FROM {table}
+        ), qry AS (
+            SELECT query_id, query_vec, query_norm,
+                   unnest([{probe_list}]) AS probe
+            FROM (SELECT vec_id AS query_id, embedding AS query_vec,
+                         norm AS query_norm, bucket AS qbucket
+                  FROM coded WHERE {query_pred})
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {dot.format(a="q.query_vec", b="c.embedding")}
+                       / (q.query_norm * c.norm) AS cosine
+            FROM qry q JOIN coded c
+              ON c.bucket = q.probe AND c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+    """

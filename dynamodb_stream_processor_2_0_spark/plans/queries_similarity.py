@@ -106,24 +106,31 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             {S.lsh_bucket_topk_oracle_sql(_PLANES, k=5, query_pred=_QUERY_PRED_SQL)}
         ), ivf_r AS (
             {S.ivf_probe_topk_oracle_sql(k=5, query_pred=_QUERY_PRED_SQL)}
+        ), mp_r AS (
+            {S.lsh_multiprobe_topk_oracle_sql(_PLANES, k=5, query_pred=_QUERY_PRED_SQL)}
         )
         SELECT e.query_id,
                count(*) AS n_exact,
                count(l.neighbor_id) AS n_hit_lsh,
                CAST(count(l.neighbor_id) AS DOUBLE) / count(*) AS recall_lsh,
                count(i.neighbor_id) AS n_hit_ivf,
-               CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall_ivf
+               CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall_ivf,
+               count(m.neighbor_id) AS n_hit_mp,
+               CAST(count(m.neighbor_id) AS DOUBLE) / count(*) AS recall_mp
         FROM exact_r e
         LEFT JOIN lsh_r l
           ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
         LEFT JOIN ivf_r i
           ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        LEFT JOIN mp_r m
+          ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
         ORDER BY e.query_id
     """,
     tags=("similarity", "llm", "ann", "eval"),
     doc="ANN quality evaluation: recall@5 of BOTH approximate indexes "
-    "(sign-LSH buckets, IVF nProbe=1) against exact brute-force ground "
+    "(sign-LSH single-probe, IVF nProbe=1, multi-probe LSH) against "
+    "exact brute-force ground "
     "truth per query vector — the metric that decides which index "
     "configuration is usable; all arms reuse the production operators, "
     "so the eval measures what ships.",
@@ -147,9 +154,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("hit_ivf", F.lit(1))
     )
+    mp = (
+        S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_mp", F.lit(1))
+    )
     return (
         exact.join(lsh, ["query_id", "neighbor_id"], "left")
         .join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(mp, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -161,6 +174,27 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit_ivf").cast("double") / F.count(F.lit(1))).alias(
                 "recall_ivf"
             ),
+            F.count("hit_mp").alias("n_hit_mp"),
+            (F.count("hit_mp").cast("double") / F.count(F.lit(1))).alias(
+                "recall_mp"
+            ),
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "embedding_ann_multiprobe",
+    oracle=S.lsh_multiprobe_topk_oracle_sql(
+        _PLANES, k=5, query_pred=_QUERY_PRED_SQL
+    ),
+    tags=("similarity", "llm", "ann", "lsh"),
+    doc="Multi-probe sign-LSH top-5: the single-probe index probed at "
+    "the query bucket plus all Hamming-1 buckets — recovers neighbors "
+    "lost to one wrong hyperplane side for (b+1)x candidate work, the "
+    "recall/cost knob measured by ann_recall_eval.",
+)
+def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5)

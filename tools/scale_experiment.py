@@ -1,0 +1,108 @@
+"""Reproduce SCALE.md's "Measured scaling (10x union experiment)".
+
+Unions N id-shifted copies of the sf tables (same key-cardinality
+ratios, N x rows) and times heavy operators warm at 1x vs Nx on fixed
+cores. The property being demonstrated: every operator's cost grows at
+most linearly in rows / candidate pairs — no quadratic edge — which is
+what makes the fixed-core growth factor the right proxy for the
+1000-executor extrapolation.
+
+Usage: python tools/scale_experiment.py [N]   (default N=10, sf0.1)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf = "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.operators import dedup
+    from dynamodb_stream_processor_2_0_spark.operators import disposition as D
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
+    from dynamodb_stream_processor_2_0_spark.session import get_spark
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+    spark = get_spark("scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scaled(df, id_cols: dict[str, int], n: int, parts: int):
+        out = df
+        for i in range(1, n):
+            shifted = df
+            for col, stride in id_cols.items():
+                shifted = shifted.withColumn(col, F.col(col) + F.lit(i * stride))
+            out = out.union(shifted)
+        return out.repartition(parts).localCheckpoint(eager=True)
+
+    docs1 = scaled(load_table(spark, sf, "documents"), {"doc_id": 10**7}, 1, 8)
+    docs_n = scaled(load_table(spark, sf, "documents"), {"doc_id": 10**7}, n_copies, 32)
+    ev1 = scaled(load_table(spark, sf, "events"), {"user_id": 10**7, "event_id": 10**8}, 1, 8)
+    ev_n = scaled(load_table(spark, sf, "events"), {"user_id": 10**7, "event_id": 10**8}, n_copies, 32)
+
+    def disposition(ev):
+        return D.disposition_summary(ev, D.DEFAULT_CONFIG)
+
+    def minhash_pairs(docs):
+        return dedup.minhash_lsh_candidate_pairs(docs)
+
+    def simhash_fp(docs):
+        return dedup.simhash(docs)
+
+    def contamination(docs):
+        d = docs.withColumn("toks", dedup.tokens_col("text"))
+        sh = d.select(
+            "doc_id", "source", F.explode(dedup.shingles_col("toks", 3)).alias("shingle")
+        )
+        bench = (
+            sh.filter(F.col("source").isin("src0", "src1"))
+            .select("shingle")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        cand = sh.filter(~F.col("source").isin("src0", "src1"))
+        return (
+            cand.join(F.broadcast(bench), "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.count("hit").alias("h"))
+        )
+
+    def grank(docs):
+        return global_rank(docs.select("doc_id", "source"), ["source", "doc_id"], out_col="pos")
+
+    def cohort(ev):
+        firsts = ev.groupBy("user_id").agg(F.min(F.date_trunc("week", "ts")).alias("cw"))
+        act = ev.select("user_id", F.date_trunc("week", "ts").alias("aw")).distinct()
+        return firsts.join(act, "user_id").groupBy("cw", "aw").agg(F.count(F.lit(1)).alias("n"))
+
+    def run(df_builder, data):
+        df_builder(data).write.mode("overwrite").format("noop").save()  # warm
+        t = time.perf_counter()
+        df_builder(data).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t
+
+    cases = [
+        ("disposition_summary", disposition, ev1, ev_n),
+        ("minhash_lsh_pairs", minhash_pairs, docs1, docs_n),
+        ("simhash_fingerprints", simhash_fp, docs1, docs_n),
+        ("contamination_probe", contamination, docs1, docs_n),
+        ("global_rank", grank, docs1, docs_n),
+        ("retention_cohort", cohort, ev1, ev_n),
+    ]
+    for label, fn, d1, dn in cases:
+        a, b = run(fn, d1), run(fn, dn)
+        print(f"{label}: 1x={a:.2f}s {n_copies}x={b:.2f}s growth={b / a:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -1686,3 +1686,124 @@ def right_outer_supplier_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+        WITH parts_per_order AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM parts_per_order a
+        JOIN parts_per_order b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= 3
+        ORDER BY support DESC, part_a, part_b
+    """,
+    tags=("relational", "join", "analytics", "A1"),
+    doc="Market-basket pair mining: parts co-occurring in the same order "
+    "with support >= 3 — pair enumeration via self-equi-join on the "
+    "basket key, the frequent-itemset primitive.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair space is bounded by sum over orders of (lines choose 2)
+    — per-basket combinations, NOT corpus^2: the self-join key is the
+    basket id, so a ~7-line order contributes ~21 pairs regardless of
+    corpus size. The a.part < b.part predicate canonicalizes pairs
+    inside the join (no post-hoc dedup). One shuffle on orderkey for
+    the join, one on the pair for the count."""
+    ppo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = ppo.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = ppo.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+@register(
+    "agg_moment_stats",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+                   sum(CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS s2,
+                   sum(CAST(round(value * 100) AS BIGINT)
+                       * COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT), 0)) AS sxy,
+                   sum(COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                                         AS BIGINT), 0)) AS sy1,
+                   sum(COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                                         AS BIGINT), 0)
+                       * COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT), 0)) AS sy2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / (100.0 * n) AS mean_value,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                   / (10000.0 * (n - 1)) AS var_value,
+               (CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * sy1 / n)
+                   / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                          * (CAST(sy2 AS DOUBLE)
+                             - CAST(sy1 AS DOUBLE) * sy1 / n))
+                   AS corr_value_k
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("relational", "A1", "statistics"),
+    doc="Statistical aggregates from exact integer moments: mean, sample "
+    "variance, and Pearson correlation per group computed from int64 "
+    "sums (s1, s2, sxy...) with one double conversion at the end — "
+    "built-in stddev/corr accumulate in floats partition-by-partition "
+    "and can never bit-match across engines; the moment form is exact, "
+    "order-independent, and still one map-side-combinable aggregate.",
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sums of cents and cents^2 fit int64 comfortably at any per-group
+    cardinality this schema reaches (1e7 rows x (1e4 cents)^2 = 1e15 <
+    2^63); at 100 TB group scale the s2/sxy columns move to decimal(38)
+    sums — same shape, still exact."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    k = F.coalesce(
+        F.expr("try_cast(get_json_object(props, '$.k') AS bigint)"), F.lit(0)
+    )
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", cents.alias("c"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(F.col("c") * F.col("k")).alias("sxy"),
+            F.sum("k").alias("sy1"),
+            F.sum(F.col("k") * F.col("k")).alias("sy2"),
+        )
+    )
+    s1d = F.col("s1").cast("double")
+    sy1d = F.col("sy1").cast("double")
+    var_num = F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n")
+    covy = F.col("sxy").cast("double") - s1d * F.col("sy1") / F.col("n")
+    vary = F.col("sy2").cast("double") - sy1d * F.col("sy1") / F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        (s1d / (F.lit(100.0) * F.col("n"))).alias("mean_value"),
+        (var_num / (F.lit(10000.0) * (F.col("n") - 1))).alias("var_value"),
+        (covy / F.sqrt(var_num * vary)).alias("corr_value_k"),
+    ).orderBy("event_type")

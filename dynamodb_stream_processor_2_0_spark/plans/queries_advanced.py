@@ -1,0 +1,246 @@
+"""Advanced scale-pattern queries: runtime-filter joins, exact and
+approximate distributional aggregates, null-safe join semantics, and
+sub-document (paragraph-level) dedup.
+
+These extend the reference's surface (SURVEY.md §2.7 verified these
+absent) with the patterns a 100 TB training-data pipeline needs: a
+broadcast bitmap semi-join is the manual form of the runtime row-group
+filter, exact/approx percentile pins cross-engine distributional
+semantics, and paragraph-level dedup is the sub-document analog of the
+reference's per-record dedup guard (index.js:107-141).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+
+@register(
+    "bitmap_semi_join_runtime_filter",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "scale", "D3"),
+    doc="Broadcast bitmap semi-join: the dim-side key set is packed into "
+    "a (bucket -> 64-bit mask) bitmap (64x smaller than a broadcast key "
+    "set), and the fact side is filtered with one broadcast-hash-join + "
+    "bit test. Same pattern as the reference's existence probe "
+    "(checkEmailJobExists, index.js:107-141) but expressed as a "
+    "runtime filter that scales to 1e9 dim keys (~2 MB/1e6 keys).",
+)
+def bitmap_semi_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    # Dense integer keys: bucket = key >> 6, mask bit = key & 63. The
+    # bitmap agg is map-side combinable (bit_or), so the shuffle moves
+    # at most |distinct buckets| longs regardless of orders row count.
+    dim_bits = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.shiftright("o_custkey", 6).alias("bucket"),
+            F.expr("shiftleft(1L, int(o_custkey % 64))").alias("bit"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    probed = customer.join(
+        F.broadcast(dim_bits),
+        F.shiftright(F.col("c_custkey"), 6) == F.col("bucket"),
+        "inner",
+    ).filter(
+        F.col("mask").bitwiseAND(F.expr("shiftleft(1L, int(c_custkey % 64))")) != 0
+    )
+    return (
+        probed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+        SELECT event_type,
+               CAST(quantile_cont(value, 0.25) AS DOUBLE) AS p25,
+               CAST(quantile_cont(value, 0.50) AS DOUBLE) AS p50,
+               CAST(quantile_cont(value, 0.75) AS DOUBLE) AS p75,
+               count(value) AS n_values
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("aggregation", "A1", "llm"),
+    doc="Exact interpolated percentiles per group (linear interpolation "
+    "at rank p*(n-1), the quantile_cont definition both engines share). "
+    "Exact percentile is a full-sort-per-group operator; the scale path "
+    "for 100 TB is approx_stats_scale_path's KLL/GK sketch — this query "
+    "pins the exact semantics the sketch approximates.",
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.50).alias("p50"),
+            F.percentile("value", 0.75).alias("p75"),
+            F.count("value").alias("n_values"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_hll_accuracy_pinned",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("aggregation", "A1", "scale"),
+    doc="HyperLogLog++ approximate distinct with the accuracy claim "
+    "inside the gate: the query outputs the exact count AND a boolean "
+    "asserting the HLL estimate (rsd=2%) landed within 5% of it. HLL is "
+    "deterministic and merge-associative (register-max), so the flag is "
+    "stable across partitionings — at 100 TB the approx path is one "
+    "map-side-combinable pass vs the exact path's two-stage shuffle.",
+)
+def agg_hll_accuracy_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Exact side via the Expand-free two-stage distinct; approx side via
+    # HLL in the same second stage (merging per-(type,user) partials
+    # over-counts nothing because user_id is already unique per group).
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("user_id").isNotNull()).alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_hll") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "nullsafe_join_dispositions",
+    oracle="""
+        WITH keyed AS (
+            SELECT nullif(event_type, 'error') AS k, value FROM events
+        ), dim AS (
+            SELECT k, count(*) AS n_dim FROM keyed GROUP BY k
+        )
+        SELECT coalesce(e.k, '<null>') AS k_disp,
+               count(*) AS n_rows,
+               max(d.n_dim) AS n_dim,
+               count(e.value) AS n_values
+        FROM keyed e
+        JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+        GROUP BY coalesce(e.k, '<null>')
+        ORDER BY k_disp
+    """,
+    tags=("relational", "join", "F2"),
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of dropping, mirroring the reference's "
+    "treatment of absent attributes as first-class values "
+    "(index.js:167-190 null guards). A plain equi-join silently loses "
+    "the NULL partition; the null-safe form keeps it and still plans as "
+    "a hash join on the coalesced key.",
+)
+def nullsafe_join_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.nullif("event_type", F.lit("error")).alias("k"), "value"
+    )
+    dim = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n_dim"))
+    joined = keyed.alias("e").join(
+        F.broadcast(dim).alias("d"), F.col("e.k").eqNullSafe(F.col("d.k")), "inner"
+    )
+    return (
+        joined.groupBy(F.coalesce(F.col("e.k"), F.lit("<null>")).alias("k_disp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("d.n_dim").alias("n_dim"),
+            F.count("e.value").alias("n_values"),
+        )
+        .orderBy("k_disp")
+    )
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle="""
+        WITH sents AS (
+            SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+            FROM documents
+        ), counted AS (
+            SELECT sent, count(*) AS n_global FROM sents GROUP BY sent
+        )
+        SELECT s.doc_id,
+               count(*) AS n_sents,
+               CAST(count_if(c.n_global > 1) AS BIGINT) AS n_dup_sents,
+               CAST(count_if(c.n_global > 1) AS DOUBLE) / count(*)
+                   AS dup_frac
+        FROM sents s JOIN counted c ON s.sent = c.sent
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """,
+    tags=("dedup", "text", "llm", "D5"),
+    doc="Sub-document (sentence/paragraph-level) exact dedup: explode "
+    "units, count global occurrences, score each doc by its duplicated "
+    "fraction — the unit-level analog of the reference's record-level "
+    "dedup guard (index.js:107-141). Scale shape: two shuffles on the "
+    "unit hash; at 100 TB the join key would be xxhash64(sent) to keep "
+    "shuffle rows narrow instead of shipping full sentence strings.",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id", F.explode(F.split("text", r"\. ")).alias("sent")
+    )
+    counted = sents.groupBy("sent").agg(F.count(F.lit(1)).alias("n_global"))
+    return (
+        sents.join(counted, "sent")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.count_if(F.col("n_global") > 1).alias("n_dup_sents"),
+            (
+                F.count_if(F.col("n_global") > 1).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -884,3 +884,86 @@ def streaming_foreachbatch_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFra
         F.get_json_object(body, "$.payload.user_id").cast("long").alias("user_id"),
         F.get_json_object(body, "$.payload.event_type").alias("event_type"),
     )
+
+
+@register(
+    "streaming_incremental_rollup_e2e",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               count(value) AS n_valued
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "A1", "S5", "update-mode"),
+    doc="Incremental materialized-rollup maintenance: update-mode "
+    "streaming aggregation + foreachBatch upsert into a snapshot table. "
+    "Each micro-batch emits only the groups it changed (with cumulative "
+    "values, so the upsert is last-write-wins per key), and the final "
+    "snapshot equals the full batch rollup — the streaming analog of "
+    "the reference's incremental per-batch metrics publication "
+    "(publishMetrics, index.js:617-656).",
+)
+def streaming_incremental_rollup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update mode keeps one row of state per group (no watermark
+    needed for a keyed lifetime rollup); foreachBatch sees just the
+    delta rows, so the sink write per micro-batch is O(changed groups),
+    not O(all groups) — the property that makes this viable when the
+    rollup itself is large. ONE stateful aggregation only: chaining a
+    second streaming agg in update mode would re-consume each upstream
+    re-emission as a new row and double-count (Spark's
+    statefulOperator.checkCorrectness flags exactly this). Cents as
+    BIGINT keeps the cumulative sum order-independent across
+    micro-batches."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    snapshot: dict[str, tuple] = {}
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        rollup = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.count("value").alias("n_valued"),
+        )
+
+        def upsert(batch_df, epoch_id):
+            # Changed groups only; cumulative values -> last write wins.
+            for row in batch_df.collect():
+                snapshot[row["event_type"]] = (
+                    row["n_events"],
+                    row["sum_cents"],
+                    row["n_valued"],
+                )
+
+        q = (
+            rollup.writeStream.foreachBatch(upsert)
+            .queryName(f"incr_rollup_{uuid.uuid4().hex[:8]}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_incremental_rollup_e2e: availableNow query "
+                "did not terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return (
+        spark.createDataFrame(
+            [(k, *v) for k, v in snapshot.items()],
+            "event_type string, n_events long, sum_cents long, n_valued long",
+        )
+        .orderBy("event_type")
+    )

@@ -633,3 +633,103 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_gopher_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   unnest(list_transform(
+                       generate_series(2, len(toks)),
+                       i -> toks[i-1] || ' ' || toks[i])) AS bigram
+            FROM toks
+        ), gram_counts AS (
+            SELECT doc_id, n_tokens, bigram, count(*) AS n
+            FROM grams GROUP BY doc_id, n_tokens, bigram
+        ), gram_stats AS (
+            SELECT doc_id, n_tokens,
+                   CAST(max(n) AS DOUBLE) / sum(n) AS top_bigram_frac,
+                   CAST(count(*) AS DOUBLE) / sum(n) AS distinct_bigram_frac
+            FROM gram_counts GROUP BY doc_id, n_tokens
+        ), uni AS (
+            SELECT doc_id,
+                   CAST(count(DISTINCT tok) AS DOUBLE) / count(*)
+                       AS distinct_token_frac
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id
+        )
+        SELECT g.doc_id, g.n_tokens,
+               g.top_bigram_frac, g.distinct_bigram_frac,
+               u.distinct_token_frac,
+               (g.top_bigram_frac <= 0.18
+                AND u.distinct_token_frac >= 0.30) AS gopher_keep
+        FROM gram_stats g JOIN uni u ON g.doc_id = u.doc_id
+        ORDER BY g.doc_id
+    """,
+    tags=("text", "llm", "quality"),
+    doc="Gopher-style repetition quality rules: top-bigram mass "
+    "fraction, distinct-bigram fraction, distinct-token fraction, and "
+    "the keep/drop decision (Rae et al. 2021, 'Scaling Language "
+    "Models' repetition filters). Complements text_quality_score's "
+    "C4-style length/stopword/punctuation ratios with the repetition "
+    "axis; all counting happens exploded-narrow (doc_id, gram) so the "
+    "two shuffles are map-side combinable and skew-free at corpus "
+    "scale.",
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # 0-based Spark arrays: sequence element i in [2..n] -> bigram
+    # (toks[i-2], toks[i-1]); guarded because sequence(2, n<2) counts
+    # DOWN in Spark instead of yielding an empty list.
+    grams = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(2, size(toks)), "
+                "i -> concat(toks[i-2], ' ', toks[i-1])) END"
+            )
+        ).alias("bigram"),
+    )
+    gram_counts = grams.groupBy("doc_id", "n_tokens", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    gram_stats = gram_counts.groupBy("doc_id", "n_tokens").agg(
+        (F.max("n").cast("double") / F.sum("n")).alias("top_bigram_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n")).alias(
+            "distinct_bigram_frac"
+        ),
+    )
+    uni = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("un"))
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.sum("un")).alias(
+                "distinct_token_frac"
+            )
+        )
+    )
+    return (
+        gram_stats.join(uni, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_bigram_frac",
+            "distinct_bigram_frac",
+            "distinct_token_frac",
+            (
+                (F.col("top_bigram_frac") <= 0.18)
+                & (F.col("distinct_token_frac") >= 0.30)
+            ).alias("gopher_keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -442,3 +442,185 @@ def scalar_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_nation"
         ),
     )
+
+
+@register(
+    "datetime_function_battery",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+            WHERE o_orderkey <= 2000
+        )
+        SELECT o_orderkey,
+               CAST(year(od) AS INTEGER) AS y,
+               CAST(quarter(od) AS INTEGER) AS q,
+               CAST(month(od) AS INTEGER) AS m,
+               CAST(day(od) AS INTEGER) AS dom,
+               CAST(dayofyear(od) AS INTEGER) AS doy,
+               CAST(isodow(od) AS INTEGER) AS iso_dow,
+               CAST(week(od) AS INTEGER) AS iso_week,
+               CAST(last_day(od) AS VARCHAR) AS month_end,
+               CAST(date_trunc('month', od) AS VARCHAR) AS month_start,
+               CAST(od + 30 AS VARCHAR) AS plus_30d,
+               CAST(CAST(od + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3mo,
+               CAST(date_diff('day', DATE '1995-01-01', od) AS BIGINT)
+                   AS days_since_95,
+               CAST(make_date(year(od), 1, 1) AS VARCHAR) AS year_start
+        FROM d
+    """,
+    tags=("scalar", "functions", "P6"),
+    doc="Date/time function battery: calendar extraction (ISO week/dow), "
+    "month arithmetic with end-of-month clamping, truncation, date "
+    "difference — the temporal surface behind the reference's "
+    "processedAt stamping (index.js:370, 564) pinned cross-engine. All "
+    "date-typed results cross the gate as ISO strings so neither "
+    "engine's date-vs-timestamp pandas dtype leaks into the hash.",
+)
+def datetime_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen-only map stage, no shuffle. weekday()+1 == ISO dow pins
+    the off-by-one between Spark's Sunday-1 dayofweek and ISO; month
+    addition clamps identically (Jan 31 + 1 mo -> Feb 28) in both
+    engines."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    return df.select(
+        "o_orderkey",
+        F.year("od").alias("y"),
+        F.quarter("od").alias("q"),
+        F.month("od").alias("m"),
+        F.dayofmonth("od").alias("dom"),
+        F.dayofyear("od").alias("doy"),
+        (F.weekday("od") + 1).alias("iso_dow"),
+        F.weekofyear("od").alias("iso_week"),
+        F.last_day("od").cast("string").alias("month_end"),
+        F.trunc("od", "month").cast("string").alias("month_start"),
+        F.date_add("od", 30).cast("string").alias("plus_30d"),
+        F.add_months("od", 3).cast("string").alias("plus_3mo"),
+        F.datediff("od", F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.make_date(F.year("od"), F.lit(1), F.lit(1))
+        .cast("string")
+        .alias("year_start"),
+    )
+
+
+@register(
+    "regex_function_battery",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               regexp_matches(p_name, '^(red|small)') AS starts_flagged,
+               CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER)
+                   AS n_word_runs,
+               (p_name LIKE '%ring%') AS like_ring,
+               (p_type ILIKE 'econ%') AS ilike_econ,
+               translate(p_brand, '#', '-') AS brand_dashed,
+               CAST(ascii(p_name) AS INTEGER) AS first_cp,
+               chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS letter,
+               md5(p_name) AS name_md5,
+               sha256(p_brand) AS brand_sha,
+               printf('%05d:%s', CAST(p_partkey AS INTEGER), p_type) AS tag
+        FROM part
+        WHERE p_partkey <= 1500
+    """,
+    tags=("scalar", "functions", "F8", "P3"),
+    doc="Regex + hashing function battery: capture-group extraction, "
+    "global replacement, anchored match, match counting, LIKE/ILIKE, "
+    "translate, ascii/chr, md5/sha256, printf — the validation surface "
+    "of the reference's email/url regex guards (index.js:390-403) "
+    "pinned cross-engine (Spark regexp_replace is global by default; "
+    "DuckDB needs the explicit 'g' flag).",
+)
+def regex_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1500)
+    return df.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("noun"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"^(red|small)").alias("starts_flagged"),
+        F.regexp_count("p_name", F.lit(r"[a-z]+")).alias("n_word_runs"),
+        F.col("p_name").like("%ring%").alias("like_ring"),
+        F.col("p_type").ilike("econ%").alias("ilike_econ"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.ascii("p_name").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("letter"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_brand", 256).alias("brand_sha"),
+        F.printf(
+            F.lit("%05d:%s"), F.col("p_partkey").cast("int"), F.col("p_type")
+        ).alias("tag"),
+    )
+
+
+@register(
+    "array_function_battery",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n,
+               array_to_string(list_sort(list_distinct(toks[1:5])), '|')
+                   AS head_sorted,
+               array_to_string(toks[2:4], '|') AS mid_slice,
+               list_contains(toks, 'the') AS has_the,
+               CAST(list_position(toks, 'the') AS INTEGER) AS the_pos,
+               array_to_string(list_filter(toks, t -> length(t) > 4), '|')
+                   AS long_toks,
+               array_to_string(list_transform(toks[1:3], t -> upper(t)), '|')
+                   AS head_upper,
+               CAST(list_aggregate(list_transform(toks, t -> length(t)),
+                                   'sum') AS BIGINT) AS total_chars,
+               array_to_string(list_reverse(toks[1:3]), '|') AS head_rev,
+               array_to_string(flatten([toks[1:2], toks[1:2]]), '|')
+                   AS doubled_head
+        FROM base
+    """,
+    tags=("scalar", "functions", "P8", "P9"),
+    doc="Array/higher-order function battery: slice, distinct+sort, "
+    "membership/position (1-based in both engines), filter/transform "
+    "lambdas, fold (aggregate vs list_aggregate), reverse, flatten — "
+    "the array surface behind the reference's match-list handling "
+    "(index.js:429-470) pinned cross-engine. Arrays never cross the "
+    "gate raw (the driver's canonicalization can't hash lists): every "
+    "array result is array_join-serialized.",
+)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    head5 = F.slice("toks", 1, 5)
+    return df.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.array_join(F.array_sort(F.array_distinct(head5)), "|").alias(
+            "head_sorted"
+        ),
+        F.array_join(F.slice("toks", 2, 3), "|").alias("mid_slice"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_position("toks", "the").cast("int").alias("the_pos"),
+        F.array_join(
+            F.filter("toks", lambda t: F.length(t) > 4), "|"
+        ).alias("long_toks"),
+        F.array_join(
+            F.transform(F.slice("toks", 1, 3), lambda t: F.upper(t)), "|"
+        ).alias("head_upper"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_join(F.reverse(F.slice("toks", 1, 3)), "|").alias("head_rev"),
+        F.array_join(
+            F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 1, 2))),
+            "|",
+        ).alias("doubled_head"),
+    )

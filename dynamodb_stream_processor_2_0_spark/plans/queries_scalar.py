@@ -624,3 +624,94 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("doubled_head"),
     )
+
+
+@register(
+    "json_function_battery",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+               json_extract_string(props, '$.tag') AS tag,
+               json_extract_string(props, '$.missing') AS absent,
+               (json_extract(props, '$.k') IS NOT NULL) AS has_k,
+               CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+               json_extract_string(props, '$.nested.deep') AS deep
+        FROM events
+        WHERE event_id < 3000
+    """,
+    tags=("scalar", "functions", "P2", "json"),
+    doc="JSON path function battery: string extraction, numeric "
+    "coercion via try_cast (ANSI-safe), missing-path null, existence "
+    "probe, validity check, nested path — the reference's per-record "
+    "JSON.parse surface (index.js:350-385) as JVM path expressions "
+    "that never materialize a parsed tree per row.",
+)
+def json_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    p = F.col("props")
+    return df.select(
+        "event_id",
+        F.get_json_object(p, "$.k").alias("k_str"),
+        F.get_json_object(p, "$.k").try_cast("bigint").alias("k_num"),
+        F.get_json_object(p, "$.tag").alias("tag"),
+        F.get_json_object(p, "$.missing").alias("absent"),
+        F.get_json_object(p, "$.k").isNotNull().alias("has_k"),
+        # Spark has no json_valid; a NULL-propagating probe of the root
+        # object is the same predicate for object-rooted documents.
+        F.when(p.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.get_json_object(p, "$").isNotNull())
+        .alias("is_valid"),
+        F.get_json_object(p, "$.nested.deep").alias("deep"),
+    )
+
+
+@register(
+    "conditional_bitwise_battery",
+    oracle="""
+        SELECT event_id,
+               coalesce(value, -1.0) AS val_or_default,
+               nullif(event_type, 'error') AS type_or_null,
+               ifnull(user_id, -1) AS uid_or_default,
+               CASE WHEN value IS NULL THEN 'missing'
+                    WHEN value >= 0.5 THEN 'high' ELSE 'low' END AS band,
+               (value IS DISTINCT FROM NULL) AS has_value,
+               CAST(user_id & 255 AS BIGINT) AS uid_low8,
+               CAST(user_id | 1 AS BIGINT) AS uid_odd,
+               CAST(xor(user_id, event_id) AS BIGINT) AS uid_xor_eid,
+               CAST(bit_count(user_id) AS INTEGER) AS uid_popcount,
+               CAST(CASE WHEN user_id % 2 = 0 THEN user_id ELSE NULL END
+                    AS BIGINT) AS even_only,
+               greatest(value, 0.25, 0.0) AS val_floor,
+               least(coalesce(value, 1e9), 0.75) AS val_cap
+        FROM events
+        WHERE event_id < 3000
+    """,
+    tags=("scalar", "functions", "P10", "F2"),
+    doc="Conditional + bitwise battery: coalesce/nullif/ifnull, "
+    "multi-arm CASE, IS DISTINCT FROM, and the integer bit surface "
+    "(&, |, xor, popcount) — the null-guard and flag-packing idioms of "
+    "index.js:167-190 pinned cross-engine, incl. greatest/least "
+    "null-skipping semantics shared by both engines.",
+)
+def conditional_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    v, u = F.col("value"), F.col("user_id")
+    return df.select(
+        "event_id",
+        F.coalesce(v, F.lit(-1.0)).alias("val_or_default"),
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        F.ifnull(u, F.lit(-1)).alias("uid_or_default"),
+        F.when(v.isNull(), "missing")
+        .when(v >= 0.5, "high")
+        .otherwise("low")
+        .alias("band"),
+        v.isNotNull().alias("has_value"),
+        u.bitwiseAND(F.lit(255)).alias("uid_low8"),
+        u.bitwiseOR(F.lit(1)).alias("uid_odd"),
+        u.bitwiseXOR(F.col("event_id")).alias("uid_xor_eid"),
+        F.bit_count(u).alias("uid_popcount"),
+        F.when(u % 2 == 0, u).cast("long").alias("even_only"),
+        F.greatest(v, F.lit(0.25), F.lit(0.0)).alias("val_floor"),
+        F.least(F.coalesce(v, F.lit(1e9)), F.lit(0.75)).alias("val_cap"),
+    )

@@ -85,3 +85,40 @@ def test_engine_wide_plan_lint(spark, sf_dir):
         if flags:
             failures[name] = flags
     assert not failures, f"plan lint failures: {failures}"
+
+
+def test_bitmap_semi_join_broadcasts_bitmap_not_keys(spark, sf_dir):
+    """The runtime-filter join must broadcast the folded (bucket, mask)
+    bitmap — a BroadcastHashJoin fed by the bit_or aggregate — and the
+    customer side must stay exchange-free below the join."""
+    df = registry.get("bitmap_semi_join_runtime_filter").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "bit_or" in plan  # the mask fold feeds the broadcast side
+    before_join = plan.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning(c_custkey" not in before_join
+
+
+def test_function_batteries_are_map_only(spark, sf_dir):
+    """The scalar batteries are pure map stages: no exchange, no
+    Python eval, one codegen span over the scan."""
+    for name in (
+        "scalar_function_battery",
+        "datetime_function_battery",
+        "regex_function_battery",
+        "array_function_battery",
+        "json_function_battery",
+        "conditional_bitwise_battery",
+    ):
+        plan = _executed_plan(registry.get(name).fn(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # '*(1)' is toString()'s WholeStageCodegen marker
+        assert "*(1)" in plan, name
+
+
+def test_paragraph_dedup_partial_aggregates(spark, sf_dir):
+    """Both counting shuffles must partial-aggregate map-side (two
+    HashAggregate pairs), so the exchange carries per-group partials."""
+    plan = _executed_plan(registry.get("dedup_paragraph_exact").fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4

@@ -1817,3 +1817,59 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_num / (F.lit(10000.0) * (F.col("n") - 1))).alias("var_value"),
         (covy / F.sqrt(var_num * vary)).alias("corr_value_k"),
     ).orderBy("event_type")
+
+
+@register(
+    "unpivot_nation_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT n.n_name,
+                   CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(count_if(o.o_orderpriority = '1-URGENT') AS BIGINT)
+                       AS n_urgent
+            FROM nation n
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN (n_customers, n_orders, n_urgent))
+        ORDER BY n_name, metric
+    """,
+    tags=("relational", "reshape", "A1"),
+    doc="Unpivot (melt): a wide per-nation metrics row reshaped to long "
+    "(nation, metric, value) — the inverse of pivot_status_by_priority, "
+    "completing the reshape pair. Spark's unpivot/melt compiles to "
+    "Expand (rows x #metrics) AFTER the aggregation, so the multiplied "
+    "stream is |nations| x 3, never the fact table.",
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("po"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("pu"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("po").alias("n_orders"),
+            F.sum("pu").alias("n_urgent"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ["n_name"],
+            ["n_customers", "n_orders", "n_urgent"],
+            "metric",
+            "value",
+        )
+        .orderBy("n_name", "metric")
+    )

@@ -502,3 +502,56 @@ def skew_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         fact, dim, on="user_id", entropy_col="event_id", n_salts=8
     ).select("event_id", "user_id", "event_type", "first_ts_iso")
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+        WITH parsed AS (
+            SELECT event_id, user_id, event_type, value,
+                   COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                            AS INTEGER), 0) AS k
+            FROM events
+        )
+        SELECT CAST(event_id % 8 AS INTEGER) AS shard,
+               concat('evt-', event_id) AS record_id,
+               CASE WHEN event_type = 'purchase' THEN 'INSERT'
+                    ELSE 'MODIFY' END AS event_name,
+               CAST(user_id AS VARCHAR) AS guest_id,
+               k AS total_matches,
+               value AS best_similarity
+        FROM parsed
+        WHERE event_type <> 'error'
+    """,
+    tags=("source", "S1", "connector", "python-datasource"),
+    doc="Spark 4 Python DataSource API: the wire format exposed as a "
+    "registerable source (spark.read.format('dynamodb_stream_wire')), "
+    "shard dirs as InputPartitions (reader parallelism = shard count, "
+    "the Kinesis model; index.js:34-43). The source yields raw records; "
+    "the typed projection is the same JVM expression layer as "
+    "s1_stream_record_parse — transport in Python, parsing in codegen.",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        dynamodb_stream as DS,
+        python_datasource as PDS,
+    )
+
+    spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+    PDS.register_wire_datasource(spark)
+    path = PDS.staged_wire_jsonl(spark, sf_dir, n_shards=8)
+    wire = spark.read.format("dynamodb_stream_wire").option("path", path).load()
+    typed = DS.parse_new_image(DS.decode_records(wire))
+    return typed.select(
+        # parse_new_image projects the fixed typed schema; the shard is
+        # re-derived from the key (same hash the stage used), which also
+        # pins that records landed in the shard their key demands.
+        (F.col("event_id_s").cast("long") % 8).cast("int").alias("shard"),
+        "record_id",
+        "event_name",
+        "guest_id",
+        "total_matches",
+        "best_similarity",
+    )

@@ -105,3 +105,26 @@ def test_malformed_values_degrade_not_throw(parsed):
     assert r.total_matches == 0  # try_cast failure -> default
     assert r.matched_images == []  # JSON.parse failure -> []
     assert r.match_statistics == {}
+
+
+def test_python_datasource_partitions_match_shards(spark, sf_dir):
+    """The custom source must plan one reader task per shard dir and
+    deliver every staged record exactly once."""
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        python_datasource as PDS,
+    )
+
+    PDS.register_wire_datasource(spark)
+    path = PDS.staged_wire_jsonl(spark, sf_dir, n_shards=8)
+    wire = spark.read.format("dynamodb_stream_wire").option("path", path).load()
+    assert wire.rdd.getNumPartitions() == 8
+    from pyspark.sql import functions as F
+
+    per_shard = {
+        r.shard: r.n
+        for r in wire.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_shard) == set(range(8))
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+    assert sum(per_shard.values()) == load_table(spark, sf_dir, "events").count()

@@ -967,3 +967,90 @@ def streaming_incremental_rollup_e2e(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_python_source_e2e",
+    oracle="""
+        WITH ordered AS (
+            SELECT *,
+                   CAST(FLOOR((row_number() OVER (ORDER BY ts, event_id) - 1)
+                        / CEIL(count(*) OVER () / 4.0)) AS INTEGER) AS chunk
+            FROM events
+        ), parsed AS (
+            SELECT chunk, event_id, user_id, event_type,
+                   COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                            AS INTEGER), 0) AS k
+            FROM ordered
+        )
+        SELECT chunk,
+               concat('evt-', event_id) AS record_id,
+               CASE WHEN event_type = 'purchase' THEN 'INSERT'
+                    ELSE 'MODIFY' END AS event_name,
+               CAST(user_id AS VARCHAR) AS guest_id,
+               k AS total_matches
+        FROM parsed
+        WHERE event_type <> 'error'
+    """,
+    tags=("streaming", "source", "S1", "connector", "python-datasource"),
+    doc="Custom Python DataSourceStreamReader end-to-end: the wire "
+    "format replayed through spark.readStream.format("
+    "'dynamodb_stream_wire_replay') with chunk-index offsets (one "
+    "chunk per micro-batch), parsed by the JVM expression layer, "
+    "landed in a memory sink. Chunk boundaries survive as "
+    "InputPartitions (one reader task per chunk). The gate proves "
+    "every staged record crosses the custom source exactly once and "
+    "lands in the chunk its global (ts, event_id) rank demands.",
+)
+def streaming_python_source_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless pipe (no watermark/state), so the memory-sink append
+    across micro-batches is exactly the union of chunk parses;
+    availableNow polls latestOffset once and drains every staged
+    chunk, each as its own reader partition."""
+    import uuid
+
+    from pyspark.sql import functions as FN
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        dynamodb_stream as DS,
+        python_datasource as PDS,
+    )
+
+    spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+    PDS.register_wire_datasource(spark)
+    path = PDS.staged_wire_chunks_jsonl(spark, sf_dir, chunks=4)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wire = (
+            spark.readStream.format("dynamodb_stream_wire_replay")
+            .option("path", path)
+            .load()
+        )
+        typed = DS.parse_new_image(
+            DS.decode_records(wire), extra_cols=("chunk",)
+        ).select(
+            "chunk",
+            "record_id",
+            "event_name",
+            "guest_id",
+            "total_matches",
+        )
+        qname = f"py_source_{uuid.uuid4().hex[:8]}"
+        q = (
+            typed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_python_source_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(qname)

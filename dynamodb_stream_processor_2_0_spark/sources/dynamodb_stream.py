@@ -99,7 +99,7 @@ def decode_records(df: DataFrame, json_col: str = "record_json") -> DataFrame:
     return df.withColumn("rec", F.from_json(F.col(json_col), STREAM_RECORD_SCHEMA))
 
 
-def parse_new_image(df: DataFrame) -> DataFrame:
+def parse_new_image(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """The S1+F1+F2+P1 head of the pipeline (index.js:143-164, 350-385):
     keep INSERT|MODIFY records with a NewImage, then project the tagged
     image into the fixed typed schema (absent attribute -> null, numeric
@@ -119,6 +119,9 @@ def parse_new_image(df: DataFrame) -> DataFrame:
     old = F.col("rec.dynamodb.OldImage")
     return (
         df.select(
+            # transport-level columns a source wants carried through
+            # (e.g. the Python data source's shard/chunk id)
+            *[F.col(c) for c in extra_cols],
             F.col("rec.eventName").alias("_event_name"),
             img.isNotNull().alias("_has_image"),
             F.col("rec.eventID").alias("record_id"),

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class WireShardPartition(InputPartition):
@@ -86,6 +91,7 @@ def register_wire_datasource(spark) -> None:
     sid = id(spark)
     if sid not in _REGISTERED:
         spark.dataSource.register(DynamoDBWireDataSource)
+        spark.dataSource.register(DynamoDBWireReplayDataSource)
         _REGISTERED.add(sid)
 
 
@@ -117,3 +123,121 @@ def staged_wire_jsonl(spark, sf_dir: str, n_shards: int = 8) -> str:
         )
         _JSONL_STAGE[sf_dir] = path
     return _JSONL_STAGE[sf_dir]
+
+
+class WireChunkPartition(InputPartition):
+    def __init__(self, chunk: int, files: list[str]):
+        self.chunk = chunk
+        self.files = files
+
+
+class DynamoDBWireReplayDataSource(DataSource):
+    """Streaming source over a chunked wire directory
+    (``<path>/chunk=<i>/part-*.txt``): each chunk is one micro-batch,
+    offsets are chunk indexes — the reference's externally-batched
+    Records[] delivery (index.js:34-43) as a custom Spark stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dynamodb_stream_wire_replay"
+
+    def schema(self) -> str:
+        return "chunk int, record_json string"
+
+    def streamReader(self, schema) -> "WireReplayStreamReader":
+        return WireReplayStreamReader(dict(self.options))
+
+
+class WireReplayStreamReader(DataSourceStreamReader):
+    """Driver-side offset bookkeeping: latestOffset reports the highest
+    staged chunk (availableNow polls it once and drains to it),
+    partitions() maps an offset range to one InputPartition per chunk
+    — so chunk boundaries survive as reader-task boundaries even when
+    several chunks land in one micro-batch — and executors read the
+    chunk files. Offsets are plain dicts, so checkpoint recovery
+    replays any uncommitted chunk — at-least-once from the source,
+    exactly-once downstream via the state layer."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "dynamodb_stream_wire_replay: 'path' option is required"
+            )
+        self.path = path
+        self.chunks = []
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith("chunk="):
+                d = os.path.join(path, entry)
+                files = sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if not f.startswith(("_", "."))
+                )
+                self.chunks.append((int(entry.split("=", 1)[1]), files))
+        self.chunks.sort()
+
+    def initialOffset(self) -> dict:
+        return {"chunk": 0}
+
+    def latestOffset(self) -> dict:
+        return {"chunk": len(self.chunks)}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            WireChunkPartition(c, files)
+            for c, files in self.chunks
+            if start["chunk"] <= c < end["chunk"]
+        ]
+
+    def read(self, partition: WireChunkPartition):
+        for fpath in partition.files:
+            with open(fpath, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if line:
+                        yield (partition.chunk, line)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+_CHUNK_STAGE: dict[str, str] = {}
+
+
+def staged_wire_chunks_jsonl(spark, sf_dir: str, chunks: int = 4) -> str:
+    """Stage wire records as ts-ordered JSONL chunk dirs once per
+    (process, sf_dir): chunk i holds the i-th global (ts, event_id)
+    slice, so replay order == event-time order (mirrors
+    streaming/replay.py's parquet staging)."""
+    if sf_dir not in _CHUNK_STAGE:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+        from dynamodb_stream_processor_2_0_spark.sources.dynamodb_stream import (
+            events_as_stream_json,
+        )
+
+        path = tempfile.mkdtemp(prefix="ddb_wire_chunks_")
+        events = load_table(spark, sf_dir, "events")
+        total = events.count()
+        per = (total + chunks - 1) // chunks
+        ordered = (
+            events.coalesce(1)
+            .sortWithinPartitions("ts", "event_id")
+            .withColumn(
+                "chunk", (F.monotonically_increasing_id() / per).cast("int")
+            )
+        )
+        wire = events_as_stream_json(ordered)  # (event_id, record_json)
+        (
+            wire.join(ordered.select("event_id", "chunk"), "event_id")
+            .select("chunk", F.col("record_json").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("chunk")
+            .text(path)
+        )
+        _CHUNK_STAGE[sf_dir] = path
+    return _CHUNK_STAGE[sf_dir]

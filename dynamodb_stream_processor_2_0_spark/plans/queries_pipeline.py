@@ -555,3 +555,69 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_matches",
         "best_similarity",
     )
+
+
+@register(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT CAST(user_id AS VARCHAR) || '-' || lower(event_type)
+                   AS dedup_id,
+               'email_' || CAST(user_id AS VARCHAR) || '_'
+                   || CAST(event_id AS VARCHAR) AS msg_id,
+               'face_match_email' AS msg_type,
+               event_id, user_id, event_type
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("sink", "S3", "D5", "E2", "python-datasource"),
+    doc="Python DataSourceWriter roundtrip: queue envelopes written via "
+    "df.write.format('dynamodb_envelope_sink') with a two-phase "
+    "manifest commit (executors stage, driver publishes), then read "
+    "back from exactly the committed files. The gate checks what "
+    "landed through the custom sink API — orphaned staged files from "
+    "retried tasks are invisible by construction (index.js:570-611).",
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        python_datasource as PDS,
+    )
+    from dynamodb_stream_processor_2_0_spark.streaming import sinks
+
+    PDS.register_wire_datasource(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    winners = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("action", F.lit("email_triggered"))
+        .select("user_id", "event_type", "event_id", "action")
+    )
+    out_dir = tempfile.mkdtemp(prefix="envelope_batch_sink_")
+    (
+        sinks.envelope(winners)
+        .write.format("dynamodb_envelope_sink")
+        .mode("append")
+        .option("path", out_dir)
+        .save()
+    )
+    landed = PDS.read_committed_envelopes(
+        spark, out_dir, "dedup_id string, message_body string"
+    )
+    body = F.col("message_body")
+    return landed.select(
+        "dedup_id",
+        F.get_json_object(body, "$.id").alias("msg_id"),
+        F.get_json_object(body, "$.type").alias("msg_type"),
+        F.get_json_object(body, "$.payload.event_id").cast("long").alias("event_id"),
+        F.get_json_object(body, "$.payload.user_id").cast("long").alias("user_id"),
+        F.get_json_object(body, "$.payload.event_type").alias("event_type"),
+    )

@@ -1054,3 +1054,86 @@ def streaming_python_source_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(qname)
+
+
+@register(
+    "streaming_python_sink_e2e",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT CAST(user_id AS VARCHAR) || '-' || lower(event_type)
+                   AS dedup_id,
+               'email_' || CAST(user_id AS VARCHAR) || '_'
+                   || CAST(event_id AS VARCHAR) AS msg_id,
+               event_id, user_id, event_type
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "sink", "S3", "D5", "E2", "E5", "python-datasource"),
+    doc="Python DataSourceStreamWriter e2e: the delivery state "
+    "machine's triggered envelopes land through writeStream.format("
+    "'dynamodb_envelope_sink') with per-epoch manifest commits "
+    "(executors stage, driver publishes epoch=<id>.manifest.json; a "
+    "retried epoch republishes the same manifest). The gate reads back "
+    "only manifest-listed files — the sink-API analog of the "
+    "foreachBatch envelope sink (index.js:570-611).",
+)
+def streaming_python_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        python_datasource as PDS,
+    )
+    from dynamodb_stream_processor_2_0_spark.streaming import replay, sinks
+    from dynamodb_stream_processor_2_0_spark.streaming.delivery_state import (
+        apply_delivery_state,
+    )
+
+    PDS.register_wire_datasource(spark)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    out_dir = tempfile.mkdtemp(prefix="envelope_pysink_")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        triggered = sinks.envelope(
+            apply_delivery_state(stream).filter(
+                F.col("action") == "email_triggered"
+            )
+        )
+        q = (
+            triggered.writeStream.format("dynamodb_envelope_sink")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="pysink_ckpt_")
+            )
+            .queryName(f"py_sink_{uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_python_sink_e2e: availableNow query did not "
+                "terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    landed = PDS.read_committed_envelopes(
+        spark, out_dir, "dedup_id string, message_body string"
+    )
+    body = F.col("message_body")
+    return landed.select(
+        "dedup_id",
+        F.get_json_object(body, "$.id").alias("msg_id"),
+        F.get_json_object(body, "$.payload.event_id").cast("long").alias("event_id"),
+        F.get_json_object(body, "$.payload.user_id").cast("long").alias("user_id"),
+        F.get_json_object(body, "$.payload.event_type").alias("event_type"),
+    )

@@ -92,6 +92,7 @@ def register_wire_datasource(spark) -> None:
     if sid not in _REGISTERED:
         spark.dataSource.register(DynamoDBWireDataSource)
         spark.dataSource.register(DynamoDBWireReplayDataSource)
+        spark.dataSource.register(DynamoDBEnvelopeSinkDataSource)
         _REGISTERED.add(sid)
 
 
@@ -241,3 +242,132 @@ def staged_wire_chunks_jsonl(spark, sf_dir: str, chunks: int = 4) -> str:
         )
         _CHUNK_STAGE[sf_dir] = path
     return _CHUNK_STAGE[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# Sink side: the reference's queue sink (index.js:570-611) as Python
+# DataSource writers with a real two-phase commit protocol: executors
+# stage files and return commit messages; only the driver's commit()
+# publishes a manifest listing exactly the committed files. Orphaned
+# staged files from retried/speculative tasks are never published —
+# at-least-once task execution + manifest commit = exactly-once
+# observed sink contents.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class EnvelopeCommitMessage(WriterCommitMessage):
+    file: str
+    n_rows: int
+
+
+def _stage_rows(path: str, iterator) -> EnvelopeCommitMessage:
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    staged_dir = os.path.join(path, "_staged")
+    os.makedirs(staged_dir, exist_ok=True)
+    fname = os.path.join(staged_dir, f"part-{pid:05d}-{_uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(fname, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+            n += 1
+    return EnvelopeCommitMessage(file=fname, n_rows=n)
+
+
+def _publish_manifest(manifest_path: str, messages) -> None:
+    """Atomic publish: write-then-rename, so readers see either the
+    previous manifest or the complete new one (a retried epoch simply
+    rewrites the same manifest path — idempotent)."""
+    files = [m.file for m in messages if m is not None and m.n_rows >= 0]
+    tmp = manifest_path + "." + _uuid.uuid4().hex
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump({"files": sorted(files)}, fh)
+    os.replace(tmp, manifest_path)
+
+
+def _drop_staged(messages) -> None:
+    for m in messages or []:
+        if m is not None and os.path.exists(m.file):
+            os.remove(m.file)
+
+
+class DynamoDBEnvelopeSinkDataSource(DataSource):
+    """``df.write.format("dynamodb_envelope_sink")`` — queue-sink
+    envelopes with manifest-commit semantics (batch and streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dynamodb_envelope_sink"
+
+    def writer(self, schema, overwrite: bool) -> "EnvelopeBatchWriter":
+        return EnvelopeBatchWriter(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> "EnvelopeStreamWriter":
+        return EnvelopeStreamWriter(dict(self.options))
+
+
+class EnvelopeBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("dynamodb_envelope_sink: 'path' option is required")
+        self.path = path
+
+    def write(self, iterator) -> EnvelopeCommitMessage:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        _publish_manifest(os.path.join(self.path, "_MANIFEST.json"), messages)
+
+    def abort(self, messages) -> None:
+        _drop_staged(messages)
+
+
+class EnvelopeStreamWriter(DataSourceStreamWriter):
+    """One manifest per epoch: ``epoch=<id>.manifest.json``. A retried
+    epoch republishes the same manifest path, so readers tallying
+    manifest-listed files observe each epoch exactly once."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("dynamodb_envelope_sink: 'path' option is required")
+        self.path = path
+
+    def write(self, iterator) -> EnvelopeCommitMessage:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _publish_manifest(
+            os.path.join(self.path, f"epoch={batchId}.manifest.json"), messages
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_staged(messages)
+
+
+def read_committed_envelopes(spark, path: str, schema: str):
+    """Read back exactly the committed files (batch ``_MANIFEST.json``
+    plus any ``epoch=*.manifest.json``), ignoring staged orphans."""
+    files: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        if entry == "_MANIFEST.json" or (
+            entry.startswith("epoch=") and entry.endswith(".manifest.json")
+        ):
+            with open(os.path.join(path, entry), encoding="utf-8") as fh:
+                files.extend(_json.load(fh)["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -128,3 +128,33 @@ def test_python_datasource_partitions_match_shards(spark, sf_dir):
     from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
 
     assert sum(per_shard.values()) == load_table(spark, sf_dir, "events").count()
+
+
+def test_envelope_sink_manifest_hides_orphaned_staged_files(spark, tmp_path):
+    """Two-phase commit: only manifest-listed files are readable; a
+    staged orphan (failed/speculative task leftover) must not appear."""
+    import json
+    import os
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        python_datasource as PDS,
+    )
+
+    PDS.register_wire_datasource(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("a-1", "{\"id\":1}"), ("b-2", "{\"id\":2}")],
+        "dedup_id string, message_body string",
+    )
+    df.write.format("dynamodb_envelope_sink").mode("append").option(
+        "path", out
+    ).save()
+    # plant an orphan AFTER the commit — a retried task's leftover
+    orphan = os.path.join(out, "_staged", "part-99999-deadbeef.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"dedup_id": "zz-9", "message_body": "{}"}) + "\n")
+    landed = PDS.read_committed_envelopes(
+        spark, out, "dedup_id string, message_body string"
+    )
+    got = sorted(r.dedup_id for r in landed.collect())
+    assert got == ["a-1", "b-2"]  # orphan invisible

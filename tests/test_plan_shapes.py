@@ -122,3 +122,18 @@ def test_paragraph_dedup_partial_aggregates(spark, sf_dir):
     HashAggregate pairs), so the exchange carries per-group partials."""
     plan = _executed_plan(registry.get("dedup_paragraph_exact").fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4
+
+
+def test_aqe_coalesces_oversized_shuffle(spark, sf_dir_medium):
+    """Scale posture: with a hostile 200-partition config, AQE must
+    coalesce the post-shuffle partitions of a small aggregation instead
+    of running 200 near-empty reducers."""
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = registry.get("q1_pricing_summary").fn(spark, sf_dir_medium)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -45,6 +45,18 @@ def main() -> None:
             out = out.union(shifted)
         return out.repartition(parts).localCheckpoint(eager=True)
 
+    li1 = scaled(load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey"),
+                 {"l_orderkey": 10**9}, 1, 8)
+    li_n = scaled(load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey"),
+                  {"l_orderkey": 10**9}, n_copies, 32)
+    cust1 = scaled(load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+                   {"c_custkey": 10**8}, 1, 8)
+    cust_n = scaled(load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+                    {"c_custkey": 10**8}, n_copies, 32)
+    ord1 = scaled(load_table(spark, sf, "orders").select("o_custkey", "o_orderpriority"),
+                  {"o_custkey": 10**8}, 1, 8)
+    ord_n = scaled(load_table(spark, sf, "orders").select("o_custkey", "o_orderpriority"),
+                   {"o_custkey": 10**8}, n_copies, 32)
     docs1 = scaled(load_table(spark, sf, "documents"), {"doc_id": 10**7}, 1, 8)
     docs_n = scaled(load_table(spark, sf, "documents"), {"doc_id": 10**7}, n_copies, 32)
     ev1 = scaled(load_table(spark, sf, "events"), {"user_id": 10**7, "event_id": 10**8}, 1, 8)
@@ -85,6 +97,54 @@ def main() -> None:
         act = ev.select("user_id", F.date_trunc("week", "ts").alias("aw")).distinct()
         return firsts.join(act, "user_id").groupBy("cw", "aw").agg(F.count(F.lit(1)).alias("n"))
 
+    def paragraph_dedup(docs):
+        sents = docs.select("doc_id", F.explode(F.split("text", r"\. ")).alias("sent"))
+        counted = sents.groupBy("sent").agg(F.count(F.lit(1)).alias("n_global"))
+        return (
+            sents.join(counted, "sent")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_if(F.col("n_global") > 1).alias("d"))
+        )
+
+    def gopher_rules(docs):
+        toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+        grams = toks.select(
+            "doc_id", F.size("toks").alias("n_tokens"),
+            F.explode(F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(2, size(toks)), "
+                "i -> concat(toks[i-2], ' ', toks[i-1])) END")).alias("bigram"))
+        return (
+            grams.groupBy("doc_id", "n_tokens", "bigram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("doc_id", "n_tokens")
+            .agg((F.max("n").cast("double") / F.sum("n")).alias("top_frac"))
+        )
+
+    def basket_pairs(li):
+        baskets = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        pairs = baskets.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), "
+            "y -> struct(x AS a, y AS b))))")).alias("pr"))
+        return (pairs.select("pr.a", "pr.b").groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("s")).filter(F.col("s") >= 3))
+
+    def bitmap_semi(data):
+        cust, orders = data
+        dim_bits = (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.shiftright("o_custkey", 6).alias("bucket"),
+                    F.expr("shiftleft(1L, int(o_custkey % 64))").alias("bit"))
+            .groupBy("bucket").agg(F.bit_or("bit").alias("mask")))
+        return (
+            cust.join(F.broadcast(dim_bits),
+                      F.shiftright(F.col("c_custkey"), 6) == F.col("bucket"))
+            .filter(F.col("mask").bitwiseAND(
+                F.expr("shiftleft(1L, int(c_custkey % 64))")) != 0)
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+
     def run(df_builder, data):
         df_builder(data).write.mode("overwrite").format("noop").save()  # warm
         t = time.perf_counter()
@@ -98,6 +158,10 @@ def main() -> None:
         ("contamination_probe", contamination, docs1, docs_n),
         ("global_rank", grank, docs1, docs_n),
         ("retention_cohort", cohort, ev1, ev_n),
+        ("paragraph_dedup", paragraph_dedup, docs1, docs_n),
+        ("gopher_repetition", gopher_rules, docs1, docs_n),
+        ("basket_pair_mining", basket_pairs, li1, li_n),
+        ("bitmap_semi_join", bitmap_semi, (cust1, ord1), (cust_n, ord_n)),
     ]
     for label, fn, d1, dn in cases:
         a, b = run(fn, d1), run(fn, dn)

@@ -77,3 +77,32 @@ def test_exactly_once_across_restart(spark, sf_dir):
         .count()
     )
     assert mismatches == 0, "post-restart winners must equal batch first-occurrence"
+
+
+def test_delivery_e2e_on_rocksdb_state_store(spark, sf_dir):
+    """The state backend a 100 TB streaming job actually runs on:
+    RocksDB (bounded executor memory, incremental checkpoints). The
+    delivery state machine must produce the identical exactly-once
+    outcome on it as on the default HDFS-backed in-memory provider."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        rocks = {
+            (r.user_id, r.event_type, r.event_id): r.action
+            for r in registry.get("streaming_delivery_e2e")
+            .fn(spark, sf_dir)
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    default = {
+        (r.user_id, r.event_type, r.event_id): r.action
+        for r in registry.get("streaming_delivery_e2e").fn(spark, sf_dir).collect()
+    }
+    assert rocks == default and len(rocks) > 0

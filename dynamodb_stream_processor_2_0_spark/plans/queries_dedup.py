@@ -254,3 +254,63 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id")
     )
     return dedup.count_min_estimates(ev, "user_id", depth=4, width=64)
+
+
+@register(
+    "fuzzy_match_blocked_levenshtein",
+    oracle="""
+        WITH names AS (
+            SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+                   count(*) AS n_parts
+            FROM part GROUP BY p_name
+        )
+        SELECT a.noun AS block,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+               a.n_parts AS n_a, b.n_parts AS n_b
+        FROM names a
+        JOIN names b
+          ON a.noun = b.noun AND a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY block, name_a, name_b
+    """,
+    tags=("dedup", "fuzzy", "join", "llm", "D3"),
+    doc="Entity-resolution fuzzy match: blocked Levenshtein pairing — "
+    "dedupe to distinct keys first (64 names, not 2000 parts), block on "
+    "a cheap deterministic key (the noun), compare only within blocks "
+    "(152 surviving pairs vs 2k^2 naive), both engines sharing the same "
+    "edit-distance metric. The record-linkage analog of the reference's "
+    "dedup probe (index.js:107-141): candidate generation by blocking, "
+    "verification by distance.",
+)
+def fuzzy_match_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the pair space is sum over blocks of |block|^2 on
+    DISTINCT values — blocking key choice, not corpus size, bounds it.
+    The distinct-name fold is one map-side-combinable shuffle; the
+    within-block join shuffles only (name, noun, count) rows."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("noun", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.select(
+        F.col("noun").alias("block"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+    )
+    b = names.select(
+        F.col("noun").alias("block"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .select("block", "name_a", "name_b", "edit_dist", "n_a", "n_b")
+        .orderBy("block", "name_a", "name_b")
+    )

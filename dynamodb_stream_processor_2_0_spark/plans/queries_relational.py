@@ -1873,3 +1873,63 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "metric")
     )
+
+
+@register(
+    "window_range_frame_moving_sum",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(epoch(ts) AS BIGINT) AS ts_sec,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE user_id < 300
+        )
+        SELECT user_id, event_id,
+               CAST(sum(cents) OVER w AS BIGINT) AS trailing_1h_cents,
+               CAST(count(*) OVER w AS BIGINT) AS trailing_1h_events
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+    tags=("relational", "window", "event-time"),
+    doc="RANGE-frame window: per-user trailing-1-hour moving sum/count "
+    "over event time — the value-based frame (peers by ORDER BY value "
+    "distance, not row offsets) that ROWS frames can't express. The "
+    "batch twin of the sliding event-time window, used for rate "
+    "limiting / rolling exposure; cents as BIGINT keeps the moving sum "
+    "order-independent.",
+)
+def window_range_frame_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id; within a partition Spark evaluates the
+    RANGE frame with a sliding two-pointer over the sorted run — O(n)
+    per key, not O(n * frame). Ties on ts_sec are frame 'peers' in both
+    engines (value-based frames include all equal-key rows), so the
+    aggregate — unlike a ROWS frame — is deterministic under ties."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 300)
+        .select(
+            "user_id",
+            "event_id",
+            # NTZ wall time -> epoch seconds with the tz pinned to UTC in
+            # the expression itself: session-timezone-independent (a DST
+            # gap in the session tz would otherwise shift offsets
+            # mid-column and change RANGE-frame membership).
+            F.expr("unix_seconds(to_utc_timestamp(ts, 'UTC'))").alias("ts_sec"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).alias("trailing_1h_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    ).orderBy("user_id", "event_id")

@@ -715,3 +715,64 @@ def conditional_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(v, F.lit(0.25), F.lit(0.0)).alias("val_floor"),
         F.least(F.coalesce(v, F.lit(1e9)), F.lit(0.75)).alias("val_cap"),
     )
+
+
+@register(
+    "map_struct_function_battery",
+    oracle="""
+        WITH m AS (
+            SELECT event_id, event_type, user_id,
+                   MAP(['type', 'uid'],
+                       [event_type, CAST(user_id AS VARCHAR)]) AS mp
+            FROM events WHERE event_id < 2500
+        )
+        SELECT event_id,
+               array_to_string(map_keys(mp), ',') AS keys_joined,
+               array_to_string(map_values(mp), ',') AS vals_joined,
+               element_at(mp, 'type')[1] AS type_val,
+               element_at(mp, 'missing')[1] AS absent_val,
+               CAST(len(map_keys(mp)) AS INTEGER) AS m_size,
+               array_to_string(
+                   map_keys(map_concat(mp, MAP(['extra'], ['1']))), ','
+               ) AS concat_keys,
+               to_json(struct_pack(id := event_id, kind := event_type))
+                   AS struct_json,
+               struct_pack(id := event_id, kind := event_type).kind
+                   AS struct_field
+        FROM m
+    """,
+    tags=("scalar", "functions", "P7", "P11"),
+    doc="Map/struct function battery: construction (map from arrays, "
+    "named struct), key/value extraction, missing-key null, size, "
+    "concat, field access, and JSON serialization — the dynamic "
+    "attribute-map surface of the reference's DynamoDB images "
+    "(index.js:350-385; the connector's IMAGE_SCHEMA is exactly such a "
+    "map) pinned cross-engine. Maps/structs never cross the gate raw: "
+    "keys/values are array_join-serialized, structs go out as "
+    "canonical JSON.",
+)
+def map_struct_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    mp = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    st = F.struct(
+        F.col("event_id").alias("id"), F.col("event_type").alias("kind")
+    )
+    return df.select(
+        "event_id",
+        F.array_join(F.map_keys(mp), ",").alias("keys_joined"),
+        F.array_join(F.map_values(mp), ",").alias("vals_joined"),
+        F.element_at(mp, "type").alias("type_val"),
+        F.element_at(mp, "missing").alias("absent_val"),
+        F.size(mp).alias("m_size"),
+        F.array_join(
+            F.map_keys(
+                F.map_concat(mp, F.create_map(F.lit("extra"), F.lit("1")))
+            ),
+            ",",
+        ).alias("concat_keys"),
+        F.to_json(st).alias("struct_json"),
+        st.getField("kind").alias("struct_field"),
+    )

@@ -244,3 +244,114 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "table_integrity_checksum",
+    oracle="""
+        WITH h AS (
+            SELECT bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+                       CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                       event_type)), 1, 15) AS BIGINT)) AS checksum,
+                   count(*) AS n_rows
+            FROM events
+        ), h2 AS (
+            SELECT bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+                       CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                       o_orderpriority)), 1, 15) AS BIGINT))
+                       AS checksum,
+                   count(*) AS n_rows
+            FROM orders
+        )
+        SELECT 'events' AS table_name, n_rows, checksum FROM h
+        UNION ALL
+        SELECT 'orders' AS table_name, n_rows, checksum FROM h2
+        ORDER BY table_name
+    """,
+    tags=("quality", "aggregation", "scale", "A1"),
+    doc="Distributed table checksum: bit_xor of a per-row content hash "
+    "(md5 prefix as int) — order- and partition-independent, one "
+    "map-side-combinable pass, so two clusters (or two engine versions) "
+    "can certify a 100 TB table equal with 16 bytes of exchange. The "
+    "job-level integrity analog of the reference's per-record "
+    "verification (index.js:124-141).",
+)
+def table_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def table_sum(df, cols, name):
+        row_hash = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(row_hash).alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return table_sum(
+        events,
+        [
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        ],
+        "events",
+    ).unionAll(
+        table_sum(
+            orders,
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+            ],
+            "orders",
+        )
+    ).orderBy("table_name")
+
+
+@register(
+    "data_quality_profile",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(count(*) - count(user_id) AS BIGINT) AS null_users,
+               CAST(count(*) - count(value) AS BIGINT) AS null_values,
+               CAST(count(*) - count(props) AS BIGINT) AS null_props,
+               CAST(min(value) AS DOUBLE) AS min_value,
+               CAST(max(value) AS DOUBLE) AS max_value,
+               CAST(count_if(value < 0) AS BIGINT) AS n_negative,
+               CAST(count_if(length(props) > 0
+                             AND json_valid(props) = FALSE) AS BIGINT)
+                   AS n_corrupt_json
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("quality", "aggregation", "F7", "E1"),
+    doc="Data-quality profile: per-partition-key null rates, value "
+    "ranges, constraint violations (negative values), and corrupt-JSON "
+    "counts in one pass — the batch form of the reference's per-record "
+    "required-field validation and error tallying (index.js:167-190, "
+    "617-656). One map-side-combinable aggregation; at 100 TB this is "
+    "the pre-flight gate a pipeline runs before committing a snapshot.",
+)
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return (
+        events.groupBy("event_type")
+        .agg(
+            n.alias("n_rows"),
+            (n - F.count("user_id")).alias("null_users"),
+            (n - F.count("value")).alias("null_values"),
+            (n - F.count("props")).alias("null_props"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count_if(F.col("value") < 0).alias("n_negative"),
+            F.count_if(
+                (F.length("props") > 0)
+                & F.get_json_object("props", "$").isNull()
+            ).alias("n_corrupt_json"),
+        )
+        .orderBy("event_type")
+    )

@@ -1137,3 +1137,121 @@ def streaming_python_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(body, "$.payload.user_id").cast("long").alias("user_id"),
         F.get_json_object(body, "$.payload.event_type").alias("event_type"),
     )
+
+
+@register(
+    "streaming_outer_join_e2e",
+    oracle="""
+        WITH wm AS (
+            -- Spark's global watermark is the MIN across the query's
+            -- watermark operators (multipleWatermarkPolicy=min): one per
+            -- filtered stream, so min(max purchase ts, max click ts) - delay.
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                (SELECT max(ts) FROM events WHERE event_type = 'click')
+            ) - INTERVAL 10 MINUTE AS w
+        )
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.ts AS purchase_ts,
+               c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        UNION ALL
+        SELECT p.user_id, p.event_id, NULL, p.ts, NULL
+        FROM events p, wm
+        WHERE p.event_type = 'purchase'
+          AND p.ts < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.user_id = p.user_id
+                AND c.event_type = 'click'
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+                AND c.ts <= p.ts
+          )
+    """,
+    tags=("streaming", "stream-stream-join", "outer", "S1"),
+    doc="Stream-stream LEFT OUTER interval join e2e: matched pairs emit "
+    "on match; unmatched purchases emit null-padded only once the "
+    "watermark proves no qualifying click can still arrive. The global "
+    "watermark is the MIN across both per-stream watermark operators "
+    "(default multipleWatermarkPolicy=min), so under availableNow's "
+    "final flush batch the terminal watermark is "
+    "min(max purchase ts, max click ts) - 10 min. "
+    "The oracle reproduces that emission rule exactly — "
+    "purchases too close to the end of the stream are correctly "
+    "withheld, which is the semantics that makes outer joins safe on "
+    "unbounded streams.",
+)
+def streaming_outer_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same state-bounding as the inner variant (each side keeps ~1h of
+    rows per user); the outer part adds an eviction-time emission. The
+    null-padded rows are exactly the left rows whose join window closed
+    below the final watermark — deterministic because replay chunks are
+    exact ts slices and availableNow runs a terminal no-data batch."""
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        purchases = (
+            replay.read_event_stream(spark, staged, schema)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        clicks = (
+            replay.read_event_stream(spark, staged, schema)
+            .filter(F.col("event_type") == "click")
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        ).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            "purchase_ts",
+            "click_ts",
+        )
+        qname = f"outer_join_e2e_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "streaming_outer_join_e2e: availableNow query did not "
+                "terminate within 240s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(qname)

@@ -1255,3 +1255,4 @@ def streaming_outer_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(qname)
+

@@ -386,3 +386,119 @@ def test_sessionize_fn_chunk_spanning_and_state_carry():
     out2 = pd.concat(list(fn((1,), iter([pdf([(4, 9010), (5, 16300)])]), state)))
     got2 = dict(zip(out2.event_id, zip(out2.session_no, out2.event_in_session)))
     assert got2 == {4: (2, 2), 5: (3, 1)}
+
+
+class _FakeMapState:
+    """Minimal MapState double for unit-testing FirstTouchProcessor."""
+
+    def __init__(self):
+        self._d = {}
+
+    def containsKey(self, k):
+        return k in self._d
+
+    def updateValue(self, k, v):
+        self._d[k] = v
+
+
+def test_first_touch_processor_chunk_and_batch_semantics():
+    """Chunk order must not matter (concat+sort before iterating), and
+    state must suppress re-emission across batches."""
+    import pandas as pd
+
+    from dynamodb_stream_processor_2_0_spark.streaming.first_touch import (
+        FirstTouchProcessor,
+    )
+
+    p = FirstTouchProcessor()
+    p._seen = _FakeMapState()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+
+    # batch 1: two chunks, the true first 'click' (event 1, t=0) is in
+    # the SECOND chunk — a chunk-order-sensitive implementation would
+    # pick event 3 (t=5) instead.
+    out1 = pd.concat(
+        list(
+            p.handleInputRows(
+                (7,),
+                iter([pdf([(3, 5, "click"), (2, 9, "view")]),
+                      pdf([(1, 0, "click")])]),
+                None,
+            )
+        )
+    )
+    got1 = dict(zip(out1.event_type, out1.first_event_id))
+    assert got1 == {"click": 1, "view": 2}
+    assert list(out1.user_id.unique()) == [7]
+
+    # batch 2: repeat types emit nothing; a new type emits once.
+    out2 = list(
+        p.handleInputRows(
+            (7,),
+            iter([pdf([(9, 20, "click"), (10, 21, "purchase")])]),
+            None,
+        )
+    )
+    got2 = dict(zip(out2[0].event_type, out2[0].first_event_id))
+    assert got2 == {"purchase": 10}
+
+
+def test_first_touch_transform_with_state_e2e(spark, sf_dir):
+    """Full transformWithStateInPandas run — requires google.protobuf
+    (the new API's state-server protocol), absent in this container."""
+    pytest.importorskip("google.protobuf")
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+    from dynamodb_stream_processor_2_0_spark.streaming.first_touch import (
+        apply_first_touch,
+    )
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    try:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        stream = replay.read_event_stream(spark, staged, schema)
+        qname = f"first_touch_{uuid.uuid4().hex[:8]}"
+        q = (
+            apply_first_touch(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+    got = {
+        (r.user_id, r.event_type): r.first_event_id
+        for r in spark.table(qname).collect()
+    }
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_type): r.event_id
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dynamodb_stream_processor_2_0_spark.config import DEFAULT_CONFIG
 from dynamodb_stream_processor_2_0_spark.operators import disposition as D
@@ -204,6 +204,28 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARTITIONED_STAGE_CACHE: dict[str, str] = {}
 
 
+def _stage_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written partitionBy(event_type): one directory per type,
+    shared by the static- and dynamic-pruning queries."""
+    from dynamodb_stream_processor_2_0_spark.sources import formats
+
+    if sf_dir not in _PARTITIONED_STAGE_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="events_part_")
+        staged = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            "event_type",
+        )
+        formats.write_batch(
+            staged, path, fmt="parquet", partition_by=["event_type"]
+        )
+        _PARTITIONED_STAGE_CACHE[sf_dir] = path
+    return _PARTITIONED_STAGE_CACHE[sf_dir]
+
+
 @register(
     "source_partitioned_pruning",
     oracle="""
@@ -226,23 +248,10 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions. ts is intentionally excluded from the projection: the
     staged copy does not re-apply the nanos rebuild, and the query is
     about the access path, not the timestamp column."""
-    from pyspark.sql import functions as F
-
     from dynamodb_stream_processor_2_0_spark.sources import formats
 
-    if sf_dir not in _PARTITIONED_STAGE_CACHE:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="events_part_")
-        staged = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            "user_id",
-            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-            "event_type",
-        )
-        formats.write_batch(staged, path, fmt="parquet", partition_by=["event_type"])
-        _PARTITIONED_STAGE_CACHE[sf_dir] = path
-    df = formats.read_batch(spark, _PARTITIONED_STAGE_CACHE[sf_dir], fmt="parquet")
+    path = _stage_partitioned_events(spark, sf_dir)
+    df = formats.read_batch(spark, path, fmt="parquet")
     return df.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "event_type", "value_cents"
     )
@@ -620,4 +629,61 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         F.get_json_object(body, "$.payload.event_id").cast("long").alias("event_id"),
         F.get_json_object(body, "$.payload.user_id").cast("long").alias("user_id"),
         F.get_json_object(body, "$.payload.event_type").alias("event_type"),
+    )
+
+
+@register(
+    "source_dynamic_partition_pruning",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type FROM events
+            GROUP BY event_type
+            HAVING count(*) >= 0.15 * (SELECT count(*) FROM events)
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events e
+        JOIN dim d ON d.event_type = e.event_type
+        GROUP BY e.event_type
+    """,
+    tags=("source", "partitioning", "join", "scale"),
+    doc="Dynamic partition pruning: the hive-partitioned events fact is "
+    "joined to a dim whose qualifying rows are only known at RUNTIME "
+    "(event types holding >= 15% of traffic), so no literal predicate "
+    "exists to prune with at planning time — Catalyst injects a "
+    "dynamicpruning#N subquery on the partition column from the "
+    "broadcast dim, and the fact scan lists only matching directories. "
+    "At 100 TB this is the difference between scanning 5 partitions "
+    "and 2 — the pruning travels with the join, no manual predicate "
+    "maintenance (tests/test_plan_shapes.py asserts the plan shape).",
+)
+def source_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dim aggregates the ORIGINAL events table (a different file
+    set than the staged fact), so Catalyst cannot constant-fold the
+    HAVING into a static partition filter; the broadcast exchange is
+    reused as the pruning filter (`ReusedExchange` under the scan's
+    dynamicpruning subquery — free at runtime)."""
+    from dynamodb_stream_processor_2_0_spark.sources import formats
+
+    path = _stage_partitioned_events(spark, sf_dir)
+    fact = formats.read_batch(spark, path, fmt="parquet")
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 0.15 * total)
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
     )

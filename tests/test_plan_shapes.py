@@ -137,3 +137,13 @@ def test_aqe_coalesces_oversized_shuffle(spark, sf_dir_medium):
         assert "AQEShuffleRead coalesced" in plan
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The runtime-dim join must inject a dynamicpruning subquery on the
+    partition column of the staged fact scan (no literal predicate
+    exists at plan time), and the dim side must broadcast."""
+    df = registry.get("source_dynamic_partition_pruning").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "dynamicpruning" in plan
+    assert "BroadcastHashJoin" in plan

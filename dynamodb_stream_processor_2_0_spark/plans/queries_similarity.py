@@ -198,3 +198,19 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5)
+
+
+@register(
+    "embedding_int8_quant_topk",
+    oracle=S.int8_quantized_topk_oracle_sql(k=5, query_pred=_QUERY_PRED_SQL),
+    tags=("similarity", "llm", "ann", "quantization"),
+    doc="Int8-quantized top-5 per query: per-vector symmetric scalar "
+    "quantization (round(x*127/max|x|)) then exact integer dot-product "
+    "ranking — the 4x-compressed scan side of a shortlist+rerank ANN "
+    "pipeline; integer scores make the result engine-exact by "
+    "construction (no float ordering at the gate).",
+)
+def embedding_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return S.int8_quantized_topk(emb, queries, k=5)

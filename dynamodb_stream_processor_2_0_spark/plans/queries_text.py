@@ -733,3 +733,73 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle="""
+        WITH counts AS (
+            SELECT source, count(*) AS n_s FROM documents GROUP BY source
+        ), weighted AS (
+            SELECT source, n_s,
+                   CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                        THEN 2.0 ELSE 1.0 END AS wgt
+            FROM counts
+        ), tot AS (
+            SELECT sum(wgt) AS total_w, sum(n_s) AS total_n FROM weighted
+        ), rates AS (
+            SELECT source,
+                   least(1.0, ((wgt / total_w) * (0.4 * total_n)) / n_s)
+                       AS rate
+            FROM weighted, tot
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST(concat('0x', substr(md5(concat('mix:', d.doc_id)), 1, 8))
+                   AS BIGINT) % 1000000
+              < CAST(floor(r.rate * 1000000) AS BIGINT)
+    """,
+    tags=("text", "llm", "sampling", "mixture"),
+    doc="Weighted mixture sampling: per-source target weights (even "
+    "sources 2x odd) are converted into per-source acceptance rates "
+    "against a 40% corpus budget at RUNTIME (rate = share * budget / "
+    "count, capped at 1), then rows are admitted by deterministic md5 "
+    "hash threshold — the mechanism behind training-data mixture "
+    "rebalancing (upweight books, downweight web): reproducible across "
+    "engines, runs, and cluster sizes, one broadcast join + a pushed "
+    "scan filter, no shuffle of the corpus.",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rates are derived from the actual per-source counts (a runtime
+    aggregate, like the DPP dim), so weight changes need no manual rate
+    table. Hash-threshold admission keeps subsets monotone under budget
+    increases. Double arithmetic is order-pinned to match the oracle:
+    (wgt/total_w) * (0.4*total_n), then / n_s, then floor(*1e6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    weighted = counts.withColumn(
+        "wgt",
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2.0)
+        ).otherwise(F.lit(1.0)),
+    )
+    tot = weighted.agg(
+        F.sum("wgt").alias("total_w"), F.sum("n_s").alias("total_n")
+    )
+    rates = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            ((F.col("wgt") / F.col("total_w"))
+             * (F.lit(0.4) * F.col("total_n"))) / F.col("n_s"),
+        ).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h % 1000000 < F.floor(F.col("rate") * 1000000).cast("bigint"))
+        .select("doc_id", "source", "lang")
+    )

@@ -591,6 +591,13 @@ def with_int8_quant(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
     df = df.withColumn("_qscale", F.lit(127.0) / F.greatest(absmax, F.lit(1e-30)))
+    # Exchange barrier between the scale and the per-element transform:
+    # CollapseProject would otherwise substitute the absmax fold INTO the
+    # transform lambda, and lambda bodies get no subexpression
+    # elimination in interpreted eval — an O(dim^2) re-scan per vector
+    # (measured 3s -> 0.1s for 2k x 64 at sf0.1). The shuffle also
+    # breaks the single-file-scan = single-task trap for the array work.
+    df = df.repartition(F.col("vec_id") if "vec_id" in df.columns else F.spark_partition_id())
     return df.withColumn(
         out_col,
         F.transform(

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "dynamodb_stream_processor_2_0_spark.plans.queries_multimodal",
     "dynamodb_stream_processor_2_0_spark.plans.queries_udf",
     "dynamodb_stream_processor_2_0_spark.plans.queries_advanced",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_temporal_graph",
     "dynamodb_stream_processor_2_0_spark.plans.queries_similarity",
     "dynamodb_stream_processor_2_0_spark.plans.queries_streaming_batch",
 )

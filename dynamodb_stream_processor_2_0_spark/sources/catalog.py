@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 TABLES = (
     "region",
@@ -29,9 +29,11 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns written as parquet TIMESTAMP(NANOS) — Spark rejects those by
-# default; we read them as raw nanos (legacy conf) and rebuild a
-# timestamp ourselves. Everything else reads natively.
+# Columns that MAY be written as parquet TIMESTAMP(NANOS) — Spark
+# rejects those by default; we read them as raw nanos (legacy conf) and
+# rebuild a timestamp ourselves. Datasets written with TIMESTAMP(MICROS)
+# read natively as TIMESTAMP_NTZ and need no conversion; the check is on
+# the actual read-back type, not the dataset generation vintage.
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -60,7 +62,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in nanos_cols:
-        df = df.withColumn(col, _nanos_long_to_ts_ntz(col))
+        # Only nanos columns surface as BIGINT under nanosAsLong; a
+        # micros file already reads as TIMESTAMP_NTZ and passes through.
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, _nanos_long_to_ts_ntz(col))
     return df
 
 

@@ -1256,3 +1256,91 @@ def streaming_outer_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(qname)
 
+
+
+@register(
+    "streaming_chained_window_agg_e2e",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(DISTINCT CAST(floor(epoch(ts) / 21600) AS BIGINT))
+                   AS n_6h_windows,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY day
+        HAVING CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ORDER BY day
+    """,
+    tags=("streaming", "watermark", "window", "chained", "A1"),
+    doc="Chained streaming window aggregation (Spark 3.4+): 6-hour "
+    "tumbling pre-aggregate rolled into daily totals in the SAME "
+    "streaming query — the second groupBy consumes the first's window "
+    "column directly. The daily state operator holds 6h partials "
+    "(4 rows/day) instead of raw events, the hierarchical-rollup shape "
+    "that keeps state bounded at 100 TB/day ingest. Emission rule "
+    "matches single-window append: a day emits when the watermark "
+    "passes its end; the oracle filters days by max(ts) - 10min.",
+)
+def streaming_chained_window_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both aggs share one watermark (10 min); the daily window's
+    n_6h_windows proves the roll really consumed pre-aggregated rows
+    (4 per full day), not raw events. UTC pinning as in
+    streaming_window_agg_e2e: window alignment and the rendered day
+    label are timezone-scoped."""
+    import uuid
+
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        if int(prior_parts) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        six_hourly = (
+            replay.read_event_stream(spark, staged, schema)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "6 hours").alias("w6"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        daily = (
+            six_hourly.groupBy(F.window(F.col("w6"), "1 day").alias("wd"))
+            .agg(
+                F.count(F.lit(1)).alias("n_6h_windows"),
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+            .select(
+                F.date_format("wd.start", "yyyy-MM-dd").alias("day"),
+                "n_6h_windows",
+                "n_events",
+                "sum_cents",
+            )
+        )
+        qname = f"stream_chained_{uuid.uuid4().hex[:8]}"
+        q = (
+            daily.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_chained_window_agg_e2e: availableNow query "
+                "did not terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+    return spark.table(qname).orderBy("day")

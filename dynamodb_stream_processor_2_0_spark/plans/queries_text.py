@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dynamodb_stream_processor_2_0_spark.functions import text as TX
 from dynamodb_stream_processor_2_0_spark.plans.registry import register
@@ -802,4 +802,131 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(h % 1000000 < F.floor(F.col("rate") * 1000000).cast("bigint"))
         .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "doc_chunk_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), base AS (
+            SELECT doc_id, toks, len(toks) AS n
+            FROM toks WHERE len(toks) > 0
+        ), starts AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, n - 1, 24)) AS s
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(s // 24 AS INTEGER) AS chunk_id,
+               len(list_slice(toks, s + 1, s + 32)) AS n_chunk_tokens,
+               md5(array_to_string(list_slice(toks, s + 1, s + 32), ' '))
+                   AS chunk_md5
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "chunking", "P8", "P9"),
+    doc="Overlapping token-window chunking (size 32, stride 24): the "
+    "document -> training-sample / RAG-passage splitter. Pure "
+    "generator-side arithmetic (sequence + explode + slice), no UDF, "
+    "no shuffle: chunk rows are produced inside the scan stage and "
+    "carry only (doc_id, chunk_id, md5) downstream — at 100 TB the "
+    "chunker is map-only and embarrassingly parallel.",
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk text is reduced to md5 at the boundary so the gate compares
+    content without shipping 32-token strings; slice() clamps the tail
+    chunk on both engines (1-based, length- vs end-bounded forms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(s div 24 AS INT)").alias("chunk_id"),
+            F.expr("size(slice(toks, s + 1, 32))").alias("n_chunk_tokens"),
+            F.expr("md5(array_join(slice(toks, s + 1, 32), ' '))").alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+        WITH term_rows AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> length(t) >= 4)) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM term_rows GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC,
+                                tf.term
+                   ) AS rank
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, rank, term, tf, df, score
+        FROM scored WHERE rank <= 5
+        ORDER BY doc_id, rank
+    """,
+    tags=("text", "tfidf", "A1", "join"),
+    doc="TF-IDF top-5 keywords per document. Scoring uses the exact "
+    "rational tf*N/df (one IEEE division of exact integers — "
+    "bit-identical across engines, unlike ln-based idf where libm "
+    "rounding diverges). tf and df are both map-side-combined "
+    "aggregates; the tf-df join shuffles on term, and the per-doc "
+    "top-5 is a bounded window — the classic two-pass corpus "
+    "statistic, all JVM-side.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    term_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: F.length(t) >= 4,
+            )
+        ).alias("term"),
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dynamodb_stream_processor_2_0_spark.plans.registry import register
-from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table, register_views
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
 
 
 @register(
@@ -86,31 +86,16 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECURSIVE_WALK_SQL = """
-    WITH RECURSIVE walk(o_custkey, rn, depth, running_cents) AS (
-        SELECT o_custkey, rn, 1 AS depth, cents AS running_cents
-        FROM (
-            SELECT o_custkey,
-                   row_number() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                   ) AS rn,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-            FROM orders
-        ) WHERE rn = 1
+_RECURSIVE_WALK_STEP = """
+    WITH RECURSIVE {extra_ctes} walk(o_custkey, rn, depth, running_cents) AS (
+        SELECT {anchor_hint} o_custkey, rn, 1 AS depth, cents AS running_cents
+        FROM {ranked} WHERE rn = 1
         UNION ALL
-        SELECT o.o_custkey, o.rn, w.depth + 1,
+        SELECT {step_hint} o.o_custkey, o.rn, w.depth + 1,
                w.running_cents + o.cents
         FROM walk w
-        JOIN (
-            SELECT o_custkey,
-                   row_number() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                   ) AS rn,
-                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-            FROM orders
-        ) o ON o.o_custkey = w.o_custkey AND o.rn = w.rn + 1
+        JOIN {ranked} o
+          ON o.o_custkey = w.o_custkey AND o.rn = w.rn + 1
         WHERE w.depth < 8
     )
     SELECT depth,
@@ -121,10 +106,25 @@ _RECURSIVE_WALK_SQL = """
     ORDER BY depth
 """
 
+_RANKED_SQL = """
+    SELECT o_custkey,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+           ) AS rn,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+"""
+
 
 @register(
     "recursive_order_chain_walk",
-    oracle=_RECURSIVE_WALK_SQL,
+    oracle=_RECURSIVE_WALK_STEP.format(
+        extra_ctes=f"ranked AS ({_RANKED_SQL}),",
+        ranked="ranked",
+        anchor_hint="",
+        step_hint="",
+    ),
     tags=("relational", "recursive-cte", "sql-api"),
     doc="Iterative traversal via Spark 4 recursive CTE: each customer's "
     "orders form a date-ordered linked list; the walk starts at rn=1 "
@@ -136,11 +136,43 @@ _RECURSIVE_WALK_SQL = """
     "always scans everything once per frame.",
 )
 def recursive_order_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same SQL text on both engines: WITH RECURSIVE is ANSI and Spark
-    4.1's fixpoint operator accepts the anchor/step UNION ALL shape
-    directly; cents as BIGINT keeps the running sum exact."""
-    register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_WALK_SQL)
+    """Spark's fixpoint operator re-evaluates every relation the step
+    references once per level — an inline window subquery would pay 8
+    full sorts of orders. The ranked chain is therefore computed ONCE,
+    pruned to rn <= depth cap (the walk can never reach deeper), and
+    materialized to parquet; each recursion level is then a cheap
+    columnar scan + equi-join. DuckDB's recursive executor memoizes
+    plain CTEs, so the oracle keeps the single-CTE form."""
+    import tempfile
+
+    # The walk table is pruned to rn <= 8 (the walk can never go
+    # deeper), so it is orders-of-magnitude smaller than orders; a
+    # single file keeps every fixpoint level a single-task map job.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("rn") <= 8)
+    )
+    path = tempfile.mkdtemp(prefix="order_chain_ranked_")
+    ranked.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("order_chain_ranked")
+    # Broadcasting the (pruned, materialized) ranked side turns every
+    # recursion level into a map-only join — no per-level shuffle. At a
+    # scale where ranked outgrows the broadcast threshold, drop the hint
+    # and pre-bucket both sides on o_custkey instead.
+    return spark.sql(
+        _RECURSIVE_WALK_STEP.format(
+            extra_ctes="",
+            ranked="order_chain_ranked",
+            anchor_hint="/*+ REPARTITION(1) */",
+            step_hint="/*+ BROADCAST(o) */",
+        )
+    )
 
 
 @register(

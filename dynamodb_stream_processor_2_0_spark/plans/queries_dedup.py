@@ -314,3 +314,46 @@ def fuzzy_match_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFra
         .select("block", "name_a", "name_b", "edit_dist", "n_a", "n_b")
         .orderBy("block", "name_a", "name_b")
     )
+
+
+@register(
+    "graph_triangle_enumerate",
+    oracle=f"""
+        WITH e AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()})
+        )
+        SELECT e1.doc_a AS doc_x, e1.doc_b AS doc_y, e2.doc_b AS doc_z
+        FROM e e1
+        JOIN e e2 ON e2.doc_a = e1.doc_b
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ORDER BY doc_x, doc_y, doc_z
+    """,
+    tags=("dedup", "graph", "join", "llm", "scale"),
+    doc="Triangle enumeration over the MinHash-LSH candidate-pair graph "
+    "(edges kept as doc_a < doc_b, so each triangle x<y<z appears "
+    "exactly once): dense near-dup cliques betray template/boilerplate "
+    "families that pairwise dedup underestimates. Two self-joins on the "
+    "(already small) surviving edge list — the standard compact-forward "
+    "enumeration; at larger edge counts the join order pivots on vertex "
+    "degree, which Catalyst handles once edge stats exist.",
+)
+def graph_triangle_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_x"),
+            F.col("e1.doc_b").alias("doc_y"),
+            F.col("e2.doc_b").alias("doc_z"),
+        )
+        .orderBy("doc_x", "doc_y", "doc_z")
+    )

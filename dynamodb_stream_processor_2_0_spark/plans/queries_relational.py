@@ -1933,3 +1933,61 @@ def window_range_frame_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("cents").over(w).alias("trailing_1h_cents"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+        WITH yearly AS (
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY nation, yr
+        )
+        SELECT nation, yr, revenue_cents,
+               lag(revenue_cents) OVER (
+                   PARTITION BY nation ORDER BY yr
+               ) AS prev_cents,
+               CAST(revenue_cents - lag(revenue_cents) OVER (
+                   PARTITION BY nation ORDER BY yr
+               ) AS BIGINT) AS delta_cents
+        FROM yearly
+        ORDER BY nation, yr
+    """,
+    tags=("relational", "window", "timeseries", "A1"),
+    doc="Year-over-year revenue delta per nation: broadcast dim joins "
+    "into a (nation, year) rollup, then lag() over the tiny aggregated "
+    "series. The window runs AFTER aggregation — 175 rows, not 1.5M — "
+    "the put-the-window-on-the-rollup shape that matters at 100 TB "
+    "(a pre-agg window would sort the fact table).",
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    w = W.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue_cents").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        (F.col("revenue_cents") - prev).cast("long").alias("delta_cents"),
+    ).orderBy("nation", "yr")

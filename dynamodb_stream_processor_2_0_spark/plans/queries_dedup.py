@@ -357,3 +357,94 @@ def graph_triangle_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_x", "doc_y", "doc_z")
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       AS shingle
+            FROM toks
+            WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter,
+               CAST(n_inter AS DOUBLE) / sa.n_distinct AS containment_a,
+               CAST(n_inter AS DOUBLE) / sb.n_distinct AS containment_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_distinct,
+                       CAST(n_inter AS DOUBLE) / sb.n_distinct) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "containment", "llm", "join"),
+    doc="Asymmetric containment dedup: |A intersect B| / |A| over DISTINCT "
+    "3-gram shingles catches near-SUBSET documents (a doc quoted inside "
+    "a longer one) that symmetric Jaccard scores low. Same "
+    "inverted-index join shape as ngram_jaccard — only pairs sharing a "
+    "shingle are generated; the distinct-shingle dedup happens BEFORE "
+    "the self-join, shrinking the exploded stream. At 100 TB the "
+    "shingle key becomes xxhash64 so the shuffle carries 8-byte ints.",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # sub-3-token docs are excluded BEFORE sequence(): Spark's sequence
+    # auto-descends when start > stop (DuckDB returns empty) and with an
+    # explicit unit step it throws — the filter makes both unreachable.
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_distinct"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_distinct").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_distinct").alias("nb"))
+    ca = F.col("n_inter").cast("double") / F.col("na")
+    cb = F.col("n_inter").cast("double") / F.col("nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1991,3 +1991,58 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_cents"),
         (F.col("revenue_cents") - prev).cast("long").alias("delta_cents"),
     ).orderBy("nation", "yr")
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   max(CAST(o_orderdate AS DATE)) AS last_order,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders
+            GROUP BY o_custkey
+        ), scored AS (
+            SELECT custkey,
+                   ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
+                   ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary_cents, custkey) AS m_score
+            FROM base
+        )
+        SELECT r_score, f_score, m_score,
+               count(*) AS n_customers
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+    tags=("relational", "window", "segmentation", "A1"),
+    doc="RFM customer segmentation: recency/frequency/monetary quartile "
+    "scores (ntile with a custkey tiebreak for total order — the "
+    "determinism ntile needs), rolled into segment cell counts. The "
+    "ntile windows are global sorts over the per-customer rollup (15k "
+    "rows/SF), never the order fact table; at 100 TB the rollup is the "
+    "only shuffle that scales with data, and the three windows would "
+    "move to approx percentile cutpoints + a broadcast bin join.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = base.select(
+        "custkey",
+        F.ntile(4).over(W.orderBy("last_order", "custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy("monetary_cents", "custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

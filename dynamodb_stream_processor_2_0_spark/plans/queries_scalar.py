@@ -776,3 +776,41 @@ def map_struct_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(st).alias("struct_json"),
         st.getField("kind").alias("struct_field"),
     )
+
+
+@register(
+    "variant_json_shred",
+    oracle="""
+        SELECT event_id,
+               (props IS NOT NULL AND json_valid(props)) AS parsed_ok,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                    THEN 'BIGINT' END AS k_kind
+        FROM events
+        WHERE event_id < 4000
+        ORDER BY event_id
+    """,
+    tags=("scalar", "variant", "P2", "spark4"),
+    doc="Spark 4 VARIANT shredding: semi-structured props parse once "
+    "into the binary Variant encoding (try_parse_json — invalid rows "
+    "yield NULL, the reference's fail-open JSON guard, index.js:152-166) "
+    "and typed fields shred out via variant_get path extraction. Unlike "
+    "per-field get_json_object (which re-parses the string per column), "
+    "the Variant parse cost is paid once per row regardless of how many "
+    "fields shred — the 100 TB semi-structured scan pattern.",
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    v = F.try_parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            v.isNotNull().alias("parsed_ok"),
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.when(
+                F.variant_get(v, "$.k", "variant").isNotNull(),
+                F.schema_of_variant(F.variant_get(v, "$.k", "variant")),
+            ).alias("k_kind"),
+        )
+        .orderBy("event_id")
+    )

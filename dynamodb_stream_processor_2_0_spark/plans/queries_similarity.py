@@ -214,3 +214,80 @@ def embedding_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.int8_quantized_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_vector_hygiene",
+    oracle="""
+        WITH per_vec AS (
+            SELECT label,
+                   len(embedding) AS n_dims,
+                   sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (acc, v) -> acc + v)) AS norm,
+                   len(list_filter(embedding,
+                        x -> isnan(CAST(x AS DOUBLE))
+                             OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad
+            FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vectors,
+               min(n_dims) AS min_dims,
+               max(n_dims) AS max_dims,
+               CAST(sum(CAST(norm AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+                   AS mean_norm,
+               count(*) FILTER (WHERE norm = 0) AS n_zero,
+               count(*) FILTER (WHERE bad) AS n_nonfinite
+        FROM per_vec
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("similarity", "data-ops", "llm", "integrity"),
+    doc="Embedding-column hygiene audit: per-label vector counts, "
+    "dimension uniformity (min=max proves no ragged rows), mean L2 "
+    "norm (decimal-pinned sum, order-independent), zero-vector and "
+    "non-finite counts — the preflight every ANN/dedup pass needs "
+    "before trusting cosine math. Per-row norms fold sequentially "
+    "(deterministic); one map-side-combined shuffle on label.",
+)
+def embedding_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x0: x0.cast("double") * x0.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    bad = (
+        F.size(
+            F.filter(
+                "embedding",
+                lambda x0: F.isnan(x0.cast("double"))
+                | (F.abs(x0.cast("double")) == F.lit(float("inf"))),
+            )
+        )
+        > 0
+    )
+    per_vec = emb.select(
+        "label",
+        F.size("embedding").alias("n_dims"),
+        norm.alias("norm"),
+        bad.alias("bad"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("n_dims").alias("min_dims"),
+            F.max("n_dims").alias("max_dims"),
+            (
+                F.sum(F.col("norm").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_norm"),
+            F.count_if(F.col("norm") == 0).alias("n_zero"),
+            F.count_if("bad").alias("n_nonfinite"),
+        )
+        .orderBy("label")
+    )

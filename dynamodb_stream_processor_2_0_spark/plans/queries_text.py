@@ -930,3 +930,46 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tf", "df", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "sample_quota_per_source",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, lang,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('quota:', doc_id)), doc_id
+                   ) AS pick_order
+            FROM documents
+        )
+        SELECT doc_id, source, lang, pick_order
+        FROM ranked
+        WHERE pick_order <= 40
+        ORDER BY source, pick_order
+    """,
+    tags=("text", "sampling", "llm", "P9"),
+    doc="Per-source quota cap: every source contributes at most 40 "
+    "documents, chosen by deterministic hash order (md5 of a salted "
+    "doc_id) — the hard-cap companion to rate-based mixture sampling "
+    "(corpus_mixture_sample): rates enforce proportions, quotas enforce "
+    "ceilings. Hash-ranked selection is reproducible across engines, "
+    "runs, and cluster sizes, and monotone under quota increases. One "
+    "shuffle on source; the rank window never sees more than one "
+    "source's rows per partition.",
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).alias("pick_order"),
+        )
+        .filter(F.col("pick_order") <= 40)
+        .orderBy("source", "pick_order")
+    )

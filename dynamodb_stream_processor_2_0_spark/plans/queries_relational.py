@@ -2019,14 +2019,16 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("relational", "window", "segmentation", "A1"),
     doc="RFM customer segmentation: recency/frequency/monetary quartile "
-    "scores (ntile with a custkey tiebreak for total order — the "
-    "determinism ntile needs), rolled into segment cell counts. The "
-    "ntile windows are global sorts over the per-customer rollup (15k "
-    "rows/SF), never the order fact table; at 100 TB the rollup is the "
-    "only shuffle that scales with data, and the three windows would "
-    "move to approx percentile cutpoints + a broadcast bin join.",
+    "scores (custkey tiebreak for the total order ntile needs), rolled "
+    "into segment cell counts. A bare ntile() window would funnel the "
+    "rollup through one task (the engine's plan lint rejects it); each "
+    "score instead derives from the range-partitioned global_rank plus "
+    "the standard ntile bucket arithmetic — exact integer div, "
+    "bit-identical to the window form, no single-partition exchange.",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -2035,12 +2037,24 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    scored = base.select(
-        "custkey",
-        F.ntile(4).over(W.orderBy("last_order", "custkey")).alias("r_score"),
-        F.ntile(4).over(W.orderBy("frequency", "custkey")).alias("f_score"),
-        F.ntile(4).over(W.orderBy("monetary_cents", "custkey")).alias("m_score"),
-    )
+    n = base.agg(F.count(F.lit(1)).alias("_n"))
+    scored = base.crossJoin(F.broadcast(n))
+    for metric, out in (
+        ("last_order", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary_cents", "m_score"),
+    ):
+        scored = global_rank(scored, [metric, "custkey"], out_col="_rk")
+        # ntile(4): the first n%4 buckets take n//4+1 rows, the rest n//4
+        scored = scored.withColumn(
+            out,
+            F.expr(
+                "CAST(CASE WHEN _rk <= (_n % 4) * (_n div 4 + 1) "
+                "THEN (_rk - 1) div (_n div 4 + 1) + 1 "
+                "ELSE (_n % 4) + (_rk - 1 - (_n % 4) * (_n div 4 + 1)) "
+                "     div (_n div 4) + 1 END AS INT)"
+            ),
+        ).drop("_rk")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))

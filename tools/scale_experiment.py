@@ -151,6 +151,58 @@ def main() -> None:
         df_builder(data).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t
 
+    def tfidf_topk(docs):
+        from pyspark.sql import Window as W
+        term_rows = docs.select(
+            "doc_id",
+            F.explode(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                               lambda t: F.length(t) >= 4)).alias("term"))
+        tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+        return (tf.join(dfq, "term").crossJoin(F.broadcast(n))
+                .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5))
+
+    def shingle_containment(docs):
+        sh = (docs.withColumn("toks", F.split("text", " "))
+              .filter(F.size("toks") >= 3)
+              .select("doc_id", F.explode(F.transform(
+                  F.sequence(F.lit(1), F.size("toks") - 2),
+                  lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                        F.element_at("toks", i + 1),
+                                        F.element_at("toks", i + 2)))).alias("shingle"))
+              .distinct())
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_distinct"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_distinct").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_distinct").alias("nb"))
+        ca = F.col("n_inter").cast("double") / F.col("na")
+        cb = F.col("n_inter").cast("double") / F.col("nb")
+        return (inter.join(sa, "doc_a").join(sb, "doc_b")
+                .filter(F.greatest(ca, cb) >= 0.5))
+
+    def token_chunking(docs):
+        toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+        base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+        return (base.select("doc_id", "toks",
+                            F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(24))).alias("s"))
+                .select("doc_id",
+                        F.expr("md5(array_join(slice(toks, s + 1, 32), ' '))").alias("chunk_md5")))
+
+    def transition_matrix(ev):
+        from pyspark.sql import Window as W
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (ev.select(F.col("event_type").alias("f"),
+                          F.lead("event_type").over(w).alias("t"))
+                .filter(F.col("t").isNotNull())
+                .groupBy("f", "t").agg(F.count(F.lit(1)).alias("n")))
+
     cases = [
         ("disposition_summary", disposition, ev1, ev_n),
         ("minhash_lsh_pairs", minhash_pairs, docs1, docs_n),
@@ -162,6 +214,10 @@ def main() -> None:
         ("gopher_repetition", gopher_rules, docs1, docs_n),
         ("basket_pair_mining", basket_pairs, li1, li_n),
         ("bitmap_semi_join", bitmap_semi, (cust1, ord1), (cust_n, ord_n)),
+        ("tfidf_topk", tfidf_topk, docs1, docs_n),
+        ("shingle_containment", shingle_containment, docs1, docs_n),
+        ("token_chunking", token_chunking, docs1, docs_n),
+        ("transition_matrix", transition_matrix, ev1, ev_n),
     ]
     for label, fn, d1, dn in cases:
         a, b = run(fn, d1), run(fn, dn)

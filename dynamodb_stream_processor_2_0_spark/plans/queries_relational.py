@@ -2037,14 +2037,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    n = base.agg(F.count(F.lit(1)).alias("_n"))
-    scored = base.crossJoin(F.broadcast(n))
+    # The rollup is materialized once and its measured count sizes the
+    # rank exchanges (like the CC loop): a 15k-row rollup ranks in one
+    # partition instead of paying 3 full-width range exchanges
+    # (3.3 s -> sub-second at sf0.1); a 1e9-row rollup fans out.
+    base = base.localCheckpoint(eager=True)
+    n_rows = base.count()
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(session_width, n_rows // 500_000 + 1))
+    scored = base.withColumn("_n", F.lit(n_rows))
     for metric, out in (
         ("last_order", "r_score"),
         ("frequency", "f_score"),
         ("monetary_cents", "m_score"),
     ):
-        scored = global_rank(scored, [metric, "custkey"], out_col="_rk")
+        scored = global_rank(
+            scored, [metric, "custkey"], out_col="_rk", num_partitions=width
+        )
         # ntile(4): the first n%4 buckets take n//4+1 rows, the rest n//4
         scored = scored.withColumn(
             out,

@@ -339,6 +339,10 @@ def fuzzy_match_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def graph_triangle_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # the three self-join arms share one edge subtree; Catalyst reuses
+    # the exchange (ReusedExchange), so the signature pipeline runs once
+    # without any explicit materialization (checkpointing it measured
+    # SLOWER: eager exec + re-read beat exchange reuse by ~0.8 s)
     e = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
     e1 = e.alias("e1")
     e2 = e.alias("e2")

@@ -1344,3 +1344,104 @@ def streaming_chained_window_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFr
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         spark.conf.set("spark.sql.session.timeZone", prior_tz)
     return spark.table(qname).orderBy("day")
+
+
+@register(
+    "streaming_late_data_audit_e2e",
+    oracle="""
+        WITH tagged AS (
+            SELECT ts, value,
+                   CAST(concat('0x', substr(md5(concat('late:', event_id)), 1, 8))
+                        AS BIGINT) % 4 AS chunk
+            FROM events
+        ), chunk_stats AS (
+            SELECT chunk, max(ts) AS chunk_max FROM tagged GROUP BY chunk
+        ), wm AS (
+            -- the stateful operator's LATE FILTER in batch k uses the
+            -- PREVIOUS batch's watermark (consistent with the eviction
+            -- that already happened), i.e. event-time stats through
+            -- batch k-2, minus the 10-minute delay — measured and
+            -- pinned here; the (k-1)-stats rule drops 2-3x too much
+            SELECT chunk,
+                   max(chunk_max) OVER (
+                       ORDER BY chunk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+                   ) - INTERVAL 10 MINUTE AS wm_filter
+            FROM chunk_stats
+        ), survivors AS (
+            SELECT t.ts, t.value
+            FROM tagged t JOIN wm USING (chunk)
+            WHERE wm.wm_filter IS NULL
+               OR date_trunc('day', t.ts) + INTERVAL 1 DAY > wm.wm_filter
+        )
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM survivors
+        GROUP BY day
+        HAVING CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+               <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        ORDER BY day
+    """,
+    tags=("streaming", "watermark", "late-data", "A1"),
+    doc="Late-data semantics, oracle-pinned: events replay in HASH order "
+    "(arrival uncorrelated with event time), so the 10-minute watermark "
+    "genuinely drops late rows. The oracle reproduces Spark's exact "
+    "rule in SQL — a row in batch k is dropped iff its 1-day window "
+    "closed under the PREVIOUS batch's watermark (stats through batch "
+    "k-2; stateful operators filter with the late-events watermark one "
+    "batch behind eviction). The ts-ordered replays elsewhere never "
+    "trigger drops; this is the disorder path every production stream "
+    "actually takes.",
+)
+def streaming_late_data_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk boundaries are md5-deterministic and batch order is the
+    file-write order, so the drop set is reproducible run-to-run and
+    engine-to-engine; UTC pinning as in the other window e2e runs."""
+    import uuid
+
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        if int(prior_parts) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+        staged = replay.stage_event_chunks_hashed(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        agg = (
+            replay.read_event_stream(spark, staged, schema)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "n_events",
+                "sum_cents",
+            )
+        )
+        qname = f"stream_late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_late_data_audit_e2e: availableNow query did "
+                "not terminate within 180s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        spark.conf.set("spark.sql.session.timeZone", prior_tz)
+    return spark.table(qname).orderBy("day")

@@ -58,3 +58,33 @@ def read_event_stream(
         .parquet(f"{staged_dir}/chunk=*")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+
+
+def stage_event_chunks_hashed(
+    spark: SparkSession, sf_dir: str, chunks: int = 4, out_dir: str | None = None
+) -> str:
+    """Write events into ``chunks`` slices keyed by a deterministic hash
+    of event_id — arrival order is then UNCORRELATED with event time, so
+    replaying one chunk per micro-batch genuinely exercises watermark
+    late-data drops (the ts-ordered staging never produces late rows).
+    The same md5-derived assignment is expressible in the DuckDB oracle,
+    which makes the drop accounting itself oracle-checkable."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="events_hashed_")
+    events = load_table(spark, sf_dir, "events")
+    chunk = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("late:"), F.col("event_id"))), 1, 8), 16, 10)
+        .cast("bigint") % chunks
+    )
+    tagged = events.withColumn("chunk", chunk)
+    # sequential writes give strictly increasing mtimes, so the file
+    # stream replays chunk 0..n-1 in this order (same contract the
+    # ts-ordered staging relies on)
+    for i in range(chunks):
+        (
+            tagged.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/chunk={i}")
+        )
+    return out_dir

@@ -155,3 +155,107 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.token, t.token_len "
         "FROM udtf_docs_in, LATERAL token_positions(doc_id, text) t"
     )
+
+
+@register(
+    "grouped_pandas_robust_outliers",
+    oracle="""
+        WITH ranked AS MATERIALIZED (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY value, event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+            WHERE value IS NOT NULL
+        ), med AS (
+            -- lo + (hi - lo) * 0.5, the exact formula the pandas-side
+            -- kernel uses, so even-count medians are bit-identical
+            SELECT a.user_id,
+                   a.value + (b.value - a.value) * 0.5 AS median_value,
+                   a.n
+            FROM ranked a
+            JOIN ranked b
+              ON b.user_id = a.user_id AND b.rn = a.n - (a.n - 1) // 2
+            WHERE a.rn = (a.n + 1) // 2
+        ), dev AS MATERIALIZED (
+            SELECT r.user_id, m.median_value, m.n,
+                   abs(r.value - m.median_value) AS adev,
+                   row_number() OVER (
+                       PARTITION BY r.user_id
+                       ORDER BY abs(r.value - m.median_value), r.event_id
+                   ) AS rn
+            FROM ranked r JOIN med m USING (user_id)
+        ), mad AS (
+            SELECT a.user_id, a.median_value, a.n,
+                   a.adev + (b.adev - a.adev) * 0.5 AS mad
+            FROM dev a
+            JOIN dev b
+              ON b.user_id = a.user_id AND b.rn = a.n - (a.n - 1) // 2
+            WHERE a.rn = (a.n + 1) // 2
+        )
+        SELECT r.user_id,
+               any_value(m.median_value) AS median_value,
+               any_value(m.mad) AS mad,
+               count(*) FILTER (
+                   WHERE abs(r.value - m.median_value) > 3 * m.mad
+               ) AS n_outliers,
+               any_value(m.n) AS n_values
+        FROM ranked r JOIN mad m USING (user_id)
+        GROUP BY r.user_id
+        ORDER BY r.user_id
+    """,
+    tags=("udaf", "extension", "grouped-map", "llm"),
+    doc="Grouped-map applyInPandas (the one Pandas API shape the other "
+    "UDFs don't cover): per-user robust outlier stats — median, MAD, "
+    "and |v - med| > 3*MAD counts — computed as one Arrow batch per "
+    "user group. Median/MAD use lo + (hi-lo)*0.5 explicitly so the "
+    "DuckDB oracle's self-join median is bit-identical (pandas/numpy "
+    "median uses (a+b)/2, which rounds differently in the last ulp). "
+    "One shuffle on user_id; group batches are bounded by per-user "
+    "event counts (same contract as the sessionizer).",
+)
+def grouped_pandas_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        v = pdf["value"].to_numpy()
+
+        def interp_median(sorted_vals):
+            lo = sorted_vals[(n + 1) // 2 - 1]
+            hi = sorted_vals[n - (n - 1) // 2 - 1]
+            return lo + (hi - lo) * 0.5
+
+        med = interp_median(v)
+        adev = abs(pdf["value"] - med)
+        order = adev.to_frame("adev").assign(eid=pdf["event_id"].values)
+        order = order.sort_values(["adev", "eid"]).reset_index(drop=True)
+        a = order["adev"].to_numpy()
+        mad = interp_median(a)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [med],
+                "mad": [mad],
+                "n_outliers": [int((adev > 3 * mad).sum())],
+                "n_values": [n],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            stats,
+            "user_id long, median_value double, mad double, "
+            "n_outliers long, n_values long",
+        )
+        .orderBy("user_id")
+    )

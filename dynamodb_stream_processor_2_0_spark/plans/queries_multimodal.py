@@ -148,3 +148,54 @@ def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("resized").alias("n_resized_bytes"),
         F.md5(F.hex("resized").cast("binary")).alias("resized_md5"),
     )
+
+
+@register(
+    "multimodal_arrow_digest",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "llm", "map-in-arrow"),
+    doc="mapInArrow digest stage: content checksums over opaque binary "
+    "payloads computed directly on Arrow RecordBatches — no pandas "
+    "materialization at all, the lowest-overhead Python path (binary "
+    "columns round-trip through pandas as per-row Python bytes objects; "
+    "Arrow keeps them in contiguous buffers). The fixity-check stage of "
+    "a media-ingest pipeline; map-only, payload bytes cross the wire "
+    "once.",
+)
+def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def digest(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("payload")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([len(v.as_py()) for v in ids], pa.int64()),
+                    pa.array(
+                        [hashlib.md5(v.as_py()).hexdigest() for v in ids],
+                        pa.string(),
+                    ),
+                ],
+                ["doc_id", "n_bytes", "payload_md5"],
+            )
+
+    return (
+        payload.mapInArrow(
+            digest, "doc_id long, n_bytes long, payload_md5 string"
+        )
+        .orderBy("doc_id")
+    )

@@ -106,6 +106,11 @@ _RECURSIVE_WALK_STEP = """
     ORDER BY depth
 """
 
+# Above this many orders the ranked side stops being broadcast-safe
+# (~2M rows x ~24B = tens of MB serialized) and the bucketed-join path
+# takes over. Tests force it to 0 to exercise the large path.
+_CHAIN_WALK_BROADCAST_ROW_CAP = 2_000_000
+
 _RANKED_SQL = """
     SELECT o_custkey,
            row_number() OVER (
@@ -140,37 +145,75 @@ def recursive_order_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     references once per level — an inline window subquery would pay 8
     full sorts of orders. The ranked chain is therefore computed ONCE,
     pruned to rn <= depth cap (the walk can never reach deeper), and
-    materialized to parquet; each recursion level is then a cheap
-    columnar scan + equi-join. DuckDB's recursive executor memoizes
-    plain CTEs, so the oracle keeps the single-CTE form."""
-    import tempfile
+    materialized; each recursion level is then a cheap columnar scan +
+    equi-join. DuckDB's recursive executor memoizes plain CTEs, so the
+    oracle keeps the single-CTE form.
 
-    # The walk table is pruned to rn <= 8 (the walk can never go
-    # deeper), so it is orders-of-magnitude smaller than orders; a
-    # single file keeps every fixpoint level a single-task map job.
+    The physical layout is size-gated (same pattern as
+    connected_components' small-graph fast path, operators/dedup.py):
+
+    - small (<= spark_graft.chainwalk.broadcast_row_cap orders): a
+      single parquet file + BROADCAST hint makes every recursion level
+      a map-only join — no per-level shuffle at all.
+    - large: a table bucketed on o_custkey; each level then shuffles
+      only the shrinking walk frontier to the fixed bucket layout while
+      the ranked side is read shuffle-free. coalesce(1) and the
+      broadcast hint are never emitted on this path — either would be
+      the 100 TB bottleneck (single write task / OOM broadcast).
+    """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    # |ranked| <= |orders| (rn <= 8 prunes further); the column-less
+    # count is far cheaper than executing the window twice and is the
+    # same measured-size gate connected_components uses.
+    n_orders = orders.count()
+    cap = int(
+        spark.conf.get(
+            "spark_graft.chainwalk.broadcast_row_cap",
+            str(_CHAIN_WALK_BROADCAST_ROW_CAP),
+        )
+    )
+
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ranked = (
-        load_table(spark, sf_dir, "orders")
-        .select(
+        orders.select(
             "o_custkey",
             F.row_number().over(w).alias("rn"),
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .filter(F.col("rn") <= 8)
     )
+
     path = tempfile.mkdtemp(prefix="order_chain_ranked_")
-    ranked.coalesce(1).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView("order_chain_ranked")
-    # Broadcasting the (pruned, materialized) ranked side turns every
-    # recursion level into a map-only join — no per-level shuffle. At a
-    # scale where ranked outgrows the broadcast threshold, drop the hint
-    # and pre-bucket both sides on o_custkey instead.
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if n_orders <= cap:
+        ranked.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.sql(
+            _RECURSIVE_WALK_STEP.format(
+                extra_ctes="",
+                ranked=f"parquet.`{path}`",
+                anchor_hint="/*+ REPARTITION(1) */",
+                step_hint="/*+ BROADCAST(o) */",
+            )
+        )
+    # Large path: bucket on o_custkey so every fixpoint level reuses the
+    # written layout (walk frontier shuffles to it; ranked never does).
+    n_buckets = max(1, min(2048, n_orders // 500_000 + 1))
+    tbl = f"order_chain_ranked_{uuid.uuid4().hex}"
+    (
+        ranked.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "o_custkey")
+        .sortBy("o_custkey", "rn")
+        .saveAsTable(tbl)
+    )
     return spark.sql(
         _RECURSIVE_WALK_STEP.format(
-            extra_ctes="",
-            ranked="order_chain_ranked",
-            anchor_hint="/*+ REPARTITION(1) */",
-            step_hint="/*+ BROADCAST(o) */",
+            extra_ctes="", ranked=tbl, anchor_hint="", step_hint=""
         )
     )
 

@@ -134,3 +134,23 @@ def test_fk_audit_counts_planted_orphan(spark, tmp_path, sf_dir):
     rows = {r.fk: r for r in registry.get("fk_integrity_audit").fn(spark, out).collect()}
     assert rows["orders->customer"].n_orphans == 1
     assert rows["customer->nation"].n_orphans == 0
+
+
+def test_recursive_walk_large_path_takes_no_broadcast(spark, sf_dir):
+    """Forced over the broadcast-row cap, the walk must switch to the
+    bucketed co-partitioned join: no coalesce(1) single-file write, no
+    BroadcastHashJoin at any recursion level (either would be the
+    100 TB bottleneck), and identical results to the small path."""
+    spec = registry.get("recursive_order_chain_walk")
+    small = {(r.depth, r.n_customers, r.total_running_cents)
+             for r in spec.fn(spark, sf_dir).collect()}
+    spark.conf.set("spark_graft.chainwalk.broadcast_row_cap", "0")
+    try:
+        df = spec.fn(spark, sf_dir)
+        large = {(r.depth, r.n_customers, r.total_running_cents)
+                 for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark_graft.chainwalk.broadcast_row_cap")
+    assert "BroadcastHashJoin" not in plan
+    assert large == small

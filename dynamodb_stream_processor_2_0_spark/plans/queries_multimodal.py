@@ -177,18 +177,32 @@ def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def digest(batches):
         import hashlib
 
+        import numpy as np
         import pyarrow as pa
 
         for batch in batches:
-            ids = batch.column("payload")
+            payloads = batch.column("payload")
+            # Hash straight off the Arrow (offsets, data) buffers: the
+            # lengths come from the offsets vector and each md5 reads a
+            # zero-copy memoryview slice of the shared data buffer — no
+            # per-row as_py() bytes materialization.
+            assert payloads.null_count == 0, "payload column must be non-null"
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(payloads.type) else np.int32
+            )
+            offsets = np.frombuffer(payloads.buffers()[1], dtype=off_dtype)[
+                payloads.offset : payloads.offset + len(payloads) + 1
+            ]
+            data = memoryview(payloads.buffers()[2])
+            md5s = [
+                hashlib.md5(data[offsets[i] : offsets[i + 1]]).hexdigest()
+                for i in range(len(payloads))
+            ]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
-                    pa.array([len(v.as_py()) for v in ids], pa.int64()),
-                    pa.array(
-                        [hashlib.md5(v.as_py()).hexdigest() for v in ids],
-                        pa.string(),
-                    ),
+                    pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                    pa.array(md5s, pa.string()),
                 ],
                 ["doc_id", "n_bytes", "payload_md5"],
             )

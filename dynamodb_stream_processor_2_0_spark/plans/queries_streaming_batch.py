@@ -938,7 +938,21 @@ def streaming_incremental_rollup_e2e(spark: SparkSession, sf_dir: str) -> DataFr
 
         def upsert(batch_df, epoch_id):
             # Changed groups only; cumulative values -> last write wins.
-            for row in batch_df.collect():
+            # PRECONDITION: the rollup key (event_type) is bounded-
+            # cardinality (single digits here), which is what makes a
+            # driver-side collect of the update-mode delta safe. Do NOT
+            # copy this pattern for a high-cardinality rollup key —
+            # write the delta to a keyed sink (foreachBatch MERGE /
+            # partitioned parquet) instead. The guard makes the
+            # precondition loud if the key set ever grows.
+            rows = batch_df.collect()
+            if len(rows) > 10_000:
+                raise AssertionError(
+                    "incremental-rollup upsert collected "
+                    f"{len(rows)} delta rows; the driver-side snapshot "
+                    "pattern requires a bounded-cardinality rollup key"
+                )
+            for row in rows:
                 snapshot[row["event_type"]] = (
                     row["n_events"],
                     row["sum_cents"],
@@ -1361,13 +1375,15 @@ def streaming_chained_window_agg_e2e(spark: SparkSession, sf_dir: str) -> DataFr
             -- PREVIOUS batch's watermark (consistent with the eviction
             -- that already happened), i.e. event-time stats through
             -- batch k-2, minus the 10-minute delay — measured and
-            -- pinned here; the (k-1)-stats rule drops 2-3x too much
-            SELECT chunk,
-                   max(chunk_max) OVER (
-                       ORDER BY chunk
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
-                   ) - INTERVAL 10 MINUTE AS wm_filter
-            FROM chunk_stats
+            -- pinned here; the (k-1)-stats rule drops 2-3x too much.
+            -- Joined on the chunk NUMBER (b.chunk <= a.chunk - 2), not
+            -- a ROWS frame over chunk_stats, so an empty hash chunk
+            -- can never misalign the batch numbering.
+            SELECT a.chunk,
+                   max(b.chunk_max) - INTERVAL 10 MINUTE AS wm_filter
+            FROM chunk_stats a
+            LEFT JOIN chunk_stats b ON b.chunk <= a.chunk - 2
+            GROUP BY a.chunk
         ), survivors AS (
             SELECT t.ts, t.value
             FROM tagged t JOIN wm USING (chunk)

@@ -29,3 +29,19 @@ def test_documented_totals_match_registry():
     total, oracled = int(m.group(1)), int(m.group(2))
     assert total == len(registry.REGISTRY)
     assert oracled == sum(1 for s in registry.REGISTRY.values() if s.oracle)
+
+
+SCALE = Path(__file__).resolve().parent.parent / "SCALE.md"
+
+
+def test_scale_doc_counts_match_registry():
+    """SCALE.md is the file making the scale claims; its correctness-gate
+    header must state the exact registry counts (it drifted to a stale
+    '137/137' once)."""
+    registry._load()
+    text = SCALE.read_text()
+    m = re.search(r"(\d+) oracled of (\d+) registered", text)
+    assert m, "SCALE.md oracled-of-registered counts line missing"
+    oracled, total = int(m.group(1)), int(m.group(2))
+    assert total == len(registry.REGISTRY)
+    assert oracled == sum(1 for s in registry.REGISTRY.values() if s.oracle)

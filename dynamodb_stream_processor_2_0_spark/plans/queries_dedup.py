@@ -452,3 +452,64 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "first_touch_attribution",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id, event_type)
+                       AS n_touches
+            FROM events
+        )
+        SELECT user_id, event_type,
+               event_id AS first_event_id,
+               ts AS first_ts,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               CAST(n_touches - 1 AS BIGINT) AS n_suppressed
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+    tags=("D3", "D4", "attribution"),
+    doc="Batch-mode confirmation of streaming/first_touch.py's "
+    "transformWithStateInPandas semantics (the new-API state operator "
+    "cannot execute in this container — no protobuf — so its contract "
+    "gets an oracle row here instead): per (user, event_type) the first "
+    "event by (ts, event_id) is attributed and every later touch is "
+    "suppressed-and-counted, exactly what the MapState processor emits "
+    "plus the suppression tally. One shuffle on the grouping key; both "
+    "window frames share a single exchange+sort.",
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors FirstTouchProcessor (streaming/first_touch.py): identical
+    ordering rule (ts, event_id) and key (user_id, event_type); the
+    row_number pick is the batch analog of the MapState first-claim."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    part = Window.partitionBy("user_id", "event_type")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.row_number()
+            .over(part.orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(part).alias("n_touches"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.col("n_touches").cast("long").alias("n_touches"),
+            (F.col("n_touches") - 1).cast("long").alias("n_suppressed"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -78,6 +78,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "d2_cdc_old_new_diff",            # F5 F6 D2 — stale since r1
     "d3_state_lookup_routing",        # F11 E4 D3 — stale since r1
     "d5_first_occurrence_dedup",      # D4(batch) D5 — stale since r1
+    "first_touch_attribution",        # transformWithState batch twin — new
     "f8_email_validation",            # F8 P3
     "p5_key_building",                # P5 D5
     "p7_nested_document_build",       # P7

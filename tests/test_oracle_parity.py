@@ -1,6 +1,8 @@
 """Differential tests: every registered query with an oracle must match
-DuckDB exactly (the driver's gate, run here at sf0.001 for speed and at
-sf0.01 when SPARK_GRAFT_PARITY_MEDIUM=1)."""
+DuckDB exactly (the driver's gate), run at sf0.001 for the full registry
+and at sf0.01 (the driver's actual gate SF) for the driver-sample prefix
+by default — SPARK_GRAFT_PARITY_MEDIUM=1 widens the sf0.01 pass to every
+query, =0 disables it."""
 
 from __future__ import annotations
 
@@ -11,10 +13,27 @@ import pytest
 from dynamodb_stream_processor_2_0_spark.plans import registry
 from tests.oracle_harness import compare_query
 
+# The driver checks the first 50 queries() entries at sf0.01; run a bit
+# past that by default so next round's rotation candidates are already
+# gate-proven before they enter the sample.
+_MEDIUM_DEFAULT_PREFIX = 60
+
 
 def _specs():
     registry._load()
     return [s for s in registry.REGISTRY.values() if s.oracle is not None]
+
+
+def _medium_specs():
+    mode = os.environ.get("SPARK_GRAFT_PARITY_MEDIUM", "")
+    if mode == "0":
+        return []
+    ordered = list(registry.all_queries())
+    if mode != "1":
+        ordered = ordered[:_MEDIUM_DEFAULT_PREFIX]
+    return [
+        registry.REGISTRY[n] for n in ordered if registry.REGISTRY[n].oracle
+    ]
 
 
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
@@ -22,11 +41,7 @@ def test_parity_small(spark, sf_dir, spec):
     compare_query(spark, spec, sf_dir)
 
 
-@pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_PARITY_MEDIUM") != "1",
-    reason="set SPARK_GRAFT_PARITY_MEDIUM=1 for the sf0.01 pass",
-)
-@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+@pytest.mark.parametrize("spec", _medium_specs(), ids=lambda s: s.name)
 def test_parity_medium(spark, sf_dir_medium, spec):
     compare_query(spark, spec, sf_dir_medium)
 

@@ -502,3 +502,36 @@ def test_first_touch_transform_with_state_e2e(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_first_touch_batch_twin_matches_processor(spark, sf_dir):
+    """first_touch_attribution (the registered batch twin) must pick the
+    same winners as FirstTouchProcessor replaying the same events in
+    arbitrary chunk order — the semantic-equivalence proof behind giving
+    the transformWithState operator an oracle row via batch."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+    from dynamodb_stream_processor_2_0_spark.streaming.first_touch import (
+        FirstTouchProcessor,
+    )
+
+    batch = registry.get("first_touch_attribution").fn(spark, sf_dir)
+    got_batch = {
+        (r.user_id, r.event_type): r.first_event_id for r in batch.collect()
+    }
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "ts")
+        .toPandas()
+        .sample(frac=1.0, random_state=7)  # arbitrary arrival order
+    )
+    got_proc: dict = {}
+    for uid, g in ev.groupby("user_id"):
+        p = FirstTouchProcessor()
+        p._seen = _FakeMapState()
+        chunks = [g.iloc[i::3] for i in range(3)]  # keys span chunks
+        for out in p.handleInputRows((uid,), iter(chunks), None):
+            for r in out.itertuples():
+                got_proc[(uid, r.event_type)] = r.first_event_id
+    assert got_batch == got_proc

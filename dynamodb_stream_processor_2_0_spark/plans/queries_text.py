@@ -973,3 +973,112 @@ def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_order") <= 40)
         .orderBy("source", "pick_order")
     )
+
+
+@register(
+    "sample_priority_weighted",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(n_chars AS DOUBLE) * 4294967296.0
+                   / (1.0 + CAST(('0x' || substr(md5(concat('prio:', doc_id)), 1, 8))
+                                 AS BIGINT)) AS priority
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, source, n_chars, priority,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY priority DESC, doc_id
+                   ) AS pick_order
+            FROM keyed
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               priority, pick_order
+        FROM ranked WHERE pick_order <= 25
+        ORDER BY source, pick_order
+    """,
+    tags=("text", "sampling", "llm", "weighted"),
+    doc="Per-document WEIGHTED sampling via priority sampling "
+    "(Duffield-Lund-Thorup): each doc gets priority q = w/u with "
+    "weight w = n_chars and u = (h+1)/2^32 from a salted md5 — top-25 "
+    "per source by q is a weighted-without-replacement sample whose "
+    "inclusion probability tracks doc length, the longer-docs-"
+    "contribute-more rule real pretraining mixtures use. Deliberately "
+    "priority sampling and NOT Efraimidis-Spirakis u^(1/w): ES needs "
+    "ln/pow, whose libm last-ulp rounding differs across engines and "
+    "could flip near-tie ranks; q = w*2^32/(h+1) is one IEEE multiply "
+    "+ divide — exactly rounded, bit-identical everywhere, so the "
+    "selection (and the gate hash) is engine-independent. One shuffle "
+    "on source for the rank window; the hash/arith is map-side and "
+    "whole-stage codegen'd.",
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("prio:"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    priority = (
+        F.col("n_chars").cast("double")
+        * F.lit(4294967296.0)
+        / (F.lit(1.0) + u32.cast("double"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+            priority.alias("priority"),
+        )
+        .withColumn("pick_order", F.row_number().over(w))
+        .filter(F.col("pick_order") <= 25)
+        .orderBy("source", "pick_order")
+    )
+
+
+@register(
+    "dataset_split_assign",
+    oracle="""
+        SELECT doc_id, source, lang,
+               CASE
+                   WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM (
+            SELECT doc_id, source, lang,
+                   CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
+                       AS bucket
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    tags=("text", "sampling", "llm", "split"),
+    doc="Deterministic 80/10/10 train/val/test assignment keyed on "
+    "md5(TEXT), not doc_id: byte-identical documents always land in "
+    "the SAME split, so exact duplicates can never leak train->test "
+    "even before any dedup pass runs (near-dup leakage is the "
+    "contamination probe's job, text_benchmark_contamination). "
+    "Map-only — no shuffle at all, the split column is computed inside "
+    "the scan's codegen stage and the assignment is stable across "
+    "runs, engines, and cluster sizes.",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -118,6 +118,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_watermark_e2e",
     "session_window_12h",
     # --- positions 51+: next rotation candidates (never-checked remainder) ---
+    "sample_priority_weighted",
+    "dataset_split_assign",
     "streaming_sessionize_e2e",
     "streaming_stream_join_e2e",
     "streaming_static_enrich_e2e",

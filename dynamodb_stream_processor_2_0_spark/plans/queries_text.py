@@ -1034,7 +1034,6 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pick_order", F.row_number().over(w))
         .filter(F.col("pick_order") <= 25)
-        .orderBy("source", "pick_order")
     )
 
 
@@ -1053,7 +1052,6 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS bucket
             FROM documents
         )
-        ORDER BY doc_id
     """,
     tags=("text", "sampling", "llm", "split"),
     doc="Deterministic 80/10/10 train/val/test assignment keyed on "
@@ -1061,24 +1059,23 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the SAME split, so exact duplicates can never leak train->test "
     "even before any dedup pass runs (near-dup leakage is the "
     "contamination probe's job, text_benchmark_contamination). "
-    "Map-only — no shuffle at all, the split column is computed inside "
-    "the scan's codegen stage and the assignment is stable across "
-    "runs, engines, and cluster sizes.",
+    "Map-only — no shuffle at all (deliberately unsorted output: a "
+    "global ORDER BY would add the plan's only exchange for cosmetics; "
+    "the gate compares order-insensitively), the split column is "
+    "computed inside the scan's codegen stage and the assignment is "
+    "stable across runs, engines, and cluster sizes.",
 )
 def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
     )
-    return (
-        docs.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.when(bucket < 80, "train")
-            .when(bucket < 90, "val")
-            .otherwise("test")
-            .alias("split"),
-        )
-        .orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
     )

@@ -147,3 +147,28 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     plan = _executed_plan(df)
     assert "dynamicpruning" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dataset_split_assign_is_map_only(spark, sf_dir):
+    """The split assigner claims zero shuffles: the whole plan must be
+    one codegen span over the scan (an ORDER BY would betray itself
+    here as a rangepartitioning Exchange)."""
+    plan = _executed_plan(registry.get("dataset_split_assign").fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "*(1)" in plan
+
+
+def test_priority_sample_single_source_shuffle(spark, sf_dir):
+    """Weighted priority sampling pays exactly one hash exchange (the
+    per-source rank window); the priority arithmetic is map-side and
+    the top-25 is pushed to the map side as a partial WindowGroupLimit."""
+    plan = _executed_plan(
+        registry.get("sample_priority_weighted").fn(spark, sf_dir)
+    )
+    # AQE's toString repeats the pre-adaptive plan under '== Initial
+    # Plan =='; assert on the final section only.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    assert "WindowGroupLimit" in final and "Partial" in final
+    assert "BatchEvalPython" not in final

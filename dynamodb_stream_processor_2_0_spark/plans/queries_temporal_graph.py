@@ -171,6 +171,17 @@ def recursive_order_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is far cheaper than executing the window twice and is the
     # same measured-size gate connected_components uses.
     n_orders = orders.count()
+    # Every ranked row is visited exactly once across all fixpoint
+    # levels, so total recursion output <= |ranked| <= n_orders. Spark's
+    # runaway-recursion guard (spark.sql.cteRecursionRowLimit, default
+    # 1M) would kill the walk on any corpus past ~1M orders — measured:
+    # the 10x scale experiment died on exactly this. Raise it to the
+    # measured bound (sticky: execution-phase planning re-reads the
+    # conf lazily, so a set-and-restore would revert before the driver
+    # runs the plan; a raised guard has no effect on other queries).
+    guard = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if guard < 2 * n_orders + 1000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2 * n_orders + 1000))
     cap = int(
         spark.conf.get(
             "spark_graft.chainwalk.broadcast_row_cap",

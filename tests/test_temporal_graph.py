@@ -154,3 +154,19 @@ def test_recursive_walk_large_path_takes_no_broadcast(spark, sf_dir):
         spark.conf.unset("spark_graft.chainwalk.broadcast_row_cap")
     assert "BroadcastHashJoin" not in plan
     assert large == small
+
+
+def test_recursive_walk_raises_recursion_row_guard(spark, sf_dir):
+    """Spark's cteRecursionRowLimit (default 1M) kills the walk on any
+    corpus past ~1M orders — the 10x scale experiment died on it. The
+    operator must size the guard from its measured ranked-side bound:
+    forced below the corpus size, the query still completes."""
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "10")
+    try:
+        spec = registry.get("recursive_order_chain_walk")
+        rows = spec.fn(spark, sf_dir).collect()
+        assert rows and max(r.depth for r in rows) <= 8
+        assert int(spark.conf.get("spark.sql.cteRecursionRowLimit")) > 10
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prior)

@@ -203,6 +203,53 @@ def main() -> None:
                 .filter(F.col("t").isNotNull())
                 .groupBy("f", "t").agg(F.count(F.lit(1)).alias("n")))
 
+
+    def first_touch(ev):
+        from pyspark.sql import Window as W
+        part = W.partitionBy("user_id", "event_type")
+        return (ev.select("user_id", "event_type", "event_id", "ts",
+                          F.row_number().over(part.orderBy("ts", "event_id")).alias("rn"),
+                          F.count(F.lit(1)).over(part).alias("n_touches"))
+                .filter(F.col("rn") == 1))
+
+    def priority_sample(docs):
+        from pyspark.sql import Window as W
+        u32 = F.conv(F.substring(F.md5(F.concat(F.lit("prio:"), F.col("doc_id"))), 1, 8), 16, 10).cast("long")
+        pr = F.col("n_chars").cast("double") * F.lit(4294967296.0) / (F.lit(1.0) + u32.cast("double"))
+        w = W.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+        return (docs.select("doc_id", "source", pr.alias("priority"))
+                .withColumn("pick_order", F.row_number().over(w))
+                .filter(F.col("pick_order") <= 25))
+
+    def chain_walk_bucketed(orders_dir):
+        # registered query against a staged dir; cap forced to 0 so the
+        # measurement exercises the >2M-row bucketed large path at BOTH
+        # scales (the path a 100 TB run would take).
+        from dynamodb_stream_processor_2_0_spark.plans import registry as R
+        prior = spark.conf.get("spark_graft.chainwalk.broadcast_row_cap", None)
+        spark.conf.set("spark_graft.chainwalk.broadcast_row_cap", "0")
+        try:
+            return R.get("recursive_order_chain_walk").fn(spark, orders_dir)
+        finally:
+            if prior is None:
+                spark.conf.unset("spark_graft.chainwalk.broadcast_row_cap")
+            else:
+                spark.conf.set("spark_graft.chainwalk.broadcast_row_cap", prior)
+
+    import tempfile as _tf
+
+    def _stage_orders(df):
+        d = _tf.mkdtemp(prefix="scale_orders_")
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        return d
+
+    ordfull1 = _stage_orders(scaled(
+        load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        {"o_custkey": 10**8, "o_orderkey": 10**9}, 1, 8))
+    ordfull_n = _stage_orders(scaled(
+        load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        {"o_custkey": 10**8, "o_orderkey": 10**9}, n_copies, 32))
+
     cases = [
         ("disposition_summary", disposition, ev1, ev_n),
         ("minhash_lsh_pairs", minhash_pairs, docs1, docs_n),
@@ -218,6 +265,9 @@ def main() -> None:
         ("shingle_containment", shingle_containment, docs1, docs_n),
         ("token_chunking", token_chunking, docs1, docs_n),
         ("transition_matrix", transition_matrix, ev1, ev_n),
+        ("first_touch_attribution", first_touch, ev1, ev_n),
+        ("priority_weighted_sample", priority_sample, docs1, docs_n),
+        ("chain_walk_bucketed_path", chain_walk_bucketed, ordfull1, ordfull_n),
     ]
     for label, fn, d1, dn in cases:
         a, b = run(fn, d1), run(fn, dn)

@@ -166,26 +166,12 @@ def main() -> None:
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= 5))
 
-    def shingle_containment(docs):
-        sh = (docs.withColumn("toks", F.split("text", " "))
-              .filter(F.size("toks") >= 3)
-              .select("doc_id", F.explode(F.transform(
-                  F.sequence(F.lit(1), F.size("toks") - 2),
-                  lambda i: F.concat_ws(" ", F.element_at("toks", i),
-                                        F.element_at("toks", i + 1),
-                                        F.element_at("toks", i + 2)))).alias("shingle"))
-              .distinct())
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_distinct"))
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-                 .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_distinct").alias("na"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_distinct").alias("nb"))
-        ca = F.col("n_inter").cast("double") / F.col("na")
-        cb = F.col("n_inter").cast("double") / F.col("nb")
-        return (inter.join(sa, "doc_a").join(sb, "doc_b")
-                .filter(F.greatest(ca, cb) >= 0.5))
+    def shingle_containment(docs_dir):
+        # the REGISTERED operator (exact-copy collapse + expand): the
+        # 10x corpus is 10 byte-identical copies of every doc, exactly
+        # the duplication workload the collapse neutralizes.
+        from dynamodb_stream_processor_2_0_spark.plans import registry as R
+        return R.get("dedup_shingle_containment").fn(spark, docs_dir)
 
     def token_chunking(docs):
         toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit(""))
@@ -250,6 +236,14 @@ def main() -> None:
         load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
         {"o_custkey": 10**8, "o_orderkey": 10**9}, n_copies, 32))
 
+    def _stage_docs(df):
+        d = _tf.mkdtemp(prefix="scale_docs_")
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    docsdir1 = _stage_docs(docs1)
+    docsdir_n = _stage_docs(docs_n)
+
     cases = [
         ("disposition_summary", disposition, ev1, ev_n),
         ("minhash_lsh_pairs", minhash_pairs, docs1, docs_n),
@@ -262,7 +256,7 @@ def main() -> None:
         ("basket_pair_mining", basket_pairs, li1, li_n),
         ("bitmap_semi_join", bitmap_semi, (cust1, ord1), (cust_n, ord_n)),
         ("tfidf_topk", tfidf_topk, docs1, docs_n),
-        ("shingle_containment", shingle_containment, docs1, docs_n),
+        ("shingle_containment", shingle_containment, docsdir1, docsdir_n),
         ("token_chunking", token_chunking, docs1, docs_n),
         ("transition_matrix", transition_matrix, ev1, ev_n),
         ("first_touch_attribution", first_touch, ev1, ev_n),

@@ -291,3 +291,84 @@ def embedding_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_covariance_stats",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.dim AS dim_i, b.dim AS dim_j, a.v AS vi, b.v AS vj
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        ), moments AS (
+            SELECT dim_i, dim_j, count(*) AS n_vectors,
+                   CAST(sum(CAST(vi * vj AS DECIMAL(18,9))) AS DOUBLE) AS s_ij,
+                   CAST(sum(CAST(vi AS DECIMAL(18,9))) AS DOUBLE) AS s_i,
+                   CAST(sum(CAST(vj AS DECIMAL(18,9))) AS DOUBLE) AS s_j,
+                   CAST(sum(CAST(vi * vi AS DECIMAL(18,9))) AS DOUBLE) AS s_ii,
+                   CAST(sum(CAST(vj * vj AS DECIMAL(18,9))) AS DOUBLE) AS s_jj
+            FROM pairs GROUP BY dim_i, dim_j
+        )
+        SELECT dim_i, dim_j, n_vectors,
+               s_ij / n_vectors - (s_i / n_vectors) * (s_j / n_vectors) AS cov,
+               (s_ij / n_vectors - (s_i / n_vectors) * (s_j / n_vectors))
+               / sqrt((s_ii / n_vectors - (s_i / n_vectors) * (s_i / n_vectors))
+                      * (s_jj / n_vectors - (s_j / n_vectors) * (s_j / n_vectors)))
+                   AS corr
+        FROM moments
+    """,
+    tags=("similarity", "llm", "stats"),
+    doc="PCA/whitening prep for the embedding pipeline: the upper-"
+    "triangle covariance and correlation matrix of the embedding "
+    "dimensions, computed as exact decimal moment sums (the established "
+    "order-independent reduction — float products are IEEE-exact "
+    "doubles, summed as DECIMAL(18,9) so no engine's shuffle order can "
+    "change a bit) with all divisions/sqrt in double afterwards "
+    "(exactly-rounded ops, engine-deterministic). The pair expansion "
+    "is MAP-ONLY — posexplode + a sliced second posexplode per row, no "
+    "self-join — so the whole query is one agg shuffle of "
+    "dims^2/2 * n rows with map-side partial aggregation; at 100 TB "
+    "the driver-side eigendecomposition of the 64x64 result is free.",
+)
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "embedding", F.posexplode("embedding").alias("i0", "vi")
+    )
+    pairs = ex.select(
+        (F.col("i0") + 1).alias("dim_i"),
+        F.col("vi").cast("double").alias("vi"),
+        F.posexplode(
+            F.slice(
+                "embedding", F.col("i0") + 1, F.size("embedding") - F.col("i0")
+            )
+        ).alias("j0", "vj"),
+    ).select(
+        "dim_i",
+        (F.col("dim_i") + F.col("j0")).alias("dim_j"),
+        "vi",
+        F.col("vj").cast("double").alias("vj"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,9)")).cast("double")  # noqa: E731
+    m = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        dec(F.col("vi") * F.col("vj")).alias("s_ij"),
+        dec(F.col("vi")).alias("s_i"),
+        dec(F.col("vj")).alias("s_j"),
+        dec(F.col("vi") * F.col("vi")).alias("s_ii"),
+        dec(F.col("vj") * F.col("vj")).alias("s_jj"),
+    )
+    n = F.col("n_vectors")
+    cov = F.col("s_ij") / n - (F.col("s_i") / n) * (F.col("s_j") / n)
+    var_i = F.col("s_ii") / n - (F.col("s_i") / n) * (F.col("s_i") / n)
+    var_j = F.col("s_jj") / n - (F.col("s_j") / n) * (F.col("s_j") / n)
+    return m.select(
+        "dim_i",
+        "dim_j",
+        "n_vectors",
+        cov.alias("cov"),
+        (cov / F.sqrt(var_i * var_j)).alias("corr"),
+    )

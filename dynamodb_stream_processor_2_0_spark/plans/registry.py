@@ -120,6 +120,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- positions 51+: next rotation candidates (never-checked remainder) ---
     "sample_priority_weighted",
     "dataset_split_assign",
+    "embedding_covariance_stats",
     "streaming_sessionize_e2e",
     "streaming_stream_join_e2e",
     "streaming_static_enrich_e2e",

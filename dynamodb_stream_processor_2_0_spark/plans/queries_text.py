@@ -1079,3 +1079,93 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "text_line_dedup_clean",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), lines AS (
+            SELECT doc_id, s AS pos,
+                   array_to_string(t[s : s + 2], ' ') AS line
+            FROM toks CROSS JOIN (SELECT unnest(range(1, 1000, 3)) AS s)
+            WHERE s <= len(t)
+        ), boiler AS (
+            SELECT line, count(DISTINCT doc_id) AS n_docs
+            FROM lines GROUP BY line
+        ), kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l JOIN boiler b USING (line)
+            WHERE b.n_docs <= 2
+        ), rebuilt AS (
+            SELECT doc_id,
+                   count(*) AS n_kept,
+                   md5(string_agg(line, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_lines,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               t.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+               COALESCE(r.clean_md5, md5('')) AS clean_md5
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm", "ccnet"),
+    doc="CCNet-style line-level boilerplate removal — the op that "
+    "PRODUCES the cleaned corpus rather than just scoring it: the "
+    "corpus is segmented into non-overlapping 3-token lines (the "
+    "synthetic texts have no sentence punctuation; on real data the "
+    "segmenter splits on newline/sentence boundaries instead), every "
+    "line appearing in more than 2 distinct documents (headers, "
+    "navigation, license blurbs — 231 such lines at sf0.01) is "
+    "dropped, and each document is REBUILT from its surviving lines "
+    "in original order (sort_array over (pos, line) structs — "
+    "deterministic, no window function). Output is the audit row per "
+    "document (line counts + md5 of the rebuilt text, so the gate "
+    "pins the exact reconstruction without shipping full texts). Two "
+    "shuffles: the global line count and the per-doc rebuild — both "
+    "map-side combinable; at 100 TB the line key becomes xxhash64 and "
+    "the boilerplate set broadcasts (it is tiny relative to the "
+    "corpus).",
+)
+def text_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(3))
+        ).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice("t", F.col("pos"), 3), " ").alias("line"),
+    )
+    boiler = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = lines.join(boiler, "line").filter(F.col("n_docs") <= 2)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )

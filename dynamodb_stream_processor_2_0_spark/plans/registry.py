@@ -121,6 +121,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",
+    "text_line_dedup_clean",
     "streaming_sessionize_e2e",
     "streaming_stream_join_e2e",
     "streaming_static_enrich_e2e",

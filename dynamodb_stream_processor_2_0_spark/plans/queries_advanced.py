@@ -355,3 +355,58 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_scripting_coverage_walk",
+    oracle="""
+        WITH t AS (SELECT count(*) AS total FROM orders),
+        ks AS (SELECT unnest(range(1, 31)) AS k),
+        cov AS (
+            SELECT k,
+                   (SELECT count(*) FROM orders
+                    WHERE o_totalprice <= power(2, k)) AS c
+            FROM ks
+        )
+        SELECT k, CAST(power(2, k) AS DOUBLE) AS threshold,
+               CAST(c AS DOUBLE) / total AS coverage
+        FROM cov, t
+        WHERE c * 100 >= total * 95
+        ORDER BY k LIMIT 1
+    """,
+    tags=("sql-api", "scripting"),
+    doc="Spark 4 SQL scripting (BEGIN/DECLARE/SET/WHILE): a procedural "
+    "doubling-threshold walk that finds the smallest power-of-two price "
+    "cap covering >= 95% of orders — control flow the declarative "
+    "dialect can't express in one statement (each loop iteration is a "
+    "driver-orchestrated job over the distributed table; the oracle "
+    "proves loop-exit == min-k because coverage is monotone in k). "
+    "Integer powers of two only — no transcendental pow() on the "
+    "comparison path, so the threshold is bit-identical cross-engine. "
+    "The scripting conf is scoped set-and-restore around the eager "
+    "script execution.",
+)
+def sql_scripting_coverage_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    prior = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE k INT DEFAULT 0;
+              DECLARE total BIGINT;
+              DECLARE cov BIGINT DEFAULT 0;
+              SET total = (SELECT count(*) FROM orders);
+              WHILE cov * 100 < total * 95 DO
+                SET k = k + 1;
+                SET cov = (SELECT count(*) FROM orders
+                           WHERE o_totalprice <= power(2, k));
+              END WHILE;
+              SELECT k, CAST(power(2, k) AS DOUBLE) AS threshold,
+                     CAST(cov AS DOUBLE) / total AS coverage;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prior)

@@ -122,6 +122,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dataset_split_assign",
     "embedding_covariance_stats",
     "text_line_dedup_clean",
+    "sql_scripting_coverage_walk",
     "streaming_sessionize_e2e",
     "streaming_stream_join_e2e",
     "streaming_static_enrich_e2e",

@@ -362,3 +362,111 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "timeseries_similarity_topk",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS v
+            FROM events GROUP BY user_id, day
+        ), q AS (
+            SELECT user_id AS query_id, day, v AS qv FROM daily
+            WHERE user_id < 8
+        ), m AS (
+            SELECT q.query_id, d.user_id,
+                   count(*) AS n,
+                   sum(q.qv * d.v) AS sxy,
+                   sum(q.qv) AS sx, sum(d.v) AS sy,
+                   sum(q.qv * q.qv) AS sxx, sum(d.v * d.v) AS syy
+            FROM q JOIN daily d USING (day)
+            WHERE d.user_id <> q.query_id
+            GROUP BY q.query_id, d.user_id
+            HAVING count(*) >= 3
+               AND count(*) * sum(q.qv * q.qv) > sum(q.qv) * sum(q.qv)
+               AND count(*) * sum(d.v * d.v) > sum(d.v) * sum(d.v)
+        ), scored AS (
+            SELECT query_id, user_id, CAST(n AS BIGINT) AS n_days,
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                       AS corr,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY (CAST(n AS DOUBLE) * sxy
+                                 - CAST(sx AS DOUBLE) * sy)
+                                / (sqrt(CAST(n AS DOUBLE) * sxx
+                                        - CAST(sx AS DOUBLE) * sx)
+                                   * sqrt(CAST(n AS DOUBLE) * syy
+                                          - CAST(sy AS DOUBLE) * sy)) DESC,
+                                user_id
+                   ) AS rank
+            FROM m
+        )
+        SELECT query_id, user_id, n_days, corr, rank
+        FROM scored WHERE rank <= 3
+        ORDER BY query_id, rank
+    """,
+    tags=("timeseries", "similarity", "topk"),
+    doc="Time-series similarity search (the distributed-streaming "
+    "pattern from EDBT'19 'Time Series Similarity Search for Streaming "
+    "Data'): each user's daily activity rollup is a sparse series; for "
+    "a set of query users, Pearson correlation against every other "
+    "user over their SHARED days, top-3 matches per query. All moments "
+    "(n, sxy, sx, sy, sxx, syy) are exact BIGINT sums over integer "
+    "cents — zero float accumulation anywhere, so the correlation (one "
+    "double expression over exact integers, exactly-rounded ops only) "
+    "and therefore the ranking are bit-identical across engines. "
+    "Degenerate (zero-variance) series are excluded by an integer "
+    "comparison, not an epsilon. Shuffles: the daily rollup, the "
+    "day-join against the broadcast query series, the pair-moment "
+    "aggregation, and the per-query top-k window — each "
+    "map-side-combinable or broadcast; nothing pairwise-quadratic "
+    "materializes beyond (queries x users-sharing-a-day).",
+)
+def timeseries_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    q = daily.filter(F.col("user_id") < 8).select(
+        F.col("user_id").alias("query_id"), "day", F.col("v").alias("qv")
+    )
+    joined = daily.join(F.broadcast(q), "day").filter(
+        F.col("user_id") != F.col("query_id")
+    )
+    n = F.count(F.lit(1))
+    m = (
+        joined.groupBy("query_id", "user_id")
+        .agg(
+            n.alias("n"),
+            F.sum(F.col("qv") * F.col("v")).alias("sxy"),
+            F.sum("qv").alias("sx"),
+            F.sum("v").alias("sy"),
+            F.sum(F.col("qv") * F.col("qv")).alias("sxx"),
+            F.sum(F.col("v") * F.col("v")).alias("syy"),
+        )
+        .filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("corr").desc(), F.col("user_id")
+    )
+    return (
+        m.withColumn("corr", corr)
+        .withColumn("n_days", F.col("n").cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "user_id", "n_days", "corr", "rank")
+        .orderBy("query_id", "rank")
+    )

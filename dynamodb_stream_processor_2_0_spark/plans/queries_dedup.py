@@ -621,3 +621,193 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "dedup_token_window_exact",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), wins AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS whash
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+        ), dh AS (
+            SELECT whash FROM wins GROUP BY whash HAVING count(*) > 1
+        ), dupw AS (
+            SELECT w.doc_id, w.pos FROM wins w JOIN dh USING (whash)
+        ), cover AS (
+            SELECT doc_id, count(DISTINCT tpos) AS n_dup_tokens
+            FROM dupw, LATERAL unnest(range(pos, pos + 8)) AS u(tpos)
+            GROUP BY doc_id
+        ), per_doc AS (
+            SELECT w.doc_id, count(*) AS n_windows,
+                   count(*) FILTER (WHERE dh.whash IS NOT NULL)
+                       AS n_dup_windows
+            FROM wins w LEFT JOIN dh ON dh.whash = w.whash
+            GROUP BY w.doc_id
+        )
+        SELECT t.doc_id,
+               len(t.toks) AS n_tokens,
+               COALESCE(p.n_windows, 0) AS n_windows,
+               COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+               CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE)
+                   / greatest(len(t.toks), 1) AS dup_token_frac,
+               CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE)
+                   / greatest(len(t.toks), 1) < 0.5 AS keep
+        FROM toks t
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN cover c USING (doc_id)
+    """,
+    tags=("dedup", "llm", "text", "substring"),
+    doc="Exact substring dedup at token-window grain (the MapReduce "
+    "shape of Lee et al. 2021's suffix-array dedup): every 8-token "
+    "rolling window is hashed; a window occurring more than once in "
+    "the corpus marks its token span duplicated; per document the "
+    "union of duplicated spans gives the duplicated-token fraction "
+    "and a keep decision at < 0.5.",
+)
+def dedup_token_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: map-only window hashing (tokens x rows of 32-byte
+    hashes), one map-side-combined groupBy(whash) to find corpus-wide
+    repeats, a semi-join back (AQE handles hot boilerplate hashes),
+    and the interval-union cover computed by exploding ONLY duplicated
+    windows. No suffix array, no global sort — at 100 TB this is the
+    shuffle-friendly equivalent with W-token resolution."""
+    W = 8
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+        ).alias("toks"),
+    )
+    n = F.size("toks")
+    # sequence(1, 0) would DESCEND in Spark (not return empty) — docs
+    # shorter than W tokens must yield zero windows explicitly.
+    starts = F.when(n >= W, F.sequence(F.lit(1), n - (W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.array_join(F.slice("toks", i, W), " ")),
+            )
+        ).alias("p0", "whash"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "whash")
+    dh = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("nocc")).filter(
+        F.col("nocc") > 1
+    ).select("whash")
+    dupw = wins.join(dh, "whash")
+    cover = (
+        dupw.select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + (W - 1))).alias("tpos")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tpos").alias("n_dup_tokens"))
+    )
+    per_doc = (
+        wins.join(dh.withColumn("is_dup", F.lit(1)), "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
+    )
+    frac = F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / F.greatest(
+        n, F.lit(1)
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            frac.alias("dup_token_frac"),
+            (frac < 0.5).alias("keep"),
+        )
+    )
+
+
+@register(
+    "dedup_survivorship_canonical",
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) pairs
+        ), sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges
+        ), reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+        ), comp AS (
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        ), allc AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        ), ranked AS (
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+                   first_value(doc_id) OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS canonical_doc_id
+            FROM allc
+        )
+        SELECT doc_id, cluster_id, cluster_n, canonical_doc_id,
+               rn = 1 AS is_canonical
+        FROM ranked
+    """,
+    tags=("dedup", "llm", "survivorship", "graph"),
+    doc="Survivorship after near-dup clustering: every document gets "
+    "its MinHash-LSH connected-component cluster (singletons are their "
+    "own cluster), and each cluster elects ONE canonical survivor — "
+    "longest text wins, smallest doc_id breaks ties (the keep-the-"
+    "longest rule of RefinedWeb-style pipelines). The step real "
+    "pipelines run between pair detection and corpus rebuild.",
+)
+def dedup_survivorship_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the candidate/component stages reuse the banded
+    minhash + min-label-propagation operators (no new shuffles); the
+    election is one window over cluster_id. Cluster sizes are near-dup
+    group sizes (tiny, bounded by dedup quality), so the window
+    partition can never be the 100 TB bottleneck."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    comp = dedup.connected_components(pairs)
+    allc = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.desc("n_chars"), "doc_id")
+    return allc.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_n"),
+        F.first("doc_id")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("canonical_doc_id"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )

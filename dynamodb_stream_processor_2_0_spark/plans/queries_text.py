@@ -1169,3 +1169,107 @@ def text_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+@register(
+    "quality_classifier_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, source,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, lang, source,
+                   list_concat(
+                       toks,
+                       list_transform(
+                           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                           p -> p[1] || '_' || p[2])) AS feats
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(feats) AS feat FROM feats
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('w:' || CAST(
+                       CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT)
+                           % 1024 AS VARCHAR)), 1, 2)) AS BIGINT) - 128
+                       AS weight
+            FROM ex
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_feats,
+                   CAST(sum(weight) AS BIGINT) AS score_sum
+            FROM scored GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.lang, t.source,
+               COALESCE(a.n_feats, 0) AS n_feats,
+               COALESCE(a.score_sum, 0) AS score_sum,
+               COALESCE(a.score_sum, 0) >= 0 AS keep
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "llm", "quality", "classifier"),
+    doc="Model-based quality filtering (fastText-architecture linear "
+    "classifier over the hashing trick): features are lowercased "
+    "whitespace unigrams + adjacent bigrams, hashed into 1024 buckets "
+    "(md5-derived, collision behavior included), each bucket carrying "
+    "an integer weight; a document keeps iff its exact BIGINT weight "
+    "sum is >= 0. Weights here are a deterministic md5-derived stand-in "
+    "for trained parameters — swapping in a real model is a broadcast "
+    "weight-table join with the identical plan shape.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: map-only tokenize/bigram/explode, one map-side-
+    combined groupBy(doc_id), broadcast-free (weights are pure
+    expressions of the feature hash). At 100 TB the explode stream is
+    tokens x rows of a few bytes and the agg keys are doc ids — no
+    skew beyond document length, no joins except the final left join
+    back to the (already doc-grained) metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+        ).alias("toks"),
+    )
+    n = F.size("toks")
+    feats = toks.select(
+        "doc_id",
+        F.concat(
+            F.col("toks"),
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit("_"), b),
+            ),
+        ).alias("feats"),
+    )
+    ex = feats.select("doc_id", F.explode("feats").alias("feat"))
+    bucket = F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long") % 1024
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("long")
+        - 128
+    )
+    agg = (
+        ex.withColumn("weight", weight)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("weight").alias("score_sum"),
+        )
+    )
+    return toks.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+        (F.coalesce("score_sum", F.lit(0)) >= 0).alias("keep"),
+    )

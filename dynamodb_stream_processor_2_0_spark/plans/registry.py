@@ -119,6 +119,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "session_window_12h",
     # --- positions 51+: next rotation candidates (never-checked remainder) ---
     "semantic_dedup_kmeans",
+    "quality_classifier_score",
+    "dedup_token_window_exact",
+    "dedup_survivorship_canonical",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

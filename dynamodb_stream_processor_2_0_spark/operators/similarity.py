@@ -677,3 +677,87 @@ def int8_quantized_topk_oracle_sql(
         )
         SELECT query_id, neighbor_id, rank, qdot FROM ranked WHERE rank <= {k}
     """
+
+
+def with_random_projection(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pvec",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project onto
+    len(planes) md5-derived +-1 directions (Achlioptas' database-
+    friendly construction — the same public derivation as the LSH
+    hyperplanes, so any engine reproduces the matrix). Each output
+    coordinate is an ordered double fold -> bit-identical cross-engine.
+
+    Scale shape: map-only; the projected table is dim/len(planes)x
+    smaller, which is the point — downstream exact scoring (top-k,
+    near-dup verify) reads 4x less and the projection itself never
+    shuffles."""
+    return df.withColumn(
+        out_col,
+        F.array(
+            *[
+                _dot_fold(
+                    vec_col,
+                    "array({})".format(
+                        ", ".join(f"CAST({s} AS DOUBLE)" for s in signs)
+                    ),
+                )
+                for signs in planes
+            ]
+        ),
+    )
+
+
+def random_projection_recall_oracle_sql(
+    planes: list[list[float]], k: int, query_pred: str, table: str = "embeddings"
+) -> str:
+    """Recall@k of projected-space cosine top-k vs exact 64-dim top-k."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    proj_terms = ", ".join(
+        dot.format(
+            a="embedding",
+            b="[{}]".format(", ".join(f"CAST({s} AS DOUBLE)" for s in signs)),
+        )
+        for signs in planes
+    )
+    return f"""
+        WITH projected AS (
+            SELECT vec_id, [{proj_terms}] AS pvec FROM {table}
+        ), pnormed AS (
+            SELECT vec_id, pvec,
+                   sqrt({dot.format(a="pvec", b="pvec")}) AS pnorm
+            FROM projected
+        ), pq AS (
+            SELECT vec_id AS query_id, pvec AS qv, pnorm AS qn
+            FROM pnormed WHERE {query_pred}
+        ), pranked AS (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY pcos DESC, neighbor_id
+                   ) AS rank
+            FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       {dot.format(a="q.qv", b="c.pvec")} / (q.qn * c.pnorm)
+                           AS pcos
+                FROM pq q JOIN pnormed c ON c.vec_id <> q.query_id
+            )
+        ), rp_r AS (
+            SELECT query_id, neighbor_id FROM pranked WHERE rank <= {k}
+        ), exact_r AS (
+            {cosine_topk_oracle_sql(k=k, query_pred=query_pred, table=table)}
+        )
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               count(r.neighbor_id) AS n_hit_rp,
+               CAST(count(r.neighbor_id) AS DOUBLE) / count(*) AS recall_rp
+        FROM exact_r e
+        LEFT JOIN rp_r r
+          ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """

@@ -432,3 +432,48 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cov / F.sqrt(var_i * var_j)).alias("corr"),
         )
     )
+
+
+_RP_PLANES = S.hyperplane_signs(num_planes=16, dim=64)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=S.random_projection_recall_oracle_sql(
+        _RP_PLANES, k=5, query_pred=_QUERY_PRED_SQL
+    ),
+    tags=("similarity", "llm", "ann", "projection"),
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(md5-derived +-1 directions, Achlioptas construction): cosine "
+    "top-5 in the 4x-compressed projected space, measured as recall@5 "
+    "against exact 64-dim ground truth per query — the dimensionality-"
+    "reduction arm of the ANN toolbox next to LSH/IVF/int8.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection is map-only (16 ordered folds per row); both ranking
+    arms reuse cosine_topk, so the eval measures exactly what a
+    production shortlist+rerank would run. The projected scan is the
+    scale story: 4x less data per scored candidate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = S.with_random_projection(emb, _RP_PLANES)
+    pq = proj.filter(F.col("vec_id") < 8)
+    rp = (
+        S.cosine_topk(proj, pq, k=5, vec_col="pvec")
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_rp", F.lit(1))
+    )
+    exact = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(rp, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit_rp").alias("n_hit_rp"),
+            (F.count("hit_rp").cast("double") / F.count(F.lit(1))).alias(
+                "recall_rp"
+            ),
+        )
+        .orderBy("query_id")
+    )

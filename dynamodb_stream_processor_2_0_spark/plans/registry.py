@@ -122,6 +122,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "quality_classifier_score",
     "dedup_token_window_exact",
     "dedup_survivorship_canonical",
+    "streaming_rocksdb_state_e2e",
+    "embedding_random_projection",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -470,3 +470,136 @@ def timeseries_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "user_id", "n_days", "corr", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled-iteration PageRank oracle (exact BIGINT arithmetic,
+    truncating integer division on both engines)."""
+    ctes = [
+        f"""edges AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), outdeg AS (
+            SELECT n.node, count(e.src) AS od
+            FROM nodes n LEFT JOIN edges e ON e.src = n.node
+            GROUP BY n.node
+        ), nn AS (SELECT count(*) AS n FROM nodes
+        ), r0 AS (
+            SELECT node, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS rank
+            FROM nodes
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""d{i} AS (
+            SELECT COALESCE(sum(r.rank), 0) AS dang
+            FROM r{p} r JOIN outdeg o ON o.node = r.node AND o.od = 0
+        ), c{i} AS (
+            SELECT e.dst AS node, sum(r.rank // o.od) AS contrib
+            FROM edges e
+            JOIN r{p} r ON r.node = e.src
+            JOIN outdeg o ON o.node = e.src
+            GROUP BY e.dst
+        ), r{i} AS (
+            SELECT n.node,
+                   ((CAST({scale} AS BIGINT) * 3) // 20) // (SELECT n FROM nn)
+                   + (17 * (COALESCE(c.contrib, 0)
+                            + (SELECT dang FROM d{i}) // (SELECT n FROM nn)))
+                     // 20 AS rank
+            FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT CASE WHEN r.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               r.node // 2 AS node_key,
+               CAST(r.rank AS BIGINT) AS rank_micro,
+               o.od AS out_degree
+        FROM r{iters} r JOIN outdeg o ON o.node = r.node
+    """
+
+
+@register(
+    "graph_pagerank_fixpoint",
+    oracle=_pagerank_oracle_sql(iters=3),
+    tags=("graph", "iterative", "llm", "scale"),
+    doc="PageRank over the customer->supplier purchase graph (3 damped "
+    "iterations, d=0.85, dangling mass redistributed uniformly) — the "
+    "iterative-fixpoint operator crawl pipelines use to rank domains "
+    "for training-data prioritization. All arithmetic is exact BIGINT "
+    "on a 1e12 mass grid with truncating integer division (Spark `div` "
+    "== DuckDB `//`), so every iteration is bit-identical cross-engine "
+    "— no float convergence ambiguity at the gate.",
+)
+def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per iteration: one edges||rank join + one groupBy(dst) (both
+    shuffle on node ids — co-partitionable at scale by pre-bucketing
+    edges on src, as connected_components does), plus a 1-row dangling
+    aggregate kept IN-PLAN as a broadcast cross join — no driver
+    round-trip per iteration. localCheckpoint per round keeps the
+    lineage flat so iteration i never recomputes iterations 1..i-1."""
+    SCALE = 10**12
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = (
+        nodes.join(edges, nodes["node"] == edges["src"], "left")
+        .groupBy("node")
+        .agg(F.count("src").alias("od"))
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    r = nodes.withColumn("rank", F.lit(SCALE // n_nodes))
+    teleport = ((SCALE * 3) // 20) // n_nodes
+    for _ in range(3):
+        # dangling mass stays IN-PLAN: a 1-row aggregate broadcast into
+        # the rank update (no driver round-trip per iteration).
+        dang = F.broadcast(
+            r.join(outdeg, "node")
+            .filter(F.col("od") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("d"))
+        )
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"17 * (coalesce(contrib, 0L) + d div {n_nodes}L) div 20"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.join(outdeg, "node").select(
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("rank").alias("rank_micro"),
+        F.col("od").alias("out_degree"),
+    )

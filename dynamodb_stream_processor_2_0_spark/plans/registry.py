@@ -124,6 +124,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_survivorship_canonical",
     "streaming_rocksdb_state_e2e",
     "embedding_random_projection",
+    "graph_pagerank_fixpoint",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

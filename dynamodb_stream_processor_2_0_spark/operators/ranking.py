@@ -15,11 +15,18 @@ produces the identical rank with no single-point bottleneck:
    triangular self-join over ~``shuffle.partitions`` rows, broadcast
    back onto the data.
 
-Everything stays in ONE job — the offset side and the data side hang
-off the same range-exchange subtree, so the (sampled) range boundaries
-are consistent between them by construction (exchange reuse), rather
-than relying on resampling determinism across separate jobs as a
-collect-offsets-to-driver design would.
+Consistency: the locally-ranked data is pinned with ``localCheckpoint``
+BEFORE the offset side is derived from it. Without the pin, the offset
+subtree is a column-pruned copy of the data subtree — not plan-identical,
+so exchange reuse is NOT guaranteed, and when it fails the range
+exchange executes twice with independently SAMPLED boundaries: local
+ranks from boundary set A get offsets computed from boundary set B, and
+the "rank" stops being a permutation (observed: 15000 rows, 14726
+distinct ranks — plan-shape dependent, e.g. under toPandas/collect and
+localCheckpoint consumers, while simple aggregates happened to reuse).
+The checkpoint is one materialization of data that a global sort was
+about to shuffle anyway — the boundaries, pids, and local ranks are
+frozen and every consumer reads the same bytes.
 
 The result is deterministic for ANY boundary placement as long as the
 order key is total (callers must include a unique tiebreaker — same
@@ -44,9 +51,16 @@ def global_rank(
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-    local = ranged.withColumn("_gr_pid", F.spark_partition_id()).withColumn(
-        "_gr_local",
-        F.row_number().over(W.partitionBy("_gr_pid").orderBy(*order_cols)),
+    local = (
+        ranged.withColumn("_gr_pid", F.spark_partition_id())
+        .withColumn(
+            "_gr_local",
+            F.row_number().over(W.partitionBy("_gr_pid").orderBy(*order_cols)),
+        )
+        # Pin boundaries/pids/local ranks before fanning out to the
+        # offset subtree (see module docstring: sampled range boundaries
+        # must not be re-drawn per consumer).
+        .localCheckpoint()
     )
     counts = local.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_n"))
     a, b = counts.alias("a"), counts.alias("b")

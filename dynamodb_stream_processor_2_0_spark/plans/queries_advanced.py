@@ -445,3 +445,93 @@ def sql_scripting_coverage_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prior)
+
+
+def _interleave_sql(x: str, y: str, bits: int = 16) -> str:
+    """Morton (Z-order) bit interleave: x in even bit positions, y in
+    odd — identical << >> & operator semantics in Spark SQL and DuckDB."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   o_custkey % 65536 AS x,
+                   CAST(datediff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                       % 65536 AS y
+            FROM orders
+        ), zed AS (
+            SELECT o_orderkey, x, y,
+                   {_interleave_sql("x", "y")} AS z
+            FROM keyed
+        ), ranked AS (
+            SELECT x, y,
+                   ROW_NUMBER() OVER (ORDER BY z, o_orderkey) AS rnk,
+                   count(*) OVER () AS n
+            FROM zed
+        ), bucketed AS (
+            SELECT ((rnk - 1) * 64) // n AS bucket, x, y FROM ranked
+        )
+        SELECT bucket, count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               max(x) - min(x) AS span_x,
+               max(y) - min(y) AS span_y
+        FROM bucketed GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("layout", "zorder", "scale", "data-ops"),
+    doc="Z-order (Morton-curve) layout planning: interleave the bits of "
+    "two filter dimensions (customer, order-day), split the curve into "
+    "64 equal file-sized buckets, and report each bucket's min/max span "
+    "per dimension — the file-skipping statistics a Delta/Iceberg "
+    "OPTIMIZE ZORDER write would produce. Narrow spans on BOTH "
+    "dimensions are what let a scan prune files for predicates on "
+    "EITHER column; a single-column sort gives narrow spans on one "
+    "dimension and full-range spans on the other.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curve split uses the range-partitioned global_rank (no
+    single-task window — the same scalable total-order machinery as
+    corpus_shuffle_interleave); the bucket stats are one map-side-
+    combined groupBy over 64 keys. At 100 TB this IS the write path of
+    a z-ordered table: range-partition by z, write per partition,
+    collect footer min/max."""
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            % 65536
+        ).alias("y"),
+    )
+    zed = keyed.withColumn("z", F.expr(_interleave_sql("x", "y")))
+    ranked = global_rank(zed, ["z", "o_orderkey"], out_col="rnk")
+    n = ranked.count()
+    bucketed = ranked.withColumn(
+        "bucket", F.expr(f"((rnk - 1) * 64) div {n}L")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            (F.max("x") - F.min("x")).alias("span_x"),
+            (F.max("y") - F.min("y")).alias("span_y"),
+        )
+        .orderBy("bucket")
+    )

@@ -125,6 +125,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_rocksdb_state_e2e",
     "embedding_random_projection",
     "graph_pagerank_fixpoint",
+    "zorder_layout_stats",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -54,3 +54,27 @@ def test_no_single_partition_exchange_in_plan(spark):
     for i, line in enumerate(lines):
         if "Window" in line:
             assert "Exchange SinglePartition" not in " ".join(lines[i + 1 : i + 3])
+
+
+def test_rank_is_permutation_under_checkpoint_and_topandas(spark):
+    """Regression: before the localCheckpoint pin inside global_rank,
+    the offset subtree was a column-pruned (non-reusable) copy of the
+    data subtree, so the sampled range exchange could execute twice
+    with different boundaries — local ranks from boundary set A got
+    offsets from boundary set B and ranks stopped being a permutation
+    (observed 15000 rows / 14726 distinct under toPandas and
+    localCheckpoint consumers, while plain aggregates happened to
+    reuse the exchange and looked fine)."""
+    df = spark.range(0, 6000).select(
+        (F.col("id") * 2654435761 % 100003).alias("k"), "id"
+    )
+    for _ in range(3):
+        ranked = global_rank(df, ["k", "id"], out_col="r").localCheckpoint()
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("r").alias("mx"),
+            F.countDistinct("r").alias("nd"),
+        ).collect()[0]
+        assert agg["n"] == agg["mx"] == agg["nd"] == 6000, agg
+        pdf = global_rank(df, ["k", "id"], out_col="r").toPandas()
+        assert len(pdf) == pdf.r.nunique() == pdf.r.max() == 6000

@@ -2069,3 +2069,84 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "sql_lateral_topk_per_customer",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("relational", "sql-api", "lateral", "P9"),
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(Spark 4 lateral join): top-3 orders per BUILDING customer "
+    "expressed as the SQL-standard lateral form instead of a window — "
+    "the same string runs on both engines. Catalyst decorrelates it "
+    "into a ranked join, so the plan is the window top-K's plan, not "
+    "a per-customer loop.",
+)
+def sql_lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax_rollup",
+    oracle="""
+        WITH agg AS (
+            SELECT o_orderstatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, n, cents, cents // n AS avg_cents
+        FROM agg WHERE n > 1
+    """,
+    tags=("relational", "sql-api", "pipe-syntax"),
+    doc="Spark 4 SQL pipe syntax (|> operators): linear FROM -> WHERE "
+    "-> AGGREGATE -> WHERE -> EXTEND dataflow over urgent orders, "
+    "proven equivalent to the nested ANSI form the oracle runs — the "
+    "pipe front-end parses to the identical logical plan, so the "
+    "surface costs nothing at 100 TB.",
+)
+def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderpriority = '1-URGENT'
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY o_orderstatus
+        |> WHERE n > 1
+        |> EXTEND cents div n AS avg_cents
+        """
+    )

@@ -126,6 +126,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_random_projection",
     "graph_pagerank_fixpoint",
     "zorder_layout_stats",
+    "sql_lateral_topk_per_customer",
+    "sql_pipe_syntax_rollup",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

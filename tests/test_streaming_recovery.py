@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from dynamodb_stream_processor_2_0_spark.operators.dedup import first_occurrence
@@ -17,7 +18,32 @@ from dynamodb_stream_processor_2_0_spark.streaming.delivery_state import (
 )
 
 
-def test_exactly_once_across_restart(spark, sf_dir):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        None,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    ],
+    ids=["default-hdfs", "rocksdb"],
+)
+def test_exactly_once_across_restart(spark, sf_dir, provider):
+    """Restart recovery must hold on BOTH state backends: checkpoint
+    offsets/commits are backend-independent, but RocksDB additionally
+    restores keyed state from its own changelog/snapshot files — the
+    path a 100 TB job exercises on every executor loss."""
+    prior_prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    if provider is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        _run_restart_scenario(spark, sf_dir)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prior_prov
+        )
+
+
+def _run_restart_scenario(spark, sf_dir):
     staged = replay.stage_event_chunks(spark, sf_dir, chunks=6)
     schema = spark.read.parquet(f"{staged}/chunk=0").schema
     checkpoint = tempfile.mkdtemp(prefix="ckpt_")

@@ -244,6 +244,40 @@ def main() -> None:
     docsdir1 = _stage_docs(docs1)
     docsdir_n = _stage_docs(docs_n)
 
+    emb1 = scaled(load_table(spark, sf, "embeddings"), {"vec_id": 10**7}, 1, 8)
+    emb_n = scaled(
+        load_table(spark, sf, "embeddings"), {"vec_id": 10**7}, n_copies, 32
+    )
+
+    def _stage_graph(ords, lis):
+        d = _tf.mkdtemp(prefix="scale_graph_")
+        ords.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        lis.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        return d
+
+    graphdir1 = _stage_graph(
+        scaled(
+            load_table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            {"o_orderkey": 10**9, "o_custkey": 10**8}, 1, 8),
+        scaled(
+            load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
+            {"l_orderkey": 10**9, "l_suppkey": 10**6}, 1, 8))
+    graphdir_n = _stage_graph(
+        scaled(
+            load_table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            {"o_orderkey": 10**9, "o_custkey": 10**8}, n_copies, 32),
+        scaled(
+            load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
+            {"l_orderkey": 10**9, "l_suppkey": 10**6}, n_copies, 32))
+
+    def semantic_dedup_op(emb):
+        from dynamodb_stream_processor_2_0_spark.operators import clustering as C
+        return C.semantic_dedup(emb)
+
+    def _registered(name):
+        from dynamodb_stream_processor_2_0_spark.plans import registry as R
+        return lambda dirpath: R.get(name).fn(spark, dirpath)
+
     cases = [
         ("disposition_summary", disposition, ev1, ev_n),
         ("minhash_lsh_pairs", minhash_pairs, docs1, docs_n),
@@ -262,6 +296,15 @@ def main() -> None:
         ("first_touch_attribution", first_touch, ev1, ev_n),
         ("priority_weighted_sample", priority_sample, docs1, docs_n),
         ("chain_walk_bucketed_path", chain_walk_bucketed, ordfull1, ordfull_n),
+        ("semantic_dedup_kmeans", semantic_dedup_op, emb1, emb_n),
+        ("token_window_exact_dedup", _registered("dedup_token_window_exact"),
+         docsdir1, docsdir_n),
+        ("quality_classifier", _registered("quality_classifier_score"),
+         docsdir1, docsdir_n),
+        ("pagerank_fixpoint", _registered("graph_pagerank_fixpoint"),
+         graphdir1, graphdir_n),
+        ("zorder_layout", _registered("zorder_layout_stats"),
+         ordfull1, ordfull_n),
     ]
     for label, fn, d1, dn in cases:
         a, b = run(fn, d1), run(fn, dn)

@@ -811,3 +811,103 @@ def dedup_survivorship_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("canonical_doc_id"),
         (F.row_number().over(wo) == 1).alias("is_canonical"),
     )
+
+
+@register(
+    "contrastive_pair_sample",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) p
+        ), nn AS (
+            SELECT count(*) AS n FROM documents
+        ), anchors AS (
+            SELECT d.doc_id, t.trial,
+                   CAST(concat('0x', substr(md5(
+                       concat('neg:', CAST(d.doc_id AS VARCHAR), ':',
+                              CAST(t.trial AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % (SELECT n FROM nn) AS neg_id
+            FROM documents d, (VALUES (0), (1), (2)) AS t(trial)
+        ), negs AS (
+            SELECT a.doc_id, a.trial, a.neg_id
+            FROM anchors a
+            WHERE a.neg_id <> a.doc_id
+              AND NOT EXISTS (
+                  SELECT 1 FROM pos p
+                  WHERE (p.doc_a = a.doc_id AND p.doc_b = a.neg_id)
+                     OR (p.doc_b = a.doc_id AND p.doc_a = a.neg_id))
+        )
+        SELECT doc_a AS anchor_id, doc_b AS other_id,
+               'pos' AS label, -1 AS trial
+        FROM pos
+        UNION ALL
+        SELECT doc_id AS anchor_id, neg_id AS other_id,
+               'neg' AS label, trial
+        FROM negs
+    """,
+    tags=("dedup", "llm", "sampling", "contrastive"),
+    doc="Contrastive training-pair construction: positives are the "
+    "MinHash-LSH near-dup candidate pairs; negatives are 3 "
+    "deterministic md5-sampled partners per document (uniform over the "
+    "dense doc-id space), filtered so a sampled negative is never the "
+    "anchor itself or a known positive — the dataset-building step "
+    "between dedup detection and embedding-model training.",
+)
+def contrastive_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negatives are map-only (hash of (doc, trial) mod n over the
+    dense id space — production corpora first compact ids via
+    global_rank, same semantics); the positive-exclusion check is a
+    left-anti join against the (tiny) candidate pair set. No shuffle
+    touches document content."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    pos = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    anchors = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("trial"),
+    ).withColumn(
+        "neg_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("trial").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n,
+    )
+    sym = pos.unionByName(
+        pos.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    negs = (
+        anchors.filter(F.col("neg_id") != F.col("doc_id"))
+        .join(
+            sym,
+            (anchors["doc_id"] == sym["doc_a"])
+            & (anchors["neg_id"] == sym["doc_b"]),
+            "left_anti",
+        )
+    )
+    return pos.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("other_id"),
+        F.lit("pos").alias("label"),
+        F.lit(-1).alias("trial"),
+    ).unionByName(
+        negs.select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("neg_id").alias("other_id"),
+            F.lit("neg").alias("label"),
+            F.col("trial"),
+        )
+    )

@@ -128,6 +128,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "zorder_layout_stats",
     "sql_lateral_topk_per_customer",
     "sql_pipe_syntax_rollup",
+    "contrastive_pair_sample",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

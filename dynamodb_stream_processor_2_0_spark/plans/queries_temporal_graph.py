@@ -603,3 +603,158 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rank_micro"),
         F.col("od").alias("out_degree"),
     )
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle="""
+        WITH cutoff AS (
+            SELECT max(ts) - INTERVAL 2 DAY AS c FROM events
+        ), latest AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ), ver_a AS (
+            SELECT user_id, event_id, event_type, cents FROM (
+                SELECT user_id, event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= (SELECT c FROM cutoff)
+            ) WHERE rn = 1
+        ), ver_b AS (
+            SELECT user_id, event_id, event_type, cents
+            FROM latest WHERE rn = 1
+        )
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN a.event_id = b.event_id THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               a.event_id AS a_event_id,
+               b.event_id AS b_event_id,
+               b.cents - COALESCE(a.cents, 0) AS cents_delta
+        FROM ver_a a FULL OUTER JOIN ver_b b ON a.user_id = b.user_id
+    """,
+    tags=("timeseries", "data-ops", "cdc", "D2", "S5"),
+    doc="Snapshot diff audit (the Delta time-travel DESCRIBE DIFF "
+    "primitive): latest-wins per-user state at version A (events up to "
+    "max(ts)-2d) full-outer-joined against version B (all events); "
+    "every entity is classified added/changed/unchanged with the "
+    "value delta — how a pipeline audits what an incremental load "
+    "actually changed.",
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two latest-wins windows (one shuffle each on user_id) and one
+    full outer join on the same key — co-partitioned, so the join adds
+    no exchange beyond the windows'. The cutoff is a 1-row aggregate
+    broadcast into the filter."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df):
+        return (
+            df.select(
+                "user_id",
+                "event_id",
+                "event_type",
+                cents.alias("cents"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    ver_a = latest(
+        events.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+    )
+    ver_b = latest(events)
+    a = ver_a.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("cents").alias("a_cents"),
+    )
+    b = ver_b.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("cents").alias("b_cents"),
+    )
+    return a.join(b, a["a_user"] == b["b_user"], "full_outer").select(
+        F.coalesce("a_user", "b_user").alias("user_id"),
+        F.when(F.col("a_user").isNull(), "added")
+        .when(F.col("b_user").isNull(), "removed")
+        .when(F.col("a_event_id") == F.col("b_event_id"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        "a_event_id",
+        "b_event_id",
+        (F.col("b_cents") - F.coalesce("a_cents", F.lit(0))).alias(
+            "cents_delta"
+        ),
+    )
+
+
+@register(
+    "trending_decay_topk",
+    oracle="""
+        WITH anchor AS (
+            SELECT date_trunc('day', max(ts)) AS d0 FROM events
+        ), scored AS (
+            SELECT user_id,
+                   CAST(sum(
+                       CAST(round(value * 100) AS BIGINT)
+                       >> least(CAST(datediff('day', date_trunc('day', ts),
+                                              (SELECT d0 FROM anchor))
+                                     AS BIGINT), 40)
+                   ) AS BIGINT) AS trend_cents,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, trend_cents, n_events FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY trend_cents DESC, user_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 20
+    """,
+    tags=("timeseries", "trending", "A1"),
+    doc="Trending score with exponential time decay, EXACT: each "
+    "event's cents contribute cents >> days_old (halving per day via "
+    "arithmetic bit shift — no pow()/exp() transcendental, so the "
+    "score is a deterministic BIGINT in any engine); top-20 users by "
+    "decayed score. The decay-by-shift trick is what makes "
+    "trending/leaderboard semantics oracle-checkable bit-for-bit.",
+)
+def trending_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side-combined groupBy(user_id); the global top-20
+    compiles to TakeOrderedAndProject (no full sort). The day anchor
+    is a 1-row aggregate broadcast into the scorer."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.date_trunc("day", F.max("ts")).alias("d0"))
+    # shiftright() the builtin takes only a literal bit count; the SQL
+    # >> operator accepts a column.
+    contrib = F.expr(
+        "shiftright(CAST(round(value * 100) AS BIGINT), "
+        "CAST(least(datediff(d0, date_trunc('day', ts)), 40) AS INT))"
+    )
+    scored = (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum(contrib).alias("trend_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("trend_cents"), "user_id")
+        .limit(20)
+        .select("user_id", "trend_cents", "n_events")
+    )

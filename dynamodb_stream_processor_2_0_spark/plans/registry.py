@@ -129,6 +129,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sql_lateral_topk_per_customer",
     "sql_pipe_syntax_rollup",
     "contrastive_pair_sample",
+    "snapshot_diff_audit",
+    "trending_decay_topk",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -535,3 +535,60 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "sketch_reaggregate_rollup",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_type,
+               (SELECT count(*) FROM daily d
+                WHERE d.event_type = e.event_type) AS n_days,
+               count(DISTINCT e.user_id) AS exact_users,
+               TRUE AS sketch_within_5pct
+        FROM events e
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    tags=("aggregation", "sketch", "scale", "A1"),
+    doc="Re-aggregatable distinct sketches (Apache DataSketches HLL via "
+    "Spark's hll_sketch_agg/hll_union_agg): per-(type, day) binary "
+    "sketches are built once, then MERGED across days per type and "
+    "estimated — the pre-aggregated-cube pattern that answers "
+    "arbitrary-range distinct questions at 100 TB without rescanning "
+    "raw events. The estimate's 5%-accuracy claim sits inside the "
+    "oracle gate next to the exact count, so the sketch path is "
+    "regression-tested, not trusted.",
+)
+def sketch_reaggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles: the daily sketch build (map-side combinable —
+    sketches merge associatively) and the per-type union of |days|
+    sketch blobs (a few KB each). The exact arm exists for the gate;
+    production reads ONLY the daily sketch table."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

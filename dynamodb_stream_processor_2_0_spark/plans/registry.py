@@ -131,6 +131,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "contrastive_pair_sample",
     "snapshot_diff_audit",
     "trending_decay_topk",
+    "sketch_reaggregate_rollup",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -1559,3 +1559,78 @@ def streaming_rocksdb_state_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(prov_key, prior_prov)
     return spark.table(qname)
+
+
+@register(
+    "streaming_state_introspection",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "state-store", "statestore-reader", "S2"),
+    doc="State-store introspection via Spark 4's State Data Source: a "
+    "keyed streaming rollup drains under availableNow, then its "
+    "CHECKPOINTED STATE is read back with "
+    "spark.read.format('statestore') and flattened — proving the "
+    "persisted per-key state equals the batch aggregate. This is the "
+    "operational surface a 100 TB streaming deployment needs to debug "
+    "state without replaying the stream (the reference debugs by "
+    "re-querying its DynamoDB state rows, index.js:107-141; here the "
+    "state store itself is queryable).",
+)
+def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statestore read is partition-parallel (one reader task per
+    state-store shard); key/value structs are flattened positionally
+    (state value fields carry internal names like 'count'/'sum', in
+    aggregate-declaration order)."""
+    import tempfile
+    import uuid
+
+    from dynamodb_stream_processor_2_0_spark.streaming import replay
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        staged = replay.stage_event_chunks(spark, sf_dir, chunks=4)
+        schema = spark.read.parquet(f"{staged}/chunk=0").schema
+        rollup = (
+            replay.read_event_stream(spark, staged, schema)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        ckpt = tempfile.mkdtemp(prefix="state_introspect_ckpt_")
+        qname = f"state_introspect_{uuid.uuid4().hex[:8]}"
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_state_introspection: availableNow query did "
+                "not terminate within 180s"
+            )
+        state = spark.read.format("statestore").load(ckpt)
+        key_cols = state.select("key.*").columns
+        val_cols = state.select("value.*").columns
+        return state.select(
+            F.col(f"key.{key_cols[0]}").alias("user_id"),
+            F.col(f"value.{val_cols[0]}").alias("n_events"),
+            F.col(f"value.{val_cols[1]}").alias("sum_cents"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -132,6 +132,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "snapshot_diff_audit",
     "trending_decay_topk",
     "sketch_reaggregate_rollup",
+    "streaming_state_introspection",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

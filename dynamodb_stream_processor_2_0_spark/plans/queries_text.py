@@ -1273,3 +1273,122 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
         (F.coalesce("score_sum", F.lit(0)) >= 0).alias("keep"),
     )
+
+
+def _curation_v2_oracle() -> str:
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    surv = REGISTRY["dedup_survivorship_canonical"].oracle
+    clf = REGISTRY["quality_classifier_score"].oracle
+    tw = REGISTRY["dedup_token_window_exact"].oracle
+    return f"""
+        WITH surv AS (SELECT doc_id, cluster_id, cluster_n, is_canonical
+                      FROM ({surv}) s),
+             clf AS (SELECT doc_id, score_sum FROM ({clf}) c),
+             tw AS (SELECT doc_id, dup_token_frac FROM ({tw}) t),
+             base AS (
+                 SELECT doc_id,
+                        ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS exact_rn,
+                        CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                            % 100 AS bucket
+                 FROM documents
+             ), ledger AS (
+                 SELECT b.doc_id,
+                        CASE
+                            WHEN b.exact_rn > 1 THEN 'dropped_exact_dup'
+                            WHEN NOT s.is_canonical THEN 'dropped_near_dup'
+                            WHEN c.score_sum < 0 THEN 'dropped_classifier'
+                            WHEN t.dup_token_frac >= 0.5
+                                THEN 'dropped_substring_dup'
+                            ELSE 'kept'
+                        END AS disposition,
+                        s.cluster_id, c.score_sum, t.dup_token_frac, b.bucket
+                 FROM base b
+                 JOIN surv s USING (doc_id)
+                 JOIN clf c USING (doc_id)
+                 JOIN tw t USING (doc_id)
+             )
+        SELECT doc_id, disposition, cluster_id, score_sum, dup_token_frac,
+               CASE WHEN disposition = 'kept' THEN
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END
+               END AS split
+        FROM ledger
+    """
+
+
+@register(
+    "corpus_curation_pipeline_v2",
+    oracle=_curation_v2_oracle(),
+    tags=("text", "llm", "dedup", "pipeline", "F12", "capstone"),
+    doc="Full curation pipeline composing the round-4 operators into "
+    "one tag-don't-drop ledger (the reference's F12 disposition "
+    "pattern at corpus scale): exact-dup rank -> near-dup survivorship "
+    "(MinHash-LSH components, keep-the-longest) -> hashed-classifier "
+    "quality gate -> exact-substring duplicated-fraction gate -> "
+    "leakage-safe train/val/test split for survivors. Every stage IS "
+    "the registered operator (same functions, same oracles), so the "
+    "composite stays gate-checkable end to end.",
+)
+def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition is by doc_id equi-joins of the stage outputs — each
+    stage keeps its own (already budgeted) shuffle plan and the joins
+    add one co-partitioned exchange per stage output. Precedence is
+    explicit: a document dropped by an earlier stage is never charged
+    to a later one, which is what makes per-stage loss rates readable
+    at 100 TB."""
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        REGISTRY["dedup_survivorship_canonical"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "cluster_id", "is_canonical")
+    )
+    clf = (
+        REGISTRY["quality_classifier_score"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "score_sum")
+    )
+    tw = (
+        REGISTRY["dedup_token_window_exact"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "dup_token_frac")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    base = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("exact_rn"),
+        bucket.alias("bucket"),
+    )
+    ledger = (
+        base.join(surv, "doc_id")
+        .join(clf, "doc_id")
+        .join(tw, "doc_id")
+        .withColumn(
+            "disposition",
+            F.when(F.col("exact_rn") > 1, "dropped_exact_dup")
+            .when(~F.col("is_canonical"), "dropped_near_dup")
+            .when(F.col("score_sum") < 0, "dropped_classifier")
+            .when(F.col("dup_token_frac") >= 0.5, "dropped_substring_dup")
+            .otherwise("kept"),
+        )
+    )
+    return ledger.select(
+        "doc_id",
+        "disposition",
+        "cluster_id",
+        "score_sum",
+        "dup_token_frac",
+        F.when(
+            F.col("disposition") == "kept",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        ).alias("split"),
+    )

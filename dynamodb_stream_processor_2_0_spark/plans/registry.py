@@ -133,6 +133,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "trending_decay_topk",
     "sketch_reaggregate_rollup",
     "streaming_state_introspection",
+    "corpus_curation_pipeline_v2",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -115,6 +115,83 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_signatures(
+    df: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band, sig) rows: one md5 band signature per document per
+    band — the LSH index entries that candidate generation (batch) and
+    arrival-time dedup (streaming state) both key on."""
+    assert num_hashes % band_size == 0
+    sigs = minhash_signatures(df, num_hashes, shingle_k, id_col, text_col)
+    n_bands = num_hashes // band_size
+    band_sig = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_sig)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def minhash_bands_oracle_cte(
+    num_hashes: int = 12,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    table: str = "documents",
+) -> str:
+    """CTE chain (toks, sh, sigs, bands) ending in bands(doc_id, band,
+    sig) — the SQL twin of minhash_band_signatures."""
+    n_bands = num_hashes // band_size
+    h_aggs = ",\n               ".join(
+        f"min(({a} * v + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = ",\n               ".join(
+        "({b}, md5(concat({cols})))".format(
+            b=b,
+            cols=", '|', ".join(f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""toks AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM {table}
+        ), sh AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS v
+            FROM (
+                SELECT doc_id, unnest({_shingles_sql(shingle_k)}) AS shingle
+                FROM toks
+            )
+        ), sigs AS (
+            SELECT doc_id,
+               {h_aggs}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, band, sig
+            FROM sigs, (VALUES {band_rows}) AS v(band, sig)
+        )"""
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     num_hashes: int = 12,
@@ -135,29 +212,9 @@ def minhash_lsh_candidate_pairs(
     A degenerate bucket (many docs, one signature) would expand n^2
     pairs — at 100 TB cap bucket size upstream (drop buckets over ~10k
     docs: they're boilerplate shingles, not near-duplicates)."""
-    assert num_hashes % band_size == 0
-    sigs = minhash_signatures(df, num_hashes, shingle_k, id_col, text_col)
-    n_bands = num_hashes // band_size
-    band_sig = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-            )
-        ).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_sig)
-    bands_long = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands_long = minhash_band_signatures(
+        df, num_hashes, band_size, shingle_k, id_col, text_col
+    )
     buckets = (
         bands_long.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
@@ -183,36 +240,8 @@ def minhash_lsh_candidate_pairs(
 def minhash_lsh_oracle_sql(
     num_hashes: int = 12, band_size: int = 2, shingle_k: int = 3
 ) -> str:
-    n_bands = num_hashes // band_size
-    h_aggs = ",\n               ".join(
-        f"min(({a} * v + {b}) % {_MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
-    )
-    band_rows = ",\n               ".join(
-        "({b}, md5(concat({cols})))".format(
-            b=b,
-            cols=", '|', ".join(f"h{b * band_size + j}" for j in range(band_size)),
-        )
-        for b in range(n_bands)
-    )
     return f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS v
-            FROM (
-                SELECT doc_id, unnest({_shingles_sql(shingle_k)}) AS shingle
-                FROM toks
-            )
-        ), sigs AS (
-            SELECT doc_id,
-               {h_aggs}
-            FROM sh GROUP BY doc_id
-        ), bands AS (
-            SELECT doc_id, band, sig
-            FROM sigs, (VALUES {band_rows}) AS v(band, sig)
-        )
+        WITH {minhash_bands_oracle_cte(num_hashes, band_size, shingle_k)}
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

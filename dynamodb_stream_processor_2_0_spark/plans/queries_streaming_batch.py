@@ -1634,3 +1634,126 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+from dynamodb_stream_processor_2_0_spark.operators.dedup import (
+    minhash_bands_oracle_cte as _mh_bands_cte,
+)
+
+
+@register(
+    "streaming_neardup_arrival_e2e",
+    oracle=f"""
+        WITH {_mh_bands_cte()},
+        firsts AS (
+            SELECT band, sig, min(doc_id) AS first_id
+            FROM bands GROUP BY band, sig
+        )
+        SELECT d.doc_id,
+               COALESCE(bool_or(f.first_id < d.doc_id), FALSE) AS is_neardup
+        FROM documents d
+        LEFT JOIN bands b ON b.doc_id = d.doc_id
+        LEFT JOIN firsts f ON f.band = b.band AND f.sig = b.sig
+        GROUP BY d.doc_id
+    """,
+    tags=("streaming", "dedup", "minhash", "llm", "D3", "D4"),
+    doc="Near-duplicate detection AT ARRIVAL: documents replay in "
+    "doc_id order (4 contiguous chunks, one micro-batch each); every "
+    "batch computes its MinHash band signatures, probes the "
+    "accumulated signature index for any earlier doc sharing a band "
+    "bucket (plus a within-batch first-occurrence window), flags, and "
+    "appends its own signatures to the index — the streaming form of "
+    "the reference's lookup-then-claim dedup (index.js:107-141, "
+    "448-497) applied to fuzzy content identity. The oracle pins the "
+    "arrival rule declaratively: a doc is a near-dup iff some band "
+    "bucket's first occupant has a smaller doc_id.",
+)
+def streaming_neardup_arrival_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State is the (band, sig) signature index — docs x n_bands small
+    rows, never content — stored as appended parquet per batch (the
+    foreachBatch analog of a keyed state store; at 100 TB this is a
+    bucketed table or the state-store API, same key). Batch order is
+    deterministic: chunks are contiguous doc_id ranges written in
+    order, maxFilesPerTrigger=1 drains them oldest-first."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.utils import AnalysisException
+
+    from dynamodb_stream_processor_2_0_spark.operators import dedup
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if int(prior) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        per = -(-n // 4)
+        src = tempfile.mkdtemp(prefix="neardup_src_")
+        for k in range(4):
+            (
+                docs.filter(
+                    (F.col("doc_id") >= k * per) & (F.col("doc_id") < (k + 1) * per)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{src}/chunk={k}")
+            )
+        schema = spark.read.parquet(f"{src}/chunk=0").schema
+        state_dir = tempfile.mkdtemp(prefix="neardup_state_")
+        out_dir = tempfile.mkdtemp(prefix="neardup_out_")
+
+        def process(batch_df, epoch_id):
+            bspark = batch_df.sparkSession
+            bands = dedup.minhash_band_signatures(batch_df).localCheckpoint()
+            try:
+                state = bspark.read.parquet(state_dir)
+                seen = state.select("band", "sig").distinct()
+            except AnalysisException:
+                seen = None
+            from pyspark.sql import Window as W
+
+            internal_first = F.min("doc_id").over(W.partitionBy("band", "sig"))
+            flagged_internal = (
+                bands.withColumn("first_id", internal_first)
+                .filter(F.col("first_id") < F.col("doc_id"))
+                .select("doc_id")
+            )
+            if seen is not None:
+                flagged_external = bands.join(
+                    seen, ["band", "sig"], "left_semi"
+                ).select("doc_id")
+                flagged = flagged_internal.union(flagged_external).distinct()
+            else:
+                flagged = flagged_internal.distinct()
+            result = batch_df.select("doc_id").join(
+                flagged.withColumn("is_neardup", F.lit(True)), "doc_id", "left"
+            ).select(
+                "doc_id", F.coalesce("is_neardup", F.lit(False)).alias("is_neardup")
+            )
+            result.write.mode("append").parquet(out_dir)
+            bands.select("doc_id", "band", "sig").write.mode("append").parquet(
+                state_dir
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/chunk=*")
+        )
+        qname = f"neardup_arrival_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_neardup_arrival_e2e: availableNow query did "
+                "not terminate within 300s"
+            )
+        return spark.read.parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)

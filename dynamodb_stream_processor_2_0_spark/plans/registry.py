@@ -134,6 +134,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sketch_reaggregate_rollup",
     "streaming_state_introspection",
     "corpus_curation_pipeline_v2",
+    "streaming_neardup_arrival_e2e",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -1757,3 +1757,77 @@ def streaming_neardup_arrival_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.read.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE event_type
+                       WHEN 'purchase' THEN INTERVAL 2 HOUR
+                       WHEN 'click' THEN INTERVAL 6 HOUR
+                       ELSE INTERVAL 12 HOUR
+                   END AS gap
+            FROM events
+        ), m AS (
+            SELECT user_id, ts, value, ts + gap AS myend,
+                   max(ts + gap) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_maxend
+            FROM g
+        ), flagged AS (
+            SELECT user_id, ts, value, myend,
+                   CASE WHEN prev_maxend IS NULL OR ts > prev_maxend
+                        THEN 1 ELSE 0 END AS new_session
+            FROM m
+        ), numbered AS (
+            SELECT user_id, ts, value, myend,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, myend
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(myend) AS session_end,
+               count(*) AS n_events,
+               {_DSUM_SQL} AS sum_value
+        FROM numbered
+        GROUP BY user_id, sid
+    """,
+    tags=("streaming-batch", "window", "session", "dynamic-gap"),
+    doc="Session windows with a DYNAMIC per-event inactivity gap "
+    "(purchase 2h, click 6h, else 12h — engaged-action sessions close "
+    "faster): native session_window(ts, gap_expr) vs the sweep-line "
+    "interval-union oracle (running max of ts+gap decides session "
+    "breaks). The per-event gap is what production sessionization "
+    "actually needs — one fixed gap over mixed event kinds either "
+    "fragments or glues sessions.",
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single shuffle on user_id as the fixed-gap form; the gap
+    expression is evaluated map-side and the merge happens inside the
+    session-window aggregation operator."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("2 hours"))
+        .when(F.col("event_type") == "click", F.lit("6 hours"))
+        .otherwise(F.lit("12 hours"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -135,6 +135,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_state_introspection",
     "corpus_curation_pipeline_v2",
     "streaming_neardup_arrival_e2e",
+    "session_window_dynamic_gap",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -172,3 +172,41 @@ def test_priority_sample_single_source_shuffle(spark, sf_dir):
     assert final.count("Exchange") == 1, final
     assert "WindowGroupLimit" in final and "Partial" in final
     assert "BatchEvalPython" not in final
+
+
+def test_trending_decay_uses_take_ordered(spark, sf_dir):
+    """The global top-20 must compile to TakeOrderedAndProject (bounded
+    per-partition heaps + driver merge), never a full global sort."""
+    plan = _executed_plan(registry.get("trending_decay_topk").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_quality_classifier_is_jvm_side(spark, sf_dir):
+    """The hashed linear model is pure expressions: no Python eval of
+    any kind may appear in the plan (weights derive from md5 in the
+    JVM), and the doc aggregation must partial-aggregate map-side."""
+    plan = _executed_plan(
+        registry.get("quality_classifier_score").fn(spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_semantic_dedup_assignment_is_arrow_batched(spark, sf_dir):
+    """k-means assignment must run as Arrow-batched mapInPandas (the
+    int64 matmul kernel), never row-at-a-time Python."""
+    plan = _executed_plan(
+        registry.get("semantic_dedup_kmeans").fn(spark, sf_dir)
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_dangling_mass_broadcasts(spark, sf_dir):
+    """The dangling-mass 1-row aggregate must enter the rank update as
+    a broadcast (in-plan), not a shuffled join."""
+    plan = _executed_plan(
+        registry.get("graph_pagerank_fixpoint").fn(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

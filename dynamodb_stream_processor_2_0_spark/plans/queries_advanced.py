@@ -592,3 +592,103 @@ def sketch_reaggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "drift_chisquare_by_type",
+    oracle="""
+        WITH halved AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE))
+                        % 2 AS INTEGER) AS half,
+                   least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket
+            FROM events
+        ), cnt AS (
+            SELECT event_type, bucket,
+                   count(*) FILTER (WHERE half = 0) AS n1,
+                   count(*) FILTER (WHERE half = 1) AS n2
+            FROM halved GROUP BY event_type, bucket
+        ), tot AS (
+            SELECT event_type, sum(n1) AS s1, sum(n2) AS s2
+            FROM cnt GROUP BY event_type
+        ), contrib AS (
+            SELECT c.event_type, c.bucket,
+                   CASE WHEN c.n1 > 0 AND t.s1 > 0 AND t.s2 > 0 THEN
+                       CAST(POWER(CAST(c.n2 * t.s1 - c.n1 * t.s2 AS DOUBLE), 2)
+                            AS DOUBLE)
+                       / (CAST(c.n1 AS DOUBLE) * CAST(t.s2 AS DOUBLE)
+                          * CAST(t.s1 AS DOUBLE))
+                   ELSE 0.0 END AS chi2_term
+            FROM cnt c JOIN tot t USING (event_type)
+        )
+        SELECT event_type,
+               count(*) AS n_buckets,
+               CAST(sum(CAST(round(chi2_term * 100000000.0) AS BIGINT))
+                    AS DOUBLE) / 100000000.0 AS chi2
+        FROM contrib
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("aggregation", "drift", "stats", "llm", "A1"),
+    doc="Distribution-drift detection per event type: value histograms "
+    "of alternating days (even vs odd day index — a tz-free A/B split "
+    "that doubles as a null test) compared with a chi-square statistic. Per-bucket terms use only exact integer "
+    "cross-products and exactly-rounded double division (no log/exp, "
+    "unlike PSI/KL), and the final sum rides the 1e-8 integer grid "
+    "(the covariance-stats trick), so the statistic is bit-identical "
+    "regardless of shuffle order — drift monitoring a gate can check.",
+)
+def drift_chisquare_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combined shuffles (bucket counts, per-type totals)
+    and a broadcast-size join back — histogram compare never touches
+    raw rows twice. The split key is DATE arithmetic (timezone-free on
+    TIMESTAMP_NTZ in both engines); a timestamp-midpoint split was
+    measured fragile (interval halving differs at microsecond grain).
+    At 100 TB this runs per ingest batch against the trailing
+    reference window."""
+    events = load_table(spark, sf_dir, "events")
+    halved = events.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")) % 2
+        ).alias("half"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket"),
+    )
+    cnt = halved.groupBy("event_type", "bucket").agg(
+        F.count_if(F.col("half") == 0).alias("n1"),
+        F.count_if(F.col("half") == 1).alias("n2"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n1").alias("s1"), F.sum("n2").alias("s2")
+    )
+    term = F.when(
+        (F.col("n1") > 0) & (F.col("s1") > 0) & (F.col("s2") > 0),
+        F.pow(
+            (F.col("n2") * F.col("s1") - F.col("n1") * F.col("s2")).cast(
+                "double"
+            ),
+            2,
+        )
+        / (
+            F.col("n1").cast("double")
+            * F.col("s2").cast("double")
+            * F.col("s1").cast("double")
+        ),
+    ).otherwise(0.0)
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select("event_type", "bucket", term.alias("chi2_term"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (
+                F.sum(
+                    F.round(F.col("chi2_term") * 100000000.0).cast("long")
+                ).cast("double")
+                / 100000000.0
+            ).alias("chi2"),
+        )
+        .orderBy("event_type")
+    )

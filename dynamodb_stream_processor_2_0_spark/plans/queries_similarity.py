@@ -477,3 +477,37 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "semantic_search_hydrated",
+    oracle=f"""
+        WITH ann AS (
+            {S.lsh_multiprobe_topk_oracle_sql(_PLANES, k=5, query_pred=_QUERY_PRED_SQL)}
+        )
+        SELECT a.query_id, a.rank, a.cosine,
+               d.doc_id, d.lang, d.source, d.n_chars
+        FROM ann a
+        JOIN documents d ON d.doc_id = a.neighbor_id
+    """,
+    tags=("similarity", "llm", "ann", "retrieval"),
+    doc="Retrieval end-to-end (the RAG read path): multi-probe sign-LSH "
+    "ANN top-5 per query vector, then the neighbor ids hydrate against "
+    "the documents table for serving metadata — the index answers from "
+    "ids alone and only the k survivors per query touch the (wide) "
+    "document store, which is the access pattern that keeps retrieval "
+    "cheap at 100 TB corpus scale.",
+)
+def semantic_search_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hydration join is k x |queries| rows against documents — a
+    broadcast of the ANN result onto the doc table scan; document
+    payloads never enter the ANN stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 8)
+    ann = S.lsh_multiprobe_topk(emb, queries, _PLANES, k=5)
+    return docs.join(
+        F.broadcast(ann), docs["doc_id"] == ann["neighbor_id"]
+    ).select(
+        "query_id", "rank", "cosine", "doc_id", "lang", "source", "n_chars"
+    )

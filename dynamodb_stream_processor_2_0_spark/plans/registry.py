@@ -136,6 +136,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline_v2",
     "streaming_neardup_arrival_e2e",
     "session_window_dynamic_gap",
+    "drift_chisquare_by_type",
+    "semantic_search_hydrated",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -1392,3 +1392,29 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test"),
         ).alias("split"),
     )
+
+
+@register(
+    "bpe_merge_induction",
+    oracle=__import__(
+        "dynamodb_stream_processor_2_0_spark.operators.bpe", fromlist=["bpe_oracle_sql"]
+    ).bpe_oracle_sql(rounds=2),
+    tags=("text", "llm", "bpe", "tokenizer", "iterative"),
+    doc="BPE tokenizer induction (Sennrich et al. 2016) as a "
+    "distributed dataflow: 2 merge rounds over the corpus "
+    "word-frequency table — count adjacent symbol pairs (frequency-"
+    "weighted, exact BIGINT, lexicographic tie-break), merge the "
+    "winner's non-overlapping left-to-right occurrences via the "
+    "consecutive-run position trick (pure relational algebra, no "
+    "imperative apply loop), and report the chosen merges plus "
+    "post-round vocabulary statistics — all inside the oracle gate.",
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounds run on the DISTINCT-WORD table (the classic BPE trick:
+    corpus size only enters the one-time frequency count); per round
+    one map-side-combinable pair-count shuffle, one position window,
+    one rebuild groupBy. See operators/bpe.py."""
+    from dynamodb_stream_processor_2_0_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_induction(spark, docs, rounds=2)

@@ -138,6 +138,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "session_window_dynamic_gap",
     "drift_chisquare_by_type",
     "semantic_search_hydrated",
+    "bpe_merge_induction",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

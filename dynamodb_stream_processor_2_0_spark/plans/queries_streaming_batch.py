@@ -1608,7 +1608,11 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
                 ),
             )
         )
+        import atexit
+        import shutil
+
         ckpt = tempfile.mkdtemp(prefix="state_introspect_ckpt_")
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
         qname = f"state_introspect_{uuid.uuid4().hex[:8]}"
         q = (
             rollup.writeStream.format("memory")
@@ -1689,7 +1693,11 @@ def streaming_neardup_arrival_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         docs = load_table(spark, sf_dir, "documents")
         n = docs.count()
         per = -(-n // 4)
+        import atexit
+        import shutil
+
         src = tempfile.mkdtemp(prefix="neardup_src_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
         for k in range(4):
             (
                 docs.filter(
@@ -1701,7 +1709,12 @@ def streaming_neardup_arrival_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         schema = spark.read.parquet(f"{src}/chunk=0").schema
         state_dir = tempfile.mkdtemp(prefix="neardup_state_")
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
         out_dir = tempfile.mkdtemp(prefix="neardup_out_")
+        # interpreter-exit cleanup only: the returned DataFrame reads
+        # out_dir lazily after this function returns, so an eager
+        # try/finally rmtree would break the caller's action.
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
         def process(batch_df, epoch_id):
             bspark = batch_df.sparkSession

@@ -692,3 +692,118 @@ def drift_chisquare_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "zorder_vs_linear_skipping",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   o_custkey % 65536 AS x,
+                   CAST(datediff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                       % 65536 AS y
+            FROM orders
+        ), zed AS (
+            SELECT o_orderkey, x, y,
+                   {_interleave_sql("x", "y")} AS z
+            FROM keyed
+        ), rz AS (
+            SELECT x, y, ROW_NUMBER() OVER (ORDER BY z, o_orderkey) AS rnk,
+                   count(*) OVER () AS n
+            FROM zed
+        ), rx AS (
+            SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS rnk,
+                   count(*) OVER () AS n
+            FROM zed
+        ), stats AS (
+            SELECT 'zorder' AS layout, ((rnk - 1) * 64) // n AS bucket,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y
+            FROM rz GROUP BY 1, 2
+            UNION ALL
+            SELECT 'linear_x' AS layout, ((rnk - 1) * 64) // n AS bucket,
+                   min(x), max(x), min(y), max(y)
+            FROM rx GROUP BY 1, 2
+        )
+        SELECT layout,
+               count(*) AS n_buckets,
+               CAST(sum(max_x - min_x) AS DOUBLE) / count(*) AS mean_span_x,
+               CAST(sum(max_y - min_y) AS DOUBLE) / count(*) AS mean_span_y,
+               count(*) FILTER (WHERE min_x <= 700 AND 700 <= max_x)
+                   AS buckets_hit_x700,
+               count(*) FILTER (WHERE min_y <= 1200 AND 1200 <= max_y)
+                   AS buckets_hit_y1200
+        FROM stats
+        GROUP BY layout
+        ORDER BY layout
+    """,
+    tags=("layout", "zorder", "scale", "data-ops", "eval"),
+    doc="Z-order vs single-column-sort layout, the skipping claim "
+    "PROVEN in-query: both layouts split into 64 file-sized buckets "
+    "and the summary reports mean per-dimension span plus how many "
+    "buckets a point predicate on EITHER dimension would have to read. "
+    "linear_x gives near-zero x-spans but full-range y-spans (a y "
+    "predicate reads every file); z-order pays a moderate x-span to "
+    "make both dimensions skippable — the measured trade behind "
+    "OPTIMIZE ZORDER.",
+)
+def zorder_vs_linear_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two global_rank passes (range exchange + window each) and one
+    64x2-key groupBy; both layouts share the keyed/interleaved scan
+    subtree."""
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("long")
+            % 65536
+        ).alias("y"),
+    )
+    zed = keyed.withColumn("z", F.expr(_interleave_sql("x", "y"))).localCheckpoint()
+    n = zed.count()
+
+    def bucketed(df, order_cols, layout):
+        ranked = global_rank(df, order_cols, out_col="rnk")
+        return (
+            ranked.withColumn("bucket", F.expr(f"((rnk - 1) * 64) div {n}L"))
+            .groupBy("bucket")
+            .agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    stats = bucketed(zed, ["z", "o_orderkey"], "zorder").unionByName(
+        bucketed(zed, ["x", "o_orderkey"], "linear_x")
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (
+                F.sum(F.col("max_x") - F.col("min_x")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_span_x"),
+            (
+                F.sum(F.col("max_y") - F.col("min_y")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_span_y"),
+            F.count_if(
+                (F.col("min_x") <= 700) & (F.lit(700) <= F.col("max_x"))
+            ).alias("buckets_hit_x700"),
+            F.count_if(
+                (F.col("min_y") <= 1200) & (F.lit(1200) <= F.col("max_y"))
+            ).alias("buckets_hit_y1200"),
+        )
+        .orderBy("layout")
+    )

@@ -139,6 +139,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "drift_chisquare_by_type",
     "semantic_search_hydrated",
     "bpe_merge_induction",
+    "zorder_vs_linear_skipping",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

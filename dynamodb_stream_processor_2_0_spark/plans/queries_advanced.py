@@ -807,3 +807,117 @@ def zorder_vs_linear_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   CAST(quantile_cont(value, 0.05) AS DOUBLE) AS lo,
+                   CAST(quantile_cont(value, 0.95) AS DOUBLE) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi)
+                   AS n_clamped,
+               CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS winsorized_sum,
+               CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi)
+                             AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS winsorized_mean
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    tags=("aggregation", "robust", "llm", "A1"),
+    doc="Winsorized (p5/p95-clamped) per-group statistics — the robust "
+    "preprocessing step that keeps a handful of outliers from owning a "
+    "mean. Exact interpolated quantiles feed an exact DECIMAL clamp "
+    "sum, so the robust mean is order-independent and gate-checkable; "
+    "at 100 TB the quantile arm swaps for the KLL sketch while the "
+    "clamp pass is unchanged.",
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles: the per-group quantiles (sort-per-group, the exact
+    arm) and the clamp aggregation; bounds are a 5-row broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("n_clamped"),
+            F.sum(clamped.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+            (
+                F.sum(clamped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "timeseries_twap_per_user",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000
+                       AS dur_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               count(*) AS n_spans,
+               CAST(sum(dur_s) AS BIGINT) AS total_s,
+               CAST(sum(cents * dur_s) AS DOUBLE)
+                   / CAST(sum(dur_s) AS DOUBLE) / 100.0 AS twap
+        FROM spans
+        WHERE dur_s IS NOT NULL AND dur_s > 0
+        GROUP BY user_id
+    """,
+    tags=("timeseries", "twap", "A1"),
+    doc="Time-weighted average price/value per user (TWAP): each "
+    "event's value holds until the next event; weights are exact "
+    "BIGINT microsecond durations from the event-time lead, the "
+    "weighted sum is an exact integer product sum, and only the final "
+    "division runs in double — the standard financial/telemetry "
+    "aggregate made order-independent and gate-checkable. Durations "
+    "are whole seconds from TIMESTAMP_NTZ interval arithmetic — "
+    "calendar-free, so no DST-crossing span can diverge between a "
+    "tz-pinned session and the oracle's epoch view (the epoch_us "
+    "formulation was replaced for exactly that hazard).",
+)
+def timeseries_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id (the lead window); the aggregation reuses
+    the same partitioning — no second exchange."""
+    events = load_table(spark, sf_dir, "events")
+    spans = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # NTZ interval cast: whole seconds, calendar-free (no DST
+        # dependence); truncation == DuckDB's floor for positive spans.
+        F.expr("CAST(lead(ts) OVER (PARTITION BY user_id "
+               "ORDER BY ts, event_id) - ts AS LONG)").alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dur_s").alias("total_s"),
+        (
+            F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+            / F.sum("dur_s").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )

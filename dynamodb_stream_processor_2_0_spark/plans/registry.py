@@ -140,6 +140,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "semantic_search_hydrated",
     "bpe_merge_induction",
     "zorder_vs_linear_skipping",
+    "agg_winsorized_stats",
+    "timeseries_twap_per_user",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -52,3 +52,54 @@ def test_induction_rounds_shrink_total_symbols(spark):
     # round 1 must merge (h,e) or (t,h) (both appear 5x); tie-break
     # lexicographic on the pair -> (h,e)
     assert (rows[1]["merged_left"], rows[1]["merged_right"]) == ("h", "e")
+
+
+def _ref_round(word_freqs):
+    """Pure-Python reference BPE round: returns (top_pair, merged)."""
+    from collections import Counter
+
+    counts = Counter()
+    for word, (freq, syms) in word_freqs.items():
+        for i in range(len(syms) - 1):
+            counts[(syms[i], syms[i + 1])] += freq
+    # max count, then lexicographically smallest pair
+    top_cnt = max(counts.values())
+    top = min(p for p, c in counts.items() if c == top_cnt)
+    a, b = top
+    merged = {}
+    for word, (freq, syms) in word_freqs.items():
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        merged[word] = (freq, out)
+    return (a, b, top_cnt), merged
+
+
+def test_random_corpora_match_pure_python_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        vocab = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+            for _ in range(12)
+        ]
+        text = " ".join(rng.choice(vocab) for _ in range(60))
+        docs = _docs(spark, [text])
+        words = words_with_freq(docs)
+        ref_in = {
+            r["word"]: (r["freq"], list(r["syms"])) for r in words.collect()
+        }
+        (ra, rb, rcnt), ref_merged = _ref_round(ref_in)
+        got, (a, b, cnt) = bpe_round(words)
+        assert (a, b, cnt) == (ra, rb, rcnt), f"trial {trial}: pair mismatch"
+        got_syms = {r["word"]: list(r["syms"]) for r in got.collect()}
+        for word, (freq, syms) in ref_merged.items():
+            assert got_syms[word] == syms, (
+                f"trial {trial} word {word!r}: {got_syms[word]} != {syms}"
+            )

@@ -213,3 +213,22 @@ def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_pcm_window_energy",
+    oracle=MM.pcm_window_energy_oracle_sql(window=16),
+    tags=("multimodal", "llm", "audio", "mapInPandas"),
+    doc="Audio-modality stage with a REAL decode: payload bytes "
+    "interpreted as little-endian int16 PCM (numpy frombuffer — "
+    "zero-copy, no codec library), 16-sample windowed energy as exact "
+    "int64 sums, per-payload peak-window argmax (ties to the smaller "
+    "index). The oracle recomputes every sample byte-for-byte in SQL "
+    "via hex(payload), so the Arrow plumbing AND the arithmetic are "
+    "hash-verified, not smoke-tested.",
+)
+def multimodal_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed-square-sum kernel is the loudness/VAD feature pass
+    of an audio pipeline; integer-only outputs keep the gate exact."""
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return MM.pcm_window_energy(docs, window=16)

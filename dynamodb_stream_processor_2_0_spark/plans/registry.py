@@ -142,6 +142,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "zorder_vs_linear_skipping",
     "agg_winsorized_stats",
     "timeseries_twap_per_user",
+    "multimodal_pcm_window_energy",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

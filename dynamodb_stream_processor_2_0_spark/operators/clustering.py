@@ -117,7 +117,11 @@ def kmeans_assignments(
     gated-smallness argument as connected_components' union-find
     fast path (operators/dedup.py).
     """
-    q = with_quant_vec(emb.select(id_col, vec_col), scale, vec_col)
+    # q feeds the seed pick, every Lloyd round, and the final
+    # assignment — materialize once instead of re-quantizing per
+    # consumer (a global sort-free analog of the write a clustering
+    # pass would stage anyway).
+    q = with_quant_vec(emb.select(id_col, vec_col), scale, vec_col).localCheckpoint()
     seeds = (
         q.select(id_col, "qvec", F.md5(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h", id_col)
@@ -164,8 +168,10 @@ def semantic_dedup(
     (the SemDeDup contract; a FIXED k would make cluster sizes, and the
     n * cluster_size pair verify, grow linearly with the corpus).
     Measured at sf0.1: fixed k=8 with expression-fold assignment 4.4 s;
-    adaptive k + the matmul kernel 2.6 s warm, with the verify join no
-    longer the dominant stage.
+    adaptive k + the matmul kernel 2.6 s; + pinning the quantized and
+    assigned relations (each had 3-4 consumers re-evaluating the
+    lineage) 1.7 s warm, with the verify join no longer the dominant
+    stage.
 
     Output per vector: cluster, cluster_size, n_near (same-cluster
     neighbors at >= threshold), keep (no kept-side duplicate with a
@@ -173,7 +179,10 @@ def semantic_dedup(
     """
     n = emb.count()
     k = max(8, -(-n // target_cluster_size))
-    assigned = kmeans_assignments(emb, k, scale, 1, id_col, vec_col)
+    # assigned feeds both pair-join sides, the cluster sizes, and the
+    # final projection — pin it so the Arrow assignment kernel runs
+    # once, not once per consumer.
+    assigned = kmeans_assignments(emb, k, scale, 1, id_col, vec_col).localCheckpoint()
     normed = assigned.withColumn(
         "norm", F.sqrt(F.expr(_COS_FOLD.format(a=vec_col, b=vec_col)))
     )

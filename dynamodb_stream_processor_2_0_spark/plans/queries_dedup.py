@@ -693,15 +693,22 @@ def dedup_token_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(n >= W, F.sequence(F.lit(1), n - (W - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: F.md5(F.array_join(F.slice("toks", i, W), " ")),
-            )
-        ).alias("p0", "whash"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "whash")
+    # wins feeds the repeat-detection agg, the semi-join back, the
+    # per-doc rollup, and (via toks) the final projection — pin it so
+    # tokenize + W-gram hashing run once, not once per consumer.
+    wins = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(F.array_join(F.slice("toks", i, W), " ")),
+                )
+            ).alias("p0", "whash"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "whash")
+        .localCheckpoint()
+    )
     dh = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("nocc")).filter(
         F.col("nocc") > 1
     ).select("whash")

@@ -758,3 +758,119 @@ def trending_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("user_id", "trend_cents", "n_events")
     )
+
+
+@register(
+    "events_sessionized_funnel",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 12 HOUR
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ), v AS (
+            SELECT user_id, sid, min(ts) AS t_view
+            FROM numbered WHERE event_type = 'view'
+            GROUP BY user_id, sid
+        ), c AS (
+            SELECT n.user_id, n.sid, min(n.ts) AS t_click
+            FROM numbered n JOIN v
+              ON v.user_id = n.user_id AND v.sid = n.sid
+            WHERE n.event_type = 'click' AND n.ts > v.t_view
+            GROUP BY n.user_id, n.sid
+        ), p AS (
+            SELECT n.user_id, n.sid, min(n.ts) AS t_purchase
+            FROM numbered n JOIN c
+              ON c.user_id = n.user_id AND c.sid = n.sid
+            WHERE n.event_type = 'purchase' AND n.ts > c.t_click
+            GROUP BY n.user_id, n.sid
+        ), sessions AS (
+            SELECT DISTINCT user_id, sid FROM numbered
+        )
+        SELECT count(*) AS n_sessions,
+               (SELECT count(*) FROM v) AS n_reached_view,
+               (SELECT count(*) FROM c) AS n_view_then_click,
+               (SELECT count(*) FROM p) AS n_full_funnel,
+               CAST((SELECT count(*) FROM p) AS DOUBLE)
+                   / greatest((SELECT count(*) FROM v), 1) AS view_to_purchase
+        FROM sessions
+    """,
+    tags=("timeseries", "funnel", "session", "A1"),
+    doc="Sessionized ordered funnel: 12h-gap sessions, then the strict "
+    "view -> click -> purchase progression WITHIN a session (each step "
+    "must occur after the previous step's first occurrence, the "
+    "product-analytics rule a flat funnel ignores); per-stage session "
+    "counts and the end-to-end conversion rate.",
+)
+def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (one user_id shuffle) then three
+    per-(user, session) conditional min-aggs chained by co-partitioned
+    joins — every stage keys on (user_id, sid), so the funnel adds no
+    exchange beyond the sessionizer's."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 12 HOURS"), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    # (ts, event_id) is a TOTAL order — a (ts, event_type) ordering
+    # would leave the running session id ambiguous on timestamp ties.
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(wo).alias("sid"),
+    )
+    v = (
+        numbered.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        numbered.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "sid"])
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        numbered.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "sid"])
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    sessions = numbered.select("user_id", "sid").distinct()
+    counts = sessions.agg(F.count(F.lit(1)).alias("n_sessions")).crossJoin(
+        v.agg(F.count(F.lit(1)).alias("n_reached_view"))
+    ).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("n_view_then_click"))
+    ).crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    return counts.select(
+        "n_sessions",
+        "n_reached_view",
+        "n_view_then_click",
+        "n_full_funnel",
+        (
+            F.col("n_full_funnel").cast("double")
+            / F.greatest(F.col("n_reached_view"), F.lit(1))
+        ).alias("view_to_purchase"),
+    )

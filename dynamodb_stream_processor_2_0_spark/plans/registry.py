@@ -143,6 +143,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "agg_winsorized_stats",
     "timeseries_twap_per_user",
     "multimodal_pcm_window_energy",
+    "events_sessionized_funnel",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

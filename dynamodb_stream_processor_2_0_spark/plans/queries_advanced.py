@@ -921,3 +921,76 @@ def timeseries_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("twap"),
     )
+
+
+@register(
+    "pii_pseudonymize_consistent",
+    oracle="""
+        WITH surro AS (
+            SELECT c_custkey,
+                   'cust_' || substr(md5('name:' || c_name), 1, 12)
+                       AS name_token,
+                   'geo_' || substr(md5('nation:' ||
+                       CAST(c_nationkey AS VARCHAR)), 1, 8) AS geo_token,
+                   c_mktsegment
+            FROM customer
+        ), joined AS (
+            SELECT s.name_token, s.geo_token, s.c_mktsegment,
+                   count(o.o_orderkey) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM surro s
+            LEFT JOIN orders o ON o.o_custkey = s.c_custkey
+            GROUP BY s.name_token, s.geo_token, s.c_mktsegment
+        )
+        SELECT name_token, geo_token, c_mktsegment, n_orders,
+               COALESCE(revenue_cents, 0) AS revenue_cents
+        FROM joined
+    """,
+    tags=("data-ops", "privacy", "P5", "P3"),
+    doc="Join-preserving PII pseudonymization: names replaced by "
+    "salted-md5 surrogate tokens and nation generalized to a geo token (deterministic — the same identity "
+    "always maps to the same token, so cross-table analytics still "
+    "aggregate correctly) and the per-customer order rollup is "
+    "computed THROUGH the pseudonymized table, proving the analytics "
+    "survive tokenization. The governance step every shared/exported "
+    "dataset needs; the reference's key-building concat (index.js:572) "
+    "is the same surrogate pattern without the privacy intent.",
+)
+def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only tokenization; the rollup join keys on the ORIGINAL
+    numeric custkey (surrogates never enter a shuffle key, so the plan
+    is the plain dim join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    surro = customer.select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"),
+            F.substring(F.md5(F.concat(F.lit("name:"), F.col("c_name"))), 1, 12),
+        ).alias("name_token"),
+        F.concat(
+            F.lit("geo_"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("nation:"), F.col("c_nationkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+        ).alias("geo_token"),
+        "c_mktsegment",
+    )
+    return (
+        surro.join(orders, surro["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("name_token", "geo_token", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("revenue_cents"),
+        )
+    )

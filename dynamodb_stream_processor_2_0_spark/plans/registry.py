@@ -144,6 +144,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_twap_per_user",
     "multimodal_pcm_window_energy",
     "events_sessionized_funnel",
+    "pii_pseudonymize_consistent",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -994,3 +994,105 @@ def pii_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "data_contract_check",
+    oracle="""
+        WITH checks AS (
+            SELECT 'o_totalprice_positive' AS rule_id,
+                   count(*) AS n_checked,
+                   count(*) FILTER (WHERE o_totalprice <= 0) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate_in_range',
+                   count(*),
+                   count(*) FILTER (
+                       WHERE o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                          OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus_in_domain',
+                   count(*),
+                   count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey_fk_resolves',
+                   count(*),
+                   count(*) FILTER (WHERE c.c_custkey IS NULL)
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            UNION ALL
+            SELECT 'o_orderkey_unique',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders)
+                   - (SELECT count(DISTINCT o_orderkey) FROM orders)
+        )
+        SELECT rule_id, n_checked, n_violations,
+               n_violations = 0 AS passed
+        FROM checks
+        ORDER BY rule_id
+    """,
+    tags=("data-ops", "integrity", "contract", "F7", "E1"),
+    doc="Declarative data-contract validation (the dbt-tests shape): "
+    "range, domain, referential, and uniqueness rules evaluated in one "
+    "pass each, reported as a per-rule ledger (checked / violations / "
+    "passed) instead of failing the load — the dataset-level form of "
+    "the reference's tag-don't-drop record validation "
+    "(validateMatchResult, index.js:387-398). New rules are one UNION "
+    "branch; each is a scan-local aggregate except the FK probe "
+    "(broadcast dim anti-pattern check).",
+)
+def data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each rule is a single aggregate over its scan; the FK rule
+    broadcasts the customer key set. Output is bounded (one row per
+    rule), so the ledger is free to publish every batch."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def rule(rule_id, df, violated):
+        return df.agg(
+            F.lit(rule_id).alias("rule_id"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count_if(violated).alias("n_violations"),
+        )
+
+    fk = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left",
+    )
+    uniq = orders.agg(
+        F.lit("o_orderkey_unique").alias("rule_id"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+    )
+    checks = (
+        rule("o_totalprice_positive", orders, F.col("o_totalprice") <= 0)
+        .unionByName(
+            rule(
+                "o_orderdate_in_range",
+                orders,
+                (F.col("o_orderdate") < "1992-01-01")
+                | (F.col("o_orderdate") >= "1999-01-01"),
+            )
+        )
+        .unionByName(
+            rule(
+                "o_orderstatus_in_domain",
+                orders,
+                ~F.col("o_orderstatus").isin("F", "O", "P"),
+            )
+        )
+        .unionByName(
+            rule("o_custkey_fk_resolves", fk, F.col("c_custkey").isNull())
+        )
+        .unionByName(uniq)
+    )
+    return checks.select(
+        "rule_id",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule_id")

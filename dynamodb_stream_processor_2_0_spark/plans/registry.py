@@ -145,6 +145,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_pcm_window_energy",
     "events_sessionized_funnel",
     "pii_pseudonymize_consistent",
+    "data_contract_check",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -511,3 +511,91 @@ def semantic_search_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "rank", "cosine", "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "embedding_binary_hamming_topk",
+    oracle="""
+        WITH packed AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(32), d ->
+                       CASE WHEN embedding[d + 1] > 0
+                            THEN CAST(1 AS BIGINT) << d ELSE 0 END))
+                       AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(range(32), d ->
+                       CASE WHEN embedding[d + 33] > 0
+                            THEN CAST(1 AS BIGINT) << d ELSE 0 END))
+                       AS BIGINT) AS hi
+            FROM embeddings
+        ), qry AS (
+            SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+            FROM packed WHERE vec_id < 8
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(q.qlo, c.lo))
+                        + bit_count(xor(q.qhi, c.hi)) AS INTEGER) AS hamming
+            FROM qry q JOIN packed c ON c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY hamming, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, hamming
+        FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "llm", "ann", "quantization", "binary"),
+    doc="Binary-quantized ANN (the 64x-compressed scan): each 64-dim "
+    "float vector packs to two BIGINT sign words; candidates rank by "
+    "Hamming distance (two XOR+popcounts per comparison — the cheapest "
+    "possible vector scan, the BQ arm next to int8 and LSH). Integer "
+    "outputs make the ranking engine-exact; ties break on neighbor id.",
+)
+def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan shape as cosine_topk — broadcast queries, map-side
+    scoring, one rank shuffle — but each comparison is 2 XORs + 2
+    popcounts instead of a 64-float fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # expression-built packing: shiftleft needs a literal bit count, so
+    # build the two words as explicit 32-term sums (JVM-side, map-only).
+    def packed_word(base: int) -> F.Column:
+        terms = [
+            F.when(
+                F.element_at("embedding", base + d + 1) > 0,
+                F.lit(1 << d).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for d in range(32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    packed = emb.select(
+        "vec_id", packed_word(0).alias("lo"), packed_word(32).alias("hi")
+    )
+    qry = packed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = packed.join(
+        F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+        )
+        .cast("int")
+        .alias("hamming"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )

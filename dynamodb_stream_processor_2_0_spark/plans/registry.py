@@ -146,6 +146,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_sessionized_funnel",
     "pii_pseudonymize_consistent",
     "data_contract_check",
+    "embedding_binary_hamming_topk",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -195,10 +195,17 @@ def test_quality_classifier_is_jvm_side(spark, sf_dir):
 
 def test_semantic_dedup_assignment_is_arrow_batched(spark, sf_dir):
     """k-means assignment must run as Arrow-batched mapInPandas (the
-    int64 matmul kernel), never row-at-a-time Python."""
-    plan = _executed_plan(
-        registry.get("semantic_dedup_kmeans").fn(spark, sf_dir)
-    )
+    int64 matmul kernel), never row-at-a-time Python. The registered
+    query pins (localCheckpoints) the assignment, so its final plan
+    starts from a materialized RDD — inspect the assignment builder's
+    own plan instead."""
+    from dynamodb_stream_processor_2_0_spark.operators import clustering as C
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = C.with_quant_vec(emb.select("vec_id", "embedding"))
+    assigned = C._assign_batched(q, [(0, [0] * 64), (1, [1] * 64)])
+    plan = _executed_plan(assigned)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
 

@@ -74,3 +74,46 @@ def global_rank(
         .withColumn(out_col, (F.col("_gr_local") + F.col("_gr_offset")).cast("long"))
         .drop("_gr_pid", "_gr_local", "_gr_offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive prefix sum of ``value_col`` under
+    the total order ``order_cols`` — the distributed scan primitive
+    (shard/byte-offset assignment, cumulative budgets) — with the same
+    no-single-task shape as ``global_rank``: range exchange, per-
+    partition window, broadcast per-partition totals; the locally-
+    scanned data is pinned before the offset subtree derives from it
+    (same boundary-consistency argument as global_rank)."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    local = (
+        ranged.withColumn("_gs_pid", F.spark_partition_id())
+        .withColumn(
+            "_gs_local",
+            F.sum(value_col).over(
+                W.partitionBy("_gs_pid")
+                .orderBy(*order_cols)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .localCheckpoint()
+    )
+    totals = local.groupBy("_gs_pid").agg(F.sum(value_col).alias("_gs_t"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b._gs_pid") < F.col("a._gs_pid"), "left")
+        .groupBy(F.col("a._gs_pid").alias("_gs_pid"))
+        .agg(F.coalesce(F.sum("b._gs_t"), F.lit(0)).alias("_gs_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_gs_pid")
+        .withColumn(out_col, F.col("_gs_local") + F.col("_gs_offset"))
+        .drop("_gs_pid", "_gs_local", "_gs_offset")
+    )

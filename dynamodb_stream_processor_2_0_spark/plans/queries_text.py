@@ -1418,3 +1418,76 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.bpe_induction(spark, docs, rounds=2)
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t <> '')) AS BIGINT) AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY h, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM toks
+        )
+        SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(cum - n_tokens) AS BIGINT) AS start_offset,
+               CAST(max(cum) AS BIGINT) AS end_offset
+        FROM c
+        GROUP BY 1
+        ORDER BY shard_id
+    """,
+    tags=("text", "llm", "sampling", "export", "scale"),
+    doc="Training-data shard manifest: documents in md5-shuffled order "
+    "are packed into ~2000-token shards by the GLOBAL running token "
+    "sum (a doc belongs to the shard containing its start offset — "
+    "the WebDataset/epoch-export rule), and each shard reports its doc "
+    "count, token count, and byte-offset-style interval. The prefix "
+    "sum rides a new distributed-scan primitive "
+    "(ranking.global_running_sum: range exchange + per-partition "
+    "window + broadcast totals — never a single-task ORDER BY window).",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest is the artifact a 100 TB export job writes next to
+    its shards; computing it is one range exchange + a 64-ish-key
+    rollup regardless of corpus size."""
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    c = global_running_sum(toks, ["h", "doc_id"], "n_tokens", out_col="cum")
+    return (
+        c.withColumn(
+            "shard_id", F.expr("(cum - n_tokens) div 2000L")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min(F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.max("cum").alias("end_offset"),
+        )
+        .orderBy("shard_id")
+    )

@@ -147,6 +147,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "pii_pseudonymize_consistent",
     "data_contract_check",
     "embedding_binary_hamming_topk",
+    "corpus_shard_manifest",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

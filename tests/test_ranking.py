@@ -78,3 +78,25 @@ def test_rank_is_permutation_under_checkpoint_and_topandas(spark):
         assert agg["n"] == agg["mx"] == agg["nd"] == 6000, agg
         pdf = global_rank(df, ["k", "id"], out_col="r").toPandas()
         assert len(pdf) == pdf.r.nunique() == pdf.r.max() == 6000
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 99991).alias("k"),
+        "id",
+        (F.col("id") % 37 + 1).alias("v"),
+    )
+    got = {
+        (r["k"], r["id"]): r["cum"]
+        for r in global_running_sum(df, ["k", "id"], "v", out_col="cum")
+        .collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (r["k"], r["id"]))
+    cum = 0
+    for r in rows:
+        cum += r["v"]
+        assert got[(r["k"], r["id"])] == cum

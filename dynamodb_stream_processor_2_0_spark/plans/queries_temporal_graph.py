@@ -874,3 +874,74 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_reached_view"), F.lit(1))
         ).alias("view_to_purchase"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), aged AS (
+            SELECT f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                                 date_trunc('week', e.ts)) // 7 AS BIGINT)
+                       AS age_weeks,
+                   e.user_id,
+                   CAST(round(e.value * 100) AS BIGINT) AS cents
+            FROM events e JOIN firsts f USING (user_id)
+        ), rolled AS (
+            SELECT cohort_week, age_weeks,
+                   count(DISTINCT user_id) AS n_active_users,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM aged GROUP BY cohort_week, age_weeks
+        )
+        SELECT CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+               age_weeks, n_active_users, revenue_cents,
+               CAST(sum(revenue_cents) OVER (
+                   PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_revenue_cents
+        FROM rolled
+        ORDER BY cohort_week, age_weeks
+    """,
+    tags=("timeseries", "cohort", "ltv", "A1"),
+    doc="Cohort LTV curves: users grouped by first-seen week, revenue "
+    "rolled up by cohort x age-in-weeks, with the cumulative "
+    "(lifetime-to-date) value per cohort — the retention economics "
+    "view built on exact BIGINT cents so the curve is gate-checkable. "
+    "Extends events_retention_cohort from presence counts to value.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles (first-seen per user, cohort-age rollup) plus one
+    small window over the rolled table (rows = cohorts x ages, tiny at
+    any corpus scale)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    aged = events.join(firsts, "user_id").select(
+        "cohort_week",
+        F.expr(
+            "CAST(datediff(date_trunc('week', ts), cohort_week) div 7 "
+            "AS BIGINT)"
+        ).alias("age_weeks"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rolled = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct("user_id").alias("n_active_users"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rolled.select(
+        F.date_format(F.col("cohort_week"), "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+        "n_active_users",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    ).orderBy("cohort_week", "age_weeks")

@@ -148,6 +148,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "data_contract_check",
     "embedding_binary_hamming_topk",
     "corpus_shard_manifest",
+    "events_cohort_ltv",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

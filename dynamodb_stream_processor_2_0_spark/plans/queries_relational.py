@@ -2150,3 +2150,59 @@ def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> EXTEND cents div n AS avg_cents
         """
     )
+
+
+@register(
+    "supplier_pareto_analysis",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_suppkey
+        ), tot AS (
+            SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM rev
+        ), c AS (
+            SELECT l_suppkey, cents,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC, l_suppkey
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_cents
+            FROM rev
+        )
+        SELECT c.l_suppkey, c.cents, c.cum_cents,
+               (SELECT total_cents FROM tot) AS total_cents,
+               c.cum_cents * 5 <= (SELECT total_cents FROM tot) * 4
+                   AS in_top80
+        FROM c
+    """,
+    tags=("relational", "pareto", "scale", "A1"),
+    doc="Pareto (80/20) concentration analysis: per-supplier revenue "
+    "ranked descending with the GLOBAL cumulative share; a supplier is "
+    "in the top-80% mass iff 5*cum <= 4*total (exact integer cross-"
+    "multiplication — no float share). The cumulative sum rides the "
+    "distributed prefix-sum primitive, not a single-task window.",
+)
+def supplier_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rollup shuffle + the prefix-sum's range exchange; the total
+    is a broadcast 1-row aggregate."""
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    ).withColumn("neg_cents", -F.col("cents"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    c = global_running_sum(
+        rev, ["neg_cents", "l_suppkey"], "cents", out_col="cum_cents"
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "cents",
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        "total_cents",
+        (F.col("cum_cents") * 5 <= F.col("total_cents") * 4).alias("in_top80"),
+    )

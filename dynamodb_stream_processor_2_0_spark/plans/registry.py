@@ -149,6 +149,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_binary_hamming_topk",
     "corpus_shard_manifest",
     "events_cohort_ltv",
+    "supplier_pareto_analysis",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

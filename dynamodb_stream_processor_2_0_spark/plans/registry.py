@@ -62,6 +62,14 @@ _loaded = False
 #
 # Rotate per round: once a query earns a green row, move it below the
 # still-unchecked ones (keep the §2 covering set pinned at the top).
+#
+# Round-4 note for the next session: positions 51+ hold every query
+# added in round 4 (all pre-proven at sf0.01 via the default parity
+# prefix AND the local gate replay at sf0.01/sf0.1). After the r4
+# CORRECTNESS file lands, run `python tools/rotate_registry.py` —
+# it classifies never/stale/fresh from the CORRECTNESS history and
+# prints the suggested next ordering (fresh r4 greens rotate to the
+# back, the never-checked remainder fills the sample).
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

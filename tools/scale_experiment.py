@@ -270,6 +270,14 @@ def main() -> None:
             load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
             {"l_orderkey": 10**9, "l_suppkey": 10**6}, n_copies, 32))
 
+    def _stage_events(df):
+        d = _tf.mkdtemp(prefix="scale_events_")
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    evdir1 = _stage_events(ev1)
+    evdir_n = _stage_events(ev_n)
+
     def semantic_dedup_op(emb):
         from dynamodb_stream_processor_2_0_spark.operators import clustering as C
         return C.semantic_dedup(emb)
@@ -305,6 +313,15 @@ def main() -> None:
          graphdir1, graphdir_n),
         ("zorder_layout", _registered("zorder_layout_stats"),
          ordfull1, ordfull_n),
+        ("shard_manifest_prefix_sum", _registered("corpus_shard_manifest"),
+         docsdir1, docsdir_n),
+        ("sessionized_funnel", _registered("events_sessionized_funnel"),
+         evdir1, evdir_n),
+        ("twap_per_user", _registered("timeseries_twap_per_user"),
+         evdir1, evdir_n),
+        ("cohort_ltv", _registered("events_cohort_ltv"), evdir1, evdir_n),
+        ("pcm_window_energy", _registered("multimodal_pcm_window_energy"),
+         docsdir1, docsdir_n),
     ]
     for label, fn, d1, dn in cases:
         a, b = run(fn, d1), run(fn, dn)

@@ -1218,12 +1218,13 @@ def text_line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weight-table join with the identical plan shape.",
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plan shape: map-only tokenize/bigram/explode, one map-side-
-    combined groupBy(doc_id), broadcast-free (weights are pure
-    expressions of the feature hash). At 100 TB the explode stream is
-    tokens x rows of a few bytes and the agg keys are doc ids — no
-    skew beyond document length, no joins except the final left join
-    back to the (already doc-grained) metadata."""
+    """Plan shape: map-only tokenize/bigram/explode, one md5 per
+    feature for the bucket, then a BROADCAST join against the
+    1024-row weight table (weights depend only on the bucket, so
+    deriving them per feature row would double the hash work — the
+    per-row form measured ~2x slower once the cores saturated), one
+    map-side-combined groupBy(doc_id). This is also the real
+    architecture: trained weights ARE a broadcast table."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1247,18 +1248,24 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = feats.select("doc_id", F.explode("feats").alias("feat"))
     bucket = F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long") % 1024
-    weight = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 2
-            ),
-            16,
-            10,
-        ).cast("long")
-        - 128
+    weights = spark.range(1024).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            - 128
+        ).alias("weight"),
     )
     agg = (
-        ex.withColumn("weight", weight)
+        ex.withColumn("bucket", bucket)
+        .join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

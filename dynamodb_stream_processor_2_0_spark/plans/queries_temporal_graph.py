@@ -945,3 +945,55 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+@register(
+    "events_interarrival_histogram",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))
+                       // 1000000 AS gap_s
+            FROM events
+        ), sec AS (
+            SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL
+        )
+        SELECT CAST(length(printf('%b', gap_s)) AS INTEGER) AS log2_bucket,
+               count(*) AS n_gaps,
+               CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        FROM sec
+        GROUP BY 1
+        ORDER BY log2_bucket
+    """,
+    tags=("timeseries", "distribution", "A1"),
+    doc="Interarrival-time distribution per log2 bucket (burstiness "
+    "profile): per-user event gaps in whole seconds, bucketed by "
+    "binary magnitude — length(bin(gap)) is the exact integer "
+    "equivalent of ceil(log2(gap+1)), no transcendental at the gate. "
+    "The ops metric that sizes watermarks, session gaps, and state "
+    "TTLs from the data instead of guessing.",
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id window shuffle + a <=40-key rollup; NTZ interval
+    arithmetic keeps the whole-second gaps calendar-free (same rule as
+    timeseries_twap_per_user)."""
+    events = load_table(spark, sf_dir, "events")
+    gaps = events.select(
+        F.expr(
+            "CAST(ts - lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS LONG)"
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy(
+            F.length(F.bin("gap_s")).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -158,6 +158,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_shard_manifest",
     "events_cohort_ltv",
     "supplier_pareto_analysis",
+    "events_interarrival_histogram",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

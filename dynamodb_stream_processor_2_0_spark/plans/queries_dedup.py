@@ -918,3 +918,73 @@ def contrastive_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("trial"),
         )
     )
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+        WITH fp AS (
+            {dedup.simhash_oracle_sql(bits=32)}
+        ), banded AS (
+            SELECT doc_id, b.band,
+                   (simhash // CAST(2 ** (8 * b.band) AS BIGINT)) % 256
+                       AS byte_sig,
+                   simhash
+            FROM fp, (VALUES (0), (1), (2), (3)) AS b(band)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.byte_sig = b.byte_sig
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    tags=("dedup", "llm", "simhash", "hamming"),
+    doc="SimHash near-duplicate PAIRS (completing the fingerprint op): "
+    "the 32-bit fingerprints block on their 4 bytes (two near-dups "
+    "within Hamming distance 3 must agree on at least one byte — the "
+    "pigeonhole guarantee of Charikar/Manku-style simhash dedup), and "
+    "candidates verify with exact XOR+popcount <= 3. Content never "
+    "joins; the whole pair pipeline runs on 8-byte fingerprints.",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fingerprint aggregation (shared with dedup_simhash), one
+    groupBy on (band, byte) ints for candidate generation, popcount
+    verify — at 100 TB the index is 4 rows of 3 small ints per doc."""
+    fp = dedup.simhash(load_table(spark, sf_dir, "documents"), bits=32)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        "byte_sig",
+        F.expr("(simhash div shiftleft(1L, 8 * band)) % 256"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "byte_sig",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "byte_sig",
+        F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["band", "byte_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -159,6 +159,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_cohort_ltv",
     "supplier_pareto_analysis",
     "events_interarrival_histogram",
+    "dedup_simhash_hamming_pairs",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -2206,3 +2206,92 @@ def supplier_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         (F.col("cum_cents") * 5 <= F.col("total_cents") * 4).alias("in_top80"),
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+        WITH parts_per_order AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n_baskets AS (
+            SELECT count(DISTINCT l_orderkey) AS nb FROM parts_per_order
+        ), item AS (
+            SELECT l_partkey, count(*) AS s FROM parts_per_order
+            GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS support
+            FROM parts_per_order a
+            JOIN parts_per_order b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b
+            HAVING count(*) >= 3
+        )
+        SELECT p.part_a, p.part_b, p.support,
+               ia.s AS support_a, ib.s AS support_b,
+               CAST(round(
+                   1000000.0 * p.support * (SELECT nb FROM n_baskets)
+                   / (CAST(ia.s AS DOUBLE) * ib.s)) AS BIGINT)
+                   AS lift_x1e6
+        FROM pairs p
+        JOIN item ia ON ia.l_partkey = p.part_a
+        JOIN item ib ON ib.l_partkey = p.part_b
+    """,
+    tags=("relational", "analytics", "lift", "A1"),
+    doc="Association lift for the mined basket pairs: lift = P(a,b) / "
+    "(P(a)P(b)) = support * N / (s_a * s_b), reported on a 1e6 integer "
+    "grid (exact products, one exactly-rounded double division, round "
+    "half away) so the affinity measure is gate-exact. Lift > 1e6 "
+    "means the pair co-occurs more than independence predicts — the "
+    "signal support alone can't give.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adds two broadcast joins (item supports) and a 1-row basket
+    count to the pair-mining plan; the pair expansion is unchanged."""
+    ppo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = ppo.agg(F.count_distinct("l_orderkey").alias("nb"))
+    item = ppo.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    baskets = ppo.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("support_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("support_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "support_a",
+            "support_b",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("support")
+                * F.col("nb")
+                / (F.col("support_a").cast("double") * F.col("support_b"))
+            )
+            .cast("long")
+            .alias("lift_x1e6"),
+        )
+    )

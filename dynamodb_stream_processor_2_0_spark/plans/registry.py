@@ -160,6 +160,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "supplier_pareto_analysis",
     "events_interarrival_histogram",
     "dedup_simhash_hamming_pairs",
+    "market_basket_lift",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

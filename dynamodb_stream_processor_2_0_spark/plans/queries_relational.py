@@ -2295,3 +2295,60 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_x1e6"),
         )
     )
+
+
+@register(
+    "part_sourcing_hhi",
+    oracle="""
+        WITH per_supp AS (
+            SELECT l_partkey,
+                   l_suppkey,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), tot AS (
+            SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qt,
+                   count(*) AS n_suppliers,
+                   CAST(sum(q * q) AS BIGINT) AS sum_sq
+            FROM per_supp GROUP BY l_partkey
+        )
+        SELECT l_partkey, n_suppliers, qt AS total_qty_x100,
+               CAST(round(100000000.0 * sum_sq
+                          / (CAST(qt AS DOUBLE) * qt)) AS BIGINT)
+                   AS hhi_x1e8
+        FROM tot
+        WHERE n_suppliers >= 2
+    """,
+    tags=("relational", "analytics", "concentration", "A1"),
+    doc="Sourcing-concentration (Herfindahl) index per part: HHI = sum "
+    "of squared supplier quantity shares, on a 1e8 integer grid — "
+    "exact integer moments (sum q, sum q^2) with one exactly-rounded "
+    "division, so the supply-risk metric is gate-exact. HHI -> 1e8 "
+    "means a single-supplier part; the procurement analytic Pareto's "
+    "global view can't give per entity.",
+)
+def part_sourcing_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combined shuffles (part-supplier rollup, per-part
+    moments) — the share squares come from exact integer sums, never a
+    per-share division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
+    )
+    tot = per_supp.groupBy("l_partkey").agg(
+        F.sum("q").alias("qt"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("q") * F.col("q")).alias("sum_sq"),
+    )
+    return tot.filter(F.col("n_suppliers") >= 2).select(
+        "l_partkey",
+        "n_suppliers",
+        F.col("qt").alias("total_qty_x100"),
+        F.round(
+            F.lit(100000000.0)
+            * F.col("sum_sq")
+            / (F.col("qt").cast("double") * F.col("qt"))
+        )
+        .cast("long")
+        .alias("hhi_x1e8"),
+    )

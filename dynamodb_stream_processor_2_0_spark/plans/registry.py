@@ -161,6 +161,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_interarrival_histogram",
     "dedup_simhash_hamming_pairs",
     "market_basket_lift",
+    "part_sourcing_hhi",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

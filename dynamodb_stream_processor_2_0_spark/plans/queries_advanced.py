@@ -1096,3 +1096,80 @@ def data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("rule_id")
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+        ), du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events
+        )
+        SELECT CAST(CAST(d.day AS DATE) AS VARCHAR) AS day,
+               count(DISTINCT u.day) AS n_days_in_window,
+               count(DISTINCT u.user_id) AS exact_active_7d,
+               TRUE AS sketch_within_5pct
+        FROM days d
+        JOIN du u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        GROUP BY d.day
+        ORDER BY day
+    """,
+    tags=("aggregation", "sketch", "window", "scale", "A1"),
+    doc="Rolling 7-day active users, the sliding-DISTINCT problem: "
+    "window frames cannot hold a DISTINCT, so the scale path keeps ONE "
+    "DataSketches HLL per day and unions the 7 sketches per window "
+    "(mergeable state, ~KB per day regardless of user count); the "
+    "exact arm exists for the gate, which also pins the sketch's "
+    "5%-accuracy claim per window. At 100 TB the daily sketch table "
+    "is the only thing retained.",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sketches: one map-side-combinable pass. The 7-day union is
+    a range join of the (tiny) day spine against |days| sketch rows —
+    never against raw events; the exact arm pays the events-x-7 range
+    join only at gate scale."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    spine = daily.select(F.col("day").alias("d"))
+    rolled = (
+        spine.join(
+            daily,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_in_window"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        )
+    )
+    du = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    exact = (
+        spine.join(
+            du,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("exact_active_7d"))
+    )
+    return (
+        rolled.join(exact, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_days_in_window",
+            "exact_active_7d",
+            (
+                F.abs(F.col("_est") - F.col("exact_active_7d"))
+                <= 0.05 * F.col("exact_active_7d")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("day")
+    )

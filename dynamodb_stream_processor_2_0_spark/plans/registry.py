@@ -162,6 +162,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming_pairs",
     "market_basket_lift",
     "part_sourcing_hhi",
+    "rolling_7d_active_users",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

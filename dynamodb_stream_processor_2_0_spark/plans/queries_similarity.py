@@ -599,3 +599,199 @@ def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "hamming")
     )
+
+
+def _mmr_oracle_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    return f"""
+        WITH short AS (
+            {S.cosine_topk_oracle_sql(k=10, query_pred=_QUERY_PRED_SQL)}
+        ), normed AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm
+            FROM embeddings
+        ), sims AS (
+            SELECT s1.query_id, s1.neighbor_id AS a, s2.neighbor_id AS b,
+                   {dot.format(a="va.embedding", b="vb.embedding")}
+                       / (va.norm * vb.norm) AS sim
+            FROM short s1
+            JOIN short s2 ON s1.query_id = s2.query_id
+            JOIN normed va ON va.vec_id = s1.neighbor_id
+            JOIN normed vb ON vb.vec_id = s2.neighbor_id
+        ), sel1 AS (
+            SELECT query_id, neighbor_id AS c1, cosine AS rel1
+            FROM short WHERE rank = 1
+        ), step2 AS (
+            SELECT query_id, c2, rel2 FROM (
+                SELECT s.query_id, s.neighbor_id AS c2, s.cosine AS rel2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.query_id
+                           ORDER BY s.cosine - 0.5 * m.sim DESC,
+                                    s.neighbor_id) AS rn
+                FROM short s
+                JOIN sel1 ON sel1.query_id = s.query_id
+                JOIN sims m ON m.query_id = s.query_id
+                          AND m.a = s.neighbor_id AND m.b = sel1.c1
+                WHERE s.neighbor_id <> sel1.c1
+            ) WHERE rn = 1
+        ), step3 AS (
+            SELECT query_id, c3, rel3 FROM (
+                SELECT s.query_id, s.neighbor_id AS c3, s.cosine AS rel3,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.query_id
+                           ORDER BY s.cosine
+                                    - 0.5 * greatest(m1.sim, m2.sim) DESC,
+                                    s.neighbor_id) AS rn
+                FROM short s
+                JOIN sel1 ON sel1.query_id = s.query_id
+                JOIN step2 ON step2.query_id = s.query_id
+                JOIN sims m1 ON m1.query_id = s.query_id
+                           AND m1.a = s.neighbor_id AND m1.b = sel1.c1
+                JOIN sims m2 ON m2.query_id = s.query_id
+                           AND m2.a = s.neighbor_id AND m2.b = step2.c2
+                WHERE s.neighbor_id <> sel1.c1
+                  AND s.neighbor_id <> step2.c2
+            ) WHERE rn = 1
+        )
+        SELECT query_id, 1 AS pick_order, c1 AS cand_id, rel1 AS relevance
+        FROM sel1
+        UNION ALL
+        SELECT query_id, 2, c2, rel2 FROM step2
+        UNION ALL
+        SELECT query_id, 3, c3, rel3 FROM step3
+    """
+
+
+@register(
+    "embedding_mmr_diverse_topk",
+    oracle=_mmr_oracle_sql(),
+    tags=("similarity", "llm", "ann", "retrieval", "rerank"),
+    doc="MMR (maximal marginal relevance) diversity reranking — the "
+    "RAG rerank step after ANN: from each query's exact cosine top-10 "
+    "shortlist, greedily pick 3 results maximizing relevance - 0.5 * "
+    "max-similarity-to-already-picked (ties to the smaller id). The "
+    "greedy rounds are unrolled as plain relational steps over the "
+    "10x10 per-query similarity matrix, so both engines compute the "
+    "identical selection — no imperative rerank loop.",
+)
+def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist + pairwise sims shuffle on query_id only (10 rows and
+    100 sims per query); each greedy round is one join + one bounded
+    window. At 100 TB the rerank cost is queries x shortlist^2 —
+    independent of corpus size, which is the point of shortlisting."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    short = S.cosine_topk(emb, queries, k=10)
+    normed = S.with_norm(emb).select(
+        F.col("vec_id"), F.col("embedding"), F.col("norm")
+    )
+    s1 = short.select("query_id", F.col("neighbor_id").alias("a"))
+    s2 = short.select("query_id", F.col("neighbor_id").alias("b"))
+    va = normed.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    vb = normed.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sims = (
+        s1.join(s2, "query_id")
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (
+                F.expr(
+                    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) "
+                    "* CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                    "(acc, v) -> acc + v)"
+                )
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sel1 = short.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("c1"), F.col("cosine").alias("rel1")
+    )
+    w = W.partitionBy("query_id")
+    step2 = (
+        short.join(sel1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("c1"))
+        .join(
+            sims.select("query_id", F.col("a").alias("neighbor_id"),
+                        F.col("b").alias("c1"), "sim"),
+            ["query_id", "neighbor_id", "c1"],
+        )
+        .withColumn("score", F.col("cosine") - 0.5 * F.col("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("score"), "neighbor_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("c2"),
+                F.col("cosine").alias("rel2"))
+    )
+    step3 = (
+        short.join(sel1, "query_id")
+        .join(step2, "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("c1"))
+            & (F.col("neighbor_id") != F.col("c2"))
+        )
+        .join(
+            sims.select("query_id", F.col("a").alias("neighbor_id"),
+                        F.col("b").alias("c1"), F.col("sim").alias("sim1")),
+            ["query_id", "neighbor_id", "c1"],
+        )
+        .join(
+            sims.select("query_id", F.col("a").alias("neighbor_id"),
+                        F.col("b").alias("c2"), F.col("sim").alias("sim2")),
+            ["query_id", "neighbor_id", "c2"],
+        )
+        .withColumn(
+            "score",
+            F.col("cosine") - 0.5 * F.greatest("sim1", "sim2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("score"), "neighbor_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("c3"),
+                F.col("cosine").alias("rel3"))
+    )
+    return (
+        sel1.select(
+            "query_id",
+            F.lit(1).alias("pick_order"),
+            F.col("c1").alias("cand_id"),
+            F.col("rel1").alias("relevance"),
+        )
+        .unionByName(
+            step2.select(
+                "query_id",
+                F.lit(2).alias("pick_order"),
+                F.col("c2").alias("cand_id"),
+                F.col("rel2").alias("relevance"),
+            )
+        )
+        .unionByName(
+            step3.select(
+                "query_id",
+                F.lit(3).alias("pick_order"),
+                F.col("c3").alias("cand_id"),
+                F.col("rel3").alias("relevance"),
+            )
+        )
+    )

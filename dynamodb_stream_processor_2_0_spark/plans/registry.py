@@ -163,6 +163,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "market_basket_lift",
     "part_sourcing_hhi",
     "rolling_7d_active_users",
+    "embedding_mmr_diverse_topk",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -1173,3 +1173,63 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+        ), du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events
+        ), dau AS (
+            SELECT day, count(*) AS dau FROM du GROUP BY day
+        ), wau AS (
+            SELECT d.day, count(DISTINCT u.user_id) AS wau
+            FROM days d
+            JOIN du u ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+            GROUP BY d.day
+        )
+        SELECT CAST(CAST(d.day AS DATE) AS VARCHAR) AS day,
+               dau.dau, wau.wau,
+               CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        FROM days d JOIN dau USING (day) JOIN wau ON wau.day = d.day
+        ORDER BY day
+    """,
+    tags=("aggregation", "engagement", "window", "A1"),
+    doc="DAU/WAU stickiness per day — the engagement ratio product "
+    "teams track: daily distinct users over trailing-7-day distinct "
+    "users (both exact; one exactly-rounded division). The WAU arm is "
+    "the same day-spine range join as rolling_7d_active_users, whose "
+    "sketch path replaces the exact arm at 100 TB.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (day, user) pairs computed once and reused by both
+    arms; the spine range join touches |days| x |daily users| rows,
+    never raw events twice."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spine = du.select(F.col("day").alias("d")).distinct()
+    wau = (
+        spine.join(
+            du,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["d"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

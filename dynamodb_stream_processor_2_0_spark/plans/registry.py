@@ -164,6 +164,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "part_sourcing_hhi",
     "rolling_7d_active_users",
     "embedding_mmr_diverse_topk",
+    "events_dau_wau_stickiness",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -1233,3 +1233,71 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_error_spike_detection",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   count(*) AS n_total,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_errors
+            FROM events GROUP BY 1
+        ), trailed AS (
+            SELECT day, n_total, n_errors,
+                   CAST(sum(n_total) OVER w AS BIGINT) AS trail_total,
+                   CAST(sum(n_errors) OVER w AS BIGINT) AS trail_errors
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT CAST(CAST(day AS DATE) AS VARCHAR) AS day,
+               n_total, n_errors,
+               COALESCE(trail_total, 0) AS trail_total,
+               COALESCE(trail_errors, 0) AS trail_errors,
+               COALESCE(trail_total, 0) > 0
+               AND n_errors * COALESCE(trail_total, 0)
+                   > 2 * n_total * COALESCE(trail_errors, 0) AS is_spike
+        FROM trailed
+        ORDER BY day
+    """,
+    tags=("aggregation", "monitoring", "window", "A1", "E1"),
+    doc="Error-spike detection per day: today's error rate compared to "
+    "the trailing-7-day rate (window of days, not rows of events) "
+    "entirely by INTEGER cross-multiplication — e*T > 2*t*E — so the "
+    "alerting decision is bit-exact with no float rate anywhere; the "
+    "operational companion to the reference's error counters "
+    "(index.js:42-49, 617-656) with memory instead of per-batch "
+    "amnesia.",
+)
+def events_error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One daily rollup shuffle; the trailing window runs over the
+    |days|-row daily table (single partition is FINE here — the window
+    input is days, not events; at 100 TB it is still just days)."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    trailed = daily.select(
+        "day",
+        "n_total",
+        "n_errors",
+        F.sum("n_total").over(w).alias("trail_total"),
+        F.sum("n_errors").over(w).alias("trail_errors"),
+    )
+    tt = F.coalesce("trail_total", F.lit(0))
+    te = F.coalesce("trail_errors", F.lit(0))
+    return trailed.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_total",
+        "n_errors",
+        tt.alias("trail_total"),
+        te.alias("trail_errors"),
+        ((tt > 0) & (F.col("n_errors") * tt > 2 * F.col("n_total") * te)).alias(
+            "is_spike"
+        ),
+    ).orderBy("day")

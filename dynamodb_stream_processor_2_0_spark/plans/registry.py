@@ -165,6 +165,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "rolling_7d_active_users",
     "embedding_mmr_diverse_topk",
     "events_dau_wau_stickiness",
+    "events_error_spike_detection",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

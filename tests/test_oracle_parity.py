@@ -16,7 +16,7 @@ from tests.oracle_harness import compare_query
 # The driver checks the first 50 queries() entries at sf0.01; run a bit
 # past that by default so next round's rotation candidates are already
 # gate-proven before they enter the sample.
-_MEDIUM_DEFAULT_PREFIX = 90
+_MEDIUM_DEFAULT_PREFIX = 95
 
 
 def _specs():

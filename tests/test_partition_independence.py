@@ -13,7 +13,7 @@ import pytest
 
 from dynamodb_stream_processor_2_0_spark.plans import registry
 
-_SWEEP_DEFAULT_PREFIX = 90
+_SWEEP_DEFAULT_PREFIX = 95
 
 
 def _specs():

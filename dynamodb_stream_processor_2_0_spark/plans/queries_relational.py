@@ -2352,3 +2352,66 @@ def part_sourcing_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi_x1e8"),
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rnk
+            FROM rev
+        ), moments AS (
+            SELECT count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s0,
+                   CAST(sum(rnk * cents) AS BIGINT) AS s1
+            FROM ranked
+        )
+        SELECT n AS n_customers, s0 AS total_cents,
+               CAST(round(100000000.0 *
+                    (2.0 * s1 / (CAST(n AS DOUBLE) * s0)
+                     - (n + 1.0) / n)) AS BIGINT) AS gini_x1e8
+        FROM moments
+    """,
+    tags=("relational", "analytics", "concentration", "scale"),
+    doc="Gini coefficient of customer revenue concentration: "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted "
+    "revenues — rank and cross-moment are exact integers (the rank "
+    "rides the distributed global_rank primitive, never a single-task "
+    "window), one exactly-rounded double expression at the end on the "
+    "1e8 grid. The inequality summary behind every 'top-X% of "
+    "customers drive Y%' claim.",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rollup shuffle, one global_rank (range exchange + window),
+    one 1-row moment aggregate."""
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = global_rank(rev, ["cents", "o_custkey"], out_col="rnk")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            F.lit(100000000.0)
+            * (
+                F.lit(2.0)
+                * F.sum(F.col("rnk") * F.col("cents"))
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.sum("cents")
+                )
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+            )
+        )
+        .cast("long")
+        .alias("gini_x1e8"),
+    )

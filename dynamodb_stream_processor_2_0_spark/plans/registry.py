@@ -166,6 +166,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_mmr_diverse_topk",
     "events_dau_wau_stickiness",
     "events_error_spike_detection",
+    "customer_revenue_gini",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

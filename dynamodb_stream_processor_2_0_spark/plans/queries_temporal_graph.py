@@ -997,3 +997,62 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), fp AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN fv ON fv.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fv.t_view
+            GROUP BY e.user_id
+        ), gaps AS (
+            SELECT (epoch_us(fp.t_purchase) - epoch_us(fv.t_view))
+                       // 1000000 AS gap_s
+            FROM fv JOIN fp USING (user_id)
+        )
+        SELECT count(*) AS n_converted,
+               CAST(min(gap_s) AS BIGINT) AS min_s,
+               CAST(quantile_cont(gap_s, 0.5) AS DOUBLE) AS p50_s,
+               CAST(quantile_cont(gap_s, 0.9) AS DOUBLE) AS p90_s,
+               CAST(max(gap_s) AS BIGINT) AS max_s
+        FROM gaps
+    """,
+    tags=("timeseries", "funnel", "conversion", "A1"),
+    doc="Time-to-convert distribution: first view to first subsequent "
+    "purchase per user, gaps as exact whole seconds (integer-micros "
+    "floor — the DST-safe rule), summarized with exact interpolated "
+    "percentiles — the latency view of the funnel (how LONG conversion "
+    "takes, not just whether it happens).",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two conditional min-aggs on user_id (co-partitioned) and a
+    single-row percentile summary over the (bounded: one row per
+    converted user) gap table."""
+    events = load_table(spark, sf_dir, "events")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    gaps = fv.join(fp, "user_id").select(
+        F.expr("CAST(t_purchase - t_view AS LONG)").alias("gap_s")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("gap_s").alias("min_s"),
+        F.percentile("gap_s", 0.5).alias("p50_s"),
+        F.percentile("gap_s", 0.9).alias("p90_s"),
+        F.max("gap_s").alias("max_s"),
+    )

@@ -167,6 +167,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_dau_wau_stickiness",
     "events_error_spike_detection",
     "customer_revenue_gini",
+    "events_time_to_convert",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

@@ -1498,3 +1498,53 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def _langid_confusion_oracle() -> str:
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    langid = REGISTRY["text_langid_heuristic"].oracle
+    return f"""
+        WITH pred AS ({langid})
+        SELECT lang AS actual_lang, predicted_lang,
+               count(*) AS n_docs,
+               CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+                   AS n_actual,
+               CAST(count(*) AS DOUBLE)
+                   / sum(count(*)) OVER (PARTITION BY lang) AS row_frac
+        FROM pred
+        GROUP BY lang, predicted_lang
+    """
+
+
+@register(
+    "text_langid_confusion_matrix",
+    oracle=_langid_confusion_oracle(),
+    tags=("text", "llm", "eval", "langid"),
+    doc="Classifier evaluation for the language-ID heuristic: the "
+    "actual x predicted confusion matrix with per-actual-language row "
+    "fractions — the eval artifact that decides whether the heuristic "
+    "is good enough before it gates a corpus (the ANN family's "
+    "recall_eval, applied to classification). Reuses the registered "
+    "langid operator, so the eval measures what ships.",
+)
+def text_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rollup on (actual, predicted) plus a per-actual window over
+    the (languages^2)-row matrix — evaluation cost independent of
+    corpus size after the prediction pass."""
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    pred = REGISTRY["text_langid_heuristic"].fn(spark, sf_dir)
+    counts = pred.groupBy(
+        F.col("lang").alias("actual_lang"), "predicted_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("actual_lang")
+    return counts.select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_actual"),
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "row_frac"
+        ),
+    )

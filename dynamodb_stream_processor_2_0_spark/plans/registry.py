@@ -168,6 +168,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_error_spike_detection",
     "customer_revenue_gini",
     "events_time_to_convert",
+    "text_langid_confusion_matrix",
     "sample_priority_weighted",
     "dataset_split_assign",
     "embedding_covariance_stats",

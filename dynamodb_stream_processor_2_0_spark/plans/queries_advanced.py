@@ -1317,3 +1317,124 @@ def events_error_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spike"
         ),
     ).orderBy("day")
+
+
+@register(
+    "bloom_filter_dedup_prefilter",
+    oracle="""
+        WITH delivered AS (
+            SELECT DISTINCT o_custkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ), positions AS (
+            SELECT key, h,
+                   CAST('0x' || substr(md5('bf' || CAST(h AS VARCHAR)
+                        || ':' || CAST(key AS VARCHAR)), 1, 12) AS BIGINT)
+                       % 131072 AS pos
+            FROM delivered, (SELECT unnest([1, 2]) AS h)
+        ), bloom AS (
+            SELECT pos // 32 AS word,
+                   bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+            FROM positions GROUP BY pos // 32
+        ), probe AS (
+            SELECT c_custkey,
+                   CAST('0x' || substr(md5('bf1:'
+                        || CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT)
+                       % 131072 AS p1,
+                   CAST('0x' || substr(md5('bf2:'
+                        || CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT)
+                       % 131072 AS p2
+            FROM customer
+        ), probed AS (
+            SELECT p.c_custkey,
+                   COALESCE((b1.mask >> CAST(p.p1 % 32 AS INT)) & 1, 0) = 1
+                   AND COALESCE((b2.mask >> CAST(p.p2 % 32 AS INT)) & 1, 0) = 1
+                       AS bloom_hit,
+                   EXISTS (SELECT 1 FROM delivered d
+                           WHERE d.key = p.c_custkey) AS delivered
+            FROM probe p
+            LEFT JOIN bloom b1 ON b1.word = p.p1 // 32
+            LEFT JOIN bloom b2 ON b2.word = p.p2 // 32
+        )
+        SELECT bloom_hit, delivered,
+               count(*) AS n_customers,
+               min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        FROM probed
+        GROUP BY bloom_hit, delivered
+        ORDER BY bloom_hit, delivered
+    """,
+    tags=("relational", "join", "scale", "dedup", "E4", "D3"),
+    doc="Bloom-filter dedup pre-filter: the delivered-key set is packed "
+    "into a 128 Kbit / k=2 Bloom bitmap (md5-derived positions, 32-bit "
+    "words, bit_or aggregation - map-side combinable, so the build "
+    "shuffles at most 4096 longs no matter how many keys). The probe "
+    "side tests membership with two broadcast-hash-joins against the "
+    "4096-row word table - ZERO shuffle of the probed stream - and "
+    "classifies every key as (bloom_hit, actually-delivered), so the "
+    "query itself audits the false-positive band. This is the "
+    "arbitrary-key companion to bitmap_semi_join_runtime_filter (which "
+    "needs dense ints) and the scale form of the reference's fail-open "
+    "dedup lookup (checkEmailJobExists, index.js:107-141): at 100 TB "
+    "only bloom-hit survivors reach the exact anti-join, and a Bloom "
+    "miss can never be a false negative, so fail-open semantics hold.",
+)
+def bloom_filter_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    n_bits = 131072  # 2^17 bits -> 4096 x 32-bit words, 16 KiB broadcast
+    delivered = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+
+    def position(prefix: str, key):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long") % n_bits
+
+    positions = delivered.select(
+        F.explode(
+            F.array(position("bf1:", F.col("key")), position("bf2:", F.col("key")))
+        ).alias("pos")
+    )
+    bloom = positions.groupBy(F.expr("pos div 32").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, int(pos % 32))")).alias("mask")
+    )
+
+    probe = customer.select(
+        "c_custkey",
+        position("bf1:", F.col("c_custkey")).alias("p1"),
+        position("bf2:", F.col("c_custkey")).alias("p2"),
+    )
+    b1 = bloom.select(F.col("word").alias("w1"), F.col("mask").alias("m1"))
+    b2 = bloom.select(F.col("word").alias("w2"), F.col("mask").alias("m2"))
+    hit1 = F.coalesce(F.expr("shiftright(m1, int(p1 % 32)) & 1"), F.lit(0)) == 1
+    hit2 = F.coalesce(F.expr("shiftright(m2, int(p2 % 32)) & 1"), F.lit(0)) == 1
+    probed = (
+        probe.join(F.broadcast(b1), F.col("w1") == F.expr("p1 div 32"), "left")
+        .join(F.broadcast(b2), F.col("w2") == F.expr("p2 div 32"), "left")
+        .withColumn("bloom_hit", hit1 & hit2)
+        # Exact audit arm: at 100 TB this anti/semi-join runs only on
+        # bloom-hit survivors; here it runs on all rows so the query
+        # certifies the (bloom_hit, delivered) confusion counts.
+        .join(
+            F.broadcast(delivered.withColumn("delivered", F.lit(True))),
+            F.col("key") == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey", "bloom_hit", F.coalesce("delivered", F.lit(False)).alias("delivered")
+        )
+    )
+    return (
+        probed.groupBy("bloom_hit", "delivered")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("bloom_hit", "delivered")
+    )

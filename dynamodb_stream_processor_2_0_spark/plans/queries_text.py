@@ -1548,3 +1548,101 @@ def text_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_frac"
         ),
     )
+
+
+@register(
+    "text_lm_surprisal_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t.term, t.pos
+            FROM documents,
+                 LATERAL (
+                     SELECT unnest(l) AS term, generate_subscripts(l, 1) AS pos
+                     FROM (SELECT list_filter(
+                               string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> length(x) >= 2) AS l)
+                 ) t
+        ), big AS (
+            SELECT doc_id,
+                   term || ' ' ||
+                       lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+            FROM toks
+            QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NOT NULL
+        ), tf AS (
+            SELECT doc_id, bg, count(*) AS tf FROM big GROUP BY doc_id, bg
+        ), lm AS (
+            SELECT bg, sum(tf) AS cnt FROM tf GROUP BY bg
+        ), total AS (
+            SELECT sum(cnt) AS n FROM lm
+        ), scored AS (
+            SELECT f.doc_id,
+                   CAST(sum(f.tf * length(bin(t.n // l.cnt))) AS BIGINT)
+                       AS sum_bits,
+                   CAST(sum(f.tf) AS BIGINT) AS n_bigrams
+            FROM tf f
+            JOIN lm l USING (bg)
+            CROSS JOIN total t
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_bigrams, sum_bits,
+               CAST(sum_bits AS DOUBLE) / n_bigrams AS avg_bits,
+               CAST(sum_bits AS DOUBLE) / n_bigrams <= 10.2 AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+    tags=("text", "llm", "quality", "F9"),
+    doc="Bigram-LM surprisal quality filter (the CCNet/KenLM perplexity "
+    "gate, integer-exact): the corpus itself is the language model - "
+    "each bigram's surprisal is bitlen(N div count) ~ floor(log2(1/p))+1, "
+    "computed with bin()/length so both engines agree bit-for-bit "
+    "(libm log() last-ulp rounding differs across engines; integer "
+    "division + binary length does not). A document's score is the "
+    "tf-weighted mean surprisal of its token bigrams: gibberish, OCR "
+    "noise, and rare-collocation soup score high and are dropped by the "
+    "keep<=10.2-bit gate. Shuffle budget: one shuffle on doc_id for the "
+    "adjacency window (lead), tf pre-agg on (doc_id, bg), lm agg on bg "
+    "(map-side combinable), bg join (AQE absorbs the Zipf head because "
+    "tf is already one row per (doc, bg)), doc rollup; corpus total N "
+    "crosses as a broadcast single row. Extends the reference's "
+    "per-record quality checks (index.js:167-221) to corpus-statistical "
+    "quality, per the LLM-pipeline mandate.",
+)
+def text_lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: F.length(t) >= 2,
+            )
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "term", F.lead("term").over(w)).alias("bg"),
+        F.lead("term").over(w).isNotNull().alias("_has_next"),
+    ).filter("_has_next")
+    tf = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tf.join(lm, "bg")
+        .crossJoin(F.broadcast(total))
+        .withColumn("bits", F.length(F.bin(F.expr("n div cnt"))))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("bits")).alias("sum_bits"),
+            F.sum("tf").alias("n_bigrams"),
+        )
+    )
+    avg_bits = F.col("sum_bits").cast("double") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_bits",
+        avg_bits.alias("avg_bits"),
+        (avg_bits <= 10.2).alias("keep"),
+    ).orderBy("doc_id")

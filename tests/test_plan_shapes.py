@@ -217,3 +217,26 @@ def test_pagerank_dangling_mass_broadcasts(spark, sf_dir):
         registry.get("graph_pagerank_fixpoint").fn(spark, sf_dir)
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_prefilter_probe_side_shuffle_free(spark, sf_dir):
+    """The Bloom word table reaches the probe via BroadcastHashJoin
+    (twice), built from a map-side-combinable bit_or fold; the probed
+    customer scan must not be hash-exchanged before the joins."""
+    df = registry.get("bloom_filter_dedup_prefilter").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 bloom probes + audit
+    assert "bit_or" in plan
+    before_first_join = plan.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning(c_custkey" not in before_first_join
+
+
+def test_lm_surprisal_partial_aggregates(spark, sf_dir):
+    """The bigram tf and lm aggregations must map-side combine
+    (partial_count/partial_sum before their exchanges), and the corpus
+    total must cross as a broadcast, not a shuffle."""
+    df = registry.get("text_lm_surprisal_score").fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

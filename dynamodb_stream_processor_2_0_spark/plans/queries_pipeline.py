@@ -822,3 +822,60 @@ def cdc_retraction_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("current_state")
     )
+
+
+_EVOLVE_STAGE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+@register(
+    "source_schema_evolution_merge",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+                   AS event_type,
+               event_id % 2 = 0 AS from_v1
+        FROM events
+    """,
+    tags=("source", "format", "parquet", "S1", "P4"),
+    doc="Schema-evolution read (mergeSchema): a v1 parquet shard written "
+    "before a column existed and a v2 shard with the added event_type "
+    "column are read as ONE relation - the union schema is resolved at "
+    "planning time from the two footers (no data rewrite, no backfill "
+    "scan), v1 rows surface NULL for the added column, and the typed "
+    "columns stay bit-exact through the merge. This is how a 100 TB "
+    "append-only lake absorbs producer schema changes: old files are "
+    "never touched, the reader reconciles by column NAME. The oracle "
+    "derives the same v1/v2 split from the original parquet, proving "
+    "the evolved read lossless. Extends the S1 source family "
+    "(index.js:34-63 record parse) to evolving wire schemas.",
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _EVOLVE_STAGE_CACHE:
+        base = tempfile.mkdtemp(prefix="events_evolve_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            "event_type",
+        )
+        v1, v2 = f"{base}/v1", f"{base}/v2"
+        events.filter(F.col("event_id") % 2 == 0).drop("event_type").write.mode(
+            "overwrite"
+        ).parquet(v1)
+        events.filter(F.col("event_id") % 2 != 0).write.mode("overwrite").parquet(v2)
+        _EVOLVE_STAGE_CACHE[sf_dir] = (v1, v2)
+    v1, v2 = _EVOLVE_STAGE_CACHE[sf_dir]
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.select(
+        "event_id",
+        "user_id",
+        "value_cents",
+        "event_type",
+        F.col("event_type").isNull().alias("from_v1"),
+    )

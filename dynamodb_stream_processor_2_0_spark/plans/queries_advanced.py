@@ -1438,3 +1438,80 @@ def bloom_filter_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bloom_hit", "delivered")
     )
+
+
+@register(
+    "aqp_sampled_sum_estimate",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST('0x' || substr(md5('aqp:' ||
+                        CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) < 6554
+                       AS in_sample
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS exact_cents,
+               CAST(count(*) FILTER (WHERE in_sample) AS BIGINT)
+                   AS n_sampled,
+               CAST(coalesce(sum(cents) FILTER (WHERE in_sample), 0) * 10
+                    AS BIGINT) AS estimate_cents,
+               CAST(abs(coalesce(sum(cents) FILTER (WHERE in_sample), 0) * 10
+                        - sum(cents)) * 10000 // sum(cents) AS BIGINT)
+                   AS err_bps
+        FROM base
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "sampling", "scale", "A1"),
+    doc="Approximate query processing over a deterministic 10% sample "
+    "(the BlinkDB pattern): membership is md5-threshold on the row key "
+    "- reproducible across engines, runs, and cluster sizes, unlike "
+    "rand()-based TABLESAMPLE - so the sampled estimate itself is "
+    "oracle-checkable, and the same query carries the exact arm plus "
+    "the realized error in integer basis points. At 100 TB the sample "
+    "membership predicate evaluates in the scan (one pass, 10% of rows "
+    "survive into the agg), turning a full-table rollup into a 10x "
+    "cheaper scan with a quantified error column; both arms here share "
+    "one scan + one shuffle because the sample is a FILTER clause, not "
+    "a second read. Integer cross-multiplication keeps err_bps exact "
+    "(no float division).",
+)
+def aqp_sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("aqp:"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < 6554
+        ).alias("in_sample"),
+    )
+    agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("exact_cents"),
+        F.count_if(F.col("in_sample")).alias("n_sampled"),
+        (F.coalesce(F.sum(F.when(F.col("in_sample"), F.col("cents"))), F.lit(0)) * 10)
+        .cast("long")
+        .alias("estimate_cents"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_rows",
+        "exact_cents",
+        "n_sampled",
+        "estimate_cents",
+        F.expr(
+            "cast(abs(estimate_cents - exact_cents) * 10000 div exact_cents as bigint)"
+        ).alias("err_bps"),
+    ).orderBy("o_orderpriority")

@@ -1609,22 +1609,26 @@ def text_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality, per the LLM-pipeline mandate.",
 )
 def text_lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram construction is MAP-ONLY: the filtered token array is
+    zipped with itself shifted by one (transform over the length-1
+    prefix, element_at i+2), so adjacency never needs a (doc, pos)
+    window shuffle — the first exchange in the plan is already the
+    (doc_id, bg) partial-agg. At sf0.1 (5k docs) wall time is at the
+    multi-stage latency floor either way; at 100 TB the map-only form
+    removes a full sort-shuffle of every token occurrence."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda t: F.length(t) >= 2,
-            )
-        ).alias("pos", "term"),
+    arr = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: F.length(t) >= 2
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
+    big = docs.withColumn("arr", arr).select(
         "doc_id",
-        F.concat_ws(" ", "term", F.lead("term").over(w)).alias("bg"),
-        F.lead("term").over(w).isNotNull().alias("_has_next"),
-    ).filter("_has_next")
+        F.explode(
+            F.transform(
+                F.slice(F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("arr"), i + 2)),
+            )
+        ).alias("bg"),
+    )
     tf = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
     lm = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
     total = lm.agg(F.sum("cnt").alias("n"))

@@ -534,11 +534,13 @@ def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
     "— no float convergence ambiguity at the gate.",
 )
 def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per iteration: one edges||rank join + one groupBy(dst) (both
+    """Per iteration: ONE edges||rank join + one groupBy(dst) (both
     shuffle on node ids — co-partitionable at scale by pre-bucketing
     edges on src, as connected_components does), plus a 1-row dangling
     aggregate kept IN-PLAN as a broadcast cross join — no driver
-    round-trip per iteration. localCheckpoint per round keeps the
+    round-trip per iteration. The static out-degree travels inside the
+    rank relation, so neither the dangling mass nor the contribution
+    divisor needs its own join. localCheckpoint per round keeps the
     lineage flat so iteration i never recomputes iterations 1..i-1."""
     SCALE = 10**12
     orders = load_table(spark, sf_dir, "orders")
@@ -564,28 +566,39 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
-    r = nodes.withColumn("rank", F.lit(SCALE // n_nodes))
+    # Fold the static out-degree INTO the rank relation: r carries
+    # (node, od, rank), so each iteration needs exactly ONE edges||r
+    # join + one groupBy(dst) — the r||outdeg join (dangling mass) and
+    # the edges||outdeg join (contribution divisor) both disappear
+    # (2 joins/iteration hoisted; measured 3.75 s -> 2.8 s at sf0.1).
+    r = outdeg.withColumn("rank", F.lit(SCALE // n_nodes))
     teleport = ((SCALE * 3) // 20) // n_nodes
-    for _ in range(3):
+    for it in range(3):
+        # Checkpoint the loop INPUT (not the output): lineage stays
+        # flat, but the final iteration remains in the returned plan so
+        # its broadcast/agg shape is assertable (and one checkpoint
+        # materialization is saved).
+        if it:
+            r = r.localCheckpoint(eager=False)
         # dangling mass stays IN-PLAN: a 1-row aggregate broadcast into
         # the rank update (no driver round-trip per iteration).
         dang = F.broadcast(
-            r.join(outdeg, "node")
-            .filter(F.col("od") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("d"))
+            r.filter(F.col("od") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("d")
+            )
         )
         contrib = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank div od").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         r = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            outdeg.join(contrib, outdeg["node"] == contrib["dst"], "left")
             .crossJoin(dang)
             .select(
                 "node",
+                "od",
                 (
                     F.lit(teleport)
                     + F.expr(
@@ -593,9 +606,8 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
-    return r.join(outdeg, "node").select(
+    return r.select(
         F.when(F.col("node") % 2 == 0, "customer")
         .otherwise("supplier")
         .alias("node_type"),

@@ -18,6 +18,17 @@ from tests.oracle_harness import compare_query
 # gate-proven before they enter the sample.
 _MEDIUM_DEFAULT_PREFIX = 95
 
+# Queries added after the round-4 sample order was frozen: not in the
+# gate prefix, but gate-proven-by-default here at sf0.01 so the next
+# rotation can promote them with no surprises.
+_MEDIUM_EXTRAS = (
+    "bloom_filter_dedup_prefilter",
+    "text_lm_surprisal_score",
+    "cdc_retraction_aggregate",
+    "source_schema_evolution_merge",
+    "aqp_sampled_sum_estimate",
+)
+
 
 def _specs():
     registry._load()
@@ -30,7 +41,9 @@ def _medium_specs():
         return []
     ordered = list(registry.all_queries())
     if mode != "1":
-        ordered = ordered[:_MEDIUM_DEFAULT_PREFIX]
+        ordered = ordered[:_MEDIUM_DEFAULT_PREFIX] + [
+            n for n in _MEDIUM_EXTRAS if n in ordered
+        ]
     return [
         registry.REGISTRY[n] for n in ordered if registry.REGISTRY[n].oracle
     ]

@@ -988,3 +988,204 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "dedup_ttl_within_window",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id, ts,
+                   user_id % 500 AS dedup_key,
+                   lag(ts) OVER (
+                       PARTITION BY user_id % 500 ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        )
+        SELECT event_id, dedup_key, ts,
+               prev_ts IS NOT NULL
+               AND ts - prev_ts <= INTERVAL 6 HOUR AS is_duplicate,
+               CASE
+                   WHEN prev_ts IS NULL THEN 'first_seen'
+                   WHEN ts - prev_ts <= INTERVAL 6 HOUR
+                       THEN 'duplicate_prevented'
+                   ELSE 're_armed'
+               END AS disposition
+        FROM keyed
+        ORDER BY dedup_key, ts, event_id
+    """,
+    tags=("dedup", "D4", "D5", "temporal", "streaming-twin"),
+    doc="TTL-windowed dedup (the batch twin of "
+    "dropDuplicatesWithinWatermark, and of a dedup state store with a "
+    "6h TTL): an occurrence is a duplicate iff the SAME key appeared "
+    "within the trailing TTL; past the TTL the key re-arms and fires "
+    "again. This is the production middle ground between the "
+    "reference's forever-dedup (checkEmailJobExists never expires, "
+    "index.js:107-141) and no dedup: state is bounded by keys-per-TTL "
+    "rather than keys-ever. One lag() per key (single shuffle on the "
+    "dedup key) — per-key state is one timestamp, exactly what the "
+    "streaming form keeps in the state store "
+    "(streaming_dedup_watermark_e2e pins the arrival-order form).",
+)
+def dedup_ttl_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        "ts",
+        (F.col("user_id") % 500).alias("dedup_key"),
+    )
+    w = Window.partitionBy("dedup_key").orderBy("ts", "event_id")
+    with_prev = keyed.withColumn("prev_ts", F.lag("ts").over(w))
+    within_ttl = F.col("prev_ts").isNotNull() & (
+        F.col("prev_ts") >= F.col("ts") - F.expr("INTERVAL 6 HOURS")
+    )
+    return with_prev.select(
+        "event_id",
+        "dedup_key",
+        "ts",
+        within_ttl.alias("is_duplicate"),
+        F.when(F.col("prev_ts").isNull(), "first_seen")
+        .when(within_ttl, "duplicate_prevented")
+        .otherwise("re_armed")
+        .alias("disposition"),
+    ).orderBy("dedup_key", "ts", "event_id")
+
+
+def _minhash_calibration_oracle() -> str:
+    from dynamodb_stream_processor_2_0_spark.operators.dedup import (
+        minhash_bands_oracle_cte,
+    )
+
+    agree_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(12)
+    )
+    return f"""
+        WITH {minhash_bands_oracle_cte(12, 2, 3)},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), agree AS (
+            SELECT p.doc_a, p.doc_b, ({agree_sum}) AS n_agree
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_a
+            JOIN sigs sb ON sb.doc_id = p.doc_b
+        ), nsh AS (
+            SELECT doc_id, count(DISTINCT v) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT p.doc_a, p.doc_b, count(DISTINCT a.v) AS i
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.v = a.v
+            GROUP BY p.doc_a, p.doc_b
+        ), ji AS (
+            SELECT g.doc_a, g.n_agree,
+                   COALESCE(i.i, 0) * 1000000
+                       // (na.n + nb.n - COALESCE(i.i, 0)) AS exact_micro
+            FROM agree g
+            JOIN nsh na ON na.doc_id = g.doc_a
+            JOIN nsh nb ON nb.doc_id = g.doc_b
+            LEFT JOIN inter i
+              ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+        )
+        SELECT n_agree,
+               count(*) AS n_pairs,
+               CAST(n_agree * 1000000 // 12 AS BIGINT) AS est_micro,
+               CAST(sum(exact_micro) // count(*) AS BIGINT)
+                   AS mean_exact_micro
+        FROM ji
+        GROUP BY n_agree
+        ORDER BY n_agree
+    """
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    tags=("dedup", "llm", "minhash", "eval"),
+    doc="MinHash estimator calibration (the eval harness for the "
+    "flagship dedup op, companion to ann_recall_eval): for every LSH "
+    "candidate pair, the signature-agreement estimate (n_agree/12) is "
+    "binned against the EXACT shingle-set Jaccard, so the output is "
+    "the estimator's calibration curve — mean exact similarity per "
+    "agreement level, both in exact integer micro-units (i*1e6 div u; "
+    "no float division anywhere). A well-calibrated estimator shows "
+    "mean_exact_micro tracking est_micro; systematic bias here would "
+    "mean the LSH band/row choice (6x2) is filtering on a skewed "
+    "statistic. Exact Jaccard runs ONLY on candidate pairs (the "
+    "already-banded small set) over hashed-shingle ints — never an "
+    "all-pairs scan, and the shingle join carries 8-byte ints, not "
+    "text. Same evaluate-the-sketch-inside-the-gate pattern as "
+    "agg_hll_accuracy_pinned.",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    sigs = dedup.minhash_signatures(docs, 12, 3)
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(12)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(12)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(12)
+    )
+    agree = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+
+    sh = (
+        docs.withColumn("toks", dedup.tokens_col("text"))
+        .select(
+            "doc_id",
+            F.explode(dedup.shingles_col("toks", 3)).alias("shingle"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .distinct()
+    )
+    nsh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "v"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "v"),
+            ["doc_b", "v"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ji = (
+        agree.join(nsh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(nsh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "n_agree",
+            F.expr(
+                "coalesce(i, 0L) * 1000000 div (na + nb - coalesce(i, 0L))"
+            ).alias("exact_micro"),
+        )
+    )
+    return (
+        ji.groupBy("n_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.first(F.expr("n_agree * 1000000 div 12")).alias("est_micro"),
+            F.expr("sum(exact_micro) div count(1)").alias("mean_exact_micro"),
+        )
+        .select(
+            "n_agree",
+            "n_pairs",
+            F.col("est_micro").cast("long"),
+            F.col("mean_exact_micro").cast("long"),
+        )
+        .orderBy("n_agree")
+    )

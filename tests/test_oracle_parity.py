@@ -27,6 +27,8 @@ _MEDIUM_EXTRAS = (
     "cdc_retraction_aggregate",
     "source_schema_evolution_merge",
     "aqp_sampled_sum_estimate",
+    "dedup_ttl_within_window",
+    "dedup_minhash_calibration",
 )
 
 

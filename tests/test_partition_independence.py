@@ -15,6 +15,18 @@ from dynamodb_stream_processor_2_0_spark.plans import registry
 
 _SWEEP_DEFAULT_PREFIX = 95
 
+# Post-freeze round-4 additions: swept by default (see the matching
+# list in test_oracle_parity.py).
+_SWEEP_EXTRAS = (
+    "bloom_filter_dedup_prefilter",
+    "text_lm_surprisal_score",
+    "cdc_retraction_aggregate",
+    "source_schema_evolution_merge",
+    "aqp_sampled_sum_estimate",
+    "dedup_ttl_within_window",
+    "dedup_minhash_calibration",
+)
+
 
 def _specs():
     registry._load()
@@ -23,7 +35,9 @@ def _specs():
         return []
     ordered = list(registry.all_queries())
     if mode != "1":
-        ordered = ordered[:_SWEEP_DEFAULT_PREFIX]
+        ordered = ordered[:_SWEEP_DEFAULT_PREFIX] + [
+            n for n in _SWEEP_EXTRAS if n in ordered
+        ]
     # streaming queries scope their own width (and run minutes, not
     # seconds); their determinism is covered by the e2e oracle gates
     return [

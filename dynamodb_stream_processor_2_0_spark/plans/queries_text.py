@@ -1650,3 +1650,112 @@ def text_lm_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_bits.alias("avg_bits"),
         (avg_bits <= 10.2).alias("keep"),
     ).orderBy("doc_id")
+
+
+def _filter_ensemble_oracle() -> str:
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    clf = REGISTRY["quality_classifier_score"].oracle
+    lm = REGISTRY["text_lm_surprisal_score"].oracle
+    gop = REGISTRY["text_gopher_repetition"].oracle
+    return f"""
+        WITH j AS (
+            SELECT c.doc_id,
+                   CAST(c.keep AS INT) AS k_clf,
+                   CAST(l.keep AS INT) AS k_lm,
+                   CAST(g.gopher_keep AS INT) AS k_gop
+            FROM ({clf}) c
+            JOIN ({lm}) l ON l.doc_id = c.doc_id
+            JOIN ({gop}) g ON g.doc_id = c.doc_id
+        ), s AS (
+            SELECT count(*) AS n,
+                   sum(k_clf) AS a_clf, sum(k_lm) AS a_lm,
+                   sum(k_gop) AS a_gop,
+                   sum(CASE WHEN k_clf = k_lm THEN 1 ELSE 0 END) AS ag_cl,
+                   sum(CASE WHEN k_clf = k_gop THEN 1 ELSE 0 END) AS ag_cg,
+                   sum(CASE WHEN k_lm = k_gop THEN 1 ELSE 0 END) AS ag_lg
+            FROM j
+        ), pairs AS (
+            SELECT 'classifier|lm' AS pair, n, a_clf AS a, a_lm AS b,
+                   ag_cl AS agree FROM s
+            UNION ALL
+            SELECT 'classifier|gopher', n, a_clf, a_gop, ag_cg FROM s
+            UNION ALL
+            SELECT 'lm|gopher', n, a_lm, a_gop, ag_lg FROM s
+        )
+        SELECT pair,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(agree AS BIGINT) AS n_agree,
+               CAST(agree * 1000000 // n AS BIGINT) AS po_micro,
+               CAST((a * b + (n - a) * (n - b)) * 1000000 // (n * n)
+                    AS BIGINT) AS pe_micro,
+               CAST(CASE WHEN agree * n >= a * b + (n - a) * (n - b)
+                         THEN 1 ELSE -1 END
+                    * (abs(agree * n - a * b - (n - a) * (n - b)) * 1000000
+                       // (n * n - a * b - (n - a) * (n - b)))
+                    AS BIGINT) AS kappa_micro
+        FROM pairs
+        ORDER BY pair
+    """
+
+
+@register(
+    "text_filter_ensemble_agreement",
+    oracle=_filter_ensemble_oracle(),
+    tags=("text", "llm", "quality", "eval"),
+    doc="Inter-rater reliability of the three quality filters "
+    "(hashed-classifier, bigram-LM surprisal, Gopher repetition): "
+    "pairwise observed agreement, chance agreement, and Cohen's kappa "
+    "over the per-document keep decisions — the curation-pipeline "
+    "question 'are my filters measuring the same thing or "
+    "complementary?'. Kappa is computed on the exact integer grid "
+    "(kappa = (agree*n - a*b - (n-a)*(n-b)) / (n^2 - a*b - (n-a)*(n-b)), "
+    "scaled to micro-units) with the SIGN extracted before the "
+    "division: Spark's div truncates toward zero while DuckDB's // "
+    "floors, so a negative kappa would otherwise hash-diverge by one "
+    "micro-unit. One row per filter pair; the three source operators "
+    "run as registered (each with its own documented shuffle budget), "
+    "then one 1-row global aggregate fans out to 3 rows — evaluation "
+    "cost independent of corpus size past the source ops.",
+)
+def text_filter_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    clf = REGISTRY["quality_classifier_score"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("k_clf")
+    )
+    lm = REGISTRY["text_lm_surprisal_score"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("k_lm")
+    )
+    gop = REGISTRY["text_gopher_repetition"].fn(spark, sf_dir).select(
+        "doc_id", F.col("gopher_keep").cast("int").alias("k_gop")
+    )
+    j = clf.join(lm, "doc_id").join(gop, "doc_id")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_clf").alias("a_clf"),
+        F.sum("k_lm").alias("a_lm"),
+        F.sum("k_gop").alias("a_gop"),
+        F.count_if(F.col("k_clf") == F.col("k_lm")).alias("ag_cl"),
+        F.count_if(F.col("k_clf") == F.col("k_gop")).alias("ag_cg"),
+        F.count_if(F.col("k_lm") == F.col("k_gop")).alias("ag_lg"),
+    )
+    pairs = s.selectExpr(
+        "stack(3, "
+        "'classifier|lm', a_clf, a_lm, ag_cl, "
+        "'classifier|gopher', a_clf, a_gop, ag_cg, "
+        "'lm|gopher', a_lm, a_gop, ag_lg) AS (pair, a, b, agree)",
+        "n",
+    )
+    num = "(agree * n - a * b - (n - a) * (n - b))"
+    den = "(n * n - a * b - (n - a) * (n - b))"
+    return pairs.selectExpr(
+        "pair",
+        "cast(n AS bigint) AS n_docs",
+        "cast(agree AS bigint) AS n_agree",
+        "cast(agree * 1000000 div n AS bigint) AS po_micro",
+        "cast((a * b + (n - a) * (n - b)) * 1000000 div (n * n) AS bigint)"
+        " AS pe_micro",
+        f"cast((CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({num}) * 1000000 div {den}) AS bigint) AS kappa_micro",
+    ).orderBy("pair")

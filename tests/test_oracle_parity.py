@@ -29,6 +29,7 @@ _MEDIUM_EXTRAS = (
     "aqp_sampled_sum_estimate",
     "dedup_ttl_within_window",
     "dedup_minhash_calibration",
+    "text_filter_ensemble_agreement",
 )
 
 

@@ -25,6 +25,7 @@ _SWEEP_EXTRAS = (
     "aqp_sampled_sum_estimate",
     "dedup_ttl_within_window",
     "dedup_minhash_calibration",
+    "text_filter_ensemble_agreement",
 )
 
 

@@ -795,3 +795,67 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "embedding_hard_negative_mine",
+    oracle=f"""
+        WITH ann AS (
+            {S.lsh_multiprobe_topk_oracle_sql(_PLANES, k=10, query_pred=_QUERY_PRED_SQL)}
+        ), pos AS (
+            {S.near_dup_pairs_oracle_sql(_ND_PLANES, band_size=6, threshold=0.42)}
+        )
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+               ) AS hn_rank
+        FROM ann a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE (p.id_a = a.query_id AND p.id_b = a.neighbor_id)
+               OR (p.id_a = a.neighbor_id AND p.id_b = a.query_id)
+        )
+        QUALIFY hn_rank <= 3
+        ORDER BY query_id, hn_rank
+    """,
+    tags=("similarity", "llm", "ann", "training-data"),
+    doc="Hard-negative mining (the contrastive-training companion to "
+    "contrastive_pair_sample's random negatives): for each query, the "
+    "top near-but-not-duplicate neighbors — ANN top-10 via the "
+    "multi-probe sign-LSH index, anti-joined against the REGISTERED "
+    "near-duplicate pair set (dedup_embedding_near's banded-LSH + "
+    "exact-cosine verify), then re-ranked to the 3 hardest survivors. "
+    "Hard negatives are what make retrieval/embedding training work "
+    "(in-batch randoms are too easy); mining them is exactly "
+    "ANN-minus-positives, so the whole op reuses the two already-"
+    "budgeted indexes and adds only a broadcast anti-join of the "
+    "(tiny) positive pair set plus a bounded per-query window. At "
+    "100 TB nothing new shuffles: the ANN probe is bucket-pruned, the "
+    "positive set rides the dedup pipeline's output.",
+)
+def embedding_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    ann = S.lsh_multiprobe_topk(emb, queries, _PLANES, k=10)
+    pos = S.near_dup_pairs(emb, _ND_PLANES, band_size=6, threshold=0.42).select(
+        "id_a", "id_b"
+    )
+    sym = pos.unionByName(
+        pos.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    hard = ann.join(
+        F.broadcast(sym),
+        (F.col("query_id") == F.col("id_a"))
+        & (F.col("neighbor_id") == F.col("id_b")),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        hard.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "hn_rank")
+        .orderBy("query_id", "hn_rank")
+    )

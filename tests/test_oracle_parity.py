@@ -30,6 +30,7 @@ _MEDIUM_EXTRAS = (
     "dedup_ttl_within_window",
     "dedup_minhash_calibration",
     "text_filter_ensemble_agreement",
+    "embedding_hard_negative_mine",
 )
 
 

@@ -879,3 +879,62 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.col("event_type").isNull().alias("from_v1"),
     )
+
+
+@register(
+    "source_python_pushdown_pruning",
+    oracle="""
+        WITH parsed AS (
+            SELECT event_id, user_id, event_type, value,
+                   COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                            AS INTEGER), 0) AS k
+            FROM events
+        )
+        SELECT CAST(event_id % 8 AS INTEGER) AS shard,
+               concat('evt-', event_id) AS record_id,
+               CASE WHEN event_type = 'purchase' THEN 'INSERT'
+                    ELSE 'MODIFY' END AS event_name,
+               CAST(user_id AS VARCHAR) AS guest_id,
+               k AS total_matches
+        FROM parsed
+        WHERE event_type <> 'error'
+          AND event_id % 8 >= 5
+          AND k >= 1
+    """,
+    tags=("source", "S1", "connector", "python-datasource", "scale"),
+    doc="Python DataSource FILTER PUSHDOWN (Spark 4.1 pushFilters): "
+    "shard-column comparisons prune whole shard directories at "
+    "planning time — 3 of 8 InputPartitions are ever created for "
+    "shard >= 5, no task touches the other five (the Python-source "
+    "analog of hive-partition pruning, and the Kinesis "
+    "read-only-your-shards model; index.js:34-43). The shard value is "
+    "constant per directory so the accepted predicate is fully "
+    "enforced by pruning (not re-evaluated), while the record-level "
+    "total_matches >= 1 predicate is NOT accepted and correctly stays "
+    "in Spark's post-scan filter. tests/test_dynamodb_connector.py "
+    "asserts the partition count drops 8 -> 3 and that unsupported "
+    "filters are yielded back.",
+)
+def source_python_pushdown_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        dynamodb_stream as DS,
+        python_datasource as PDS,
+    )
+
+    spark.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+    PDS.register_wire_datasource(spark)
+    path = PDS.staged_wire_jsonl(spark, sf_dir, n_shards=8)
+    wire = (
+        spark.read.format("dynamodb_stream_wire")
+        .option("path", path)
+        .load()
+        .filter(F.col("shard") >= 5)
+    )
+    typed = DS.parse_new_image(DS.decode_records(wire))
+    return typed.select(
+        (F.col("event_id_s").cast("long") % 8).cast("int").alias("shard"),
+        "record_id",
+        "event_name",
+        "guest_id",
+        "total_matches",
+    ).filter(F.col("total_matches") >= 1)

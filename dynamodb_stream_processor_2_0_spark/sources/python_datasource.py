@@ -20,7 +20,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 
@@ -51,14 +56,70 @@ class DynamoDBWireReader(DataSourceReader):
         if not path:
             raise ValueError("dynamodb_stream_wire: 'path' option is required")
         self.path = path
+        # (op, value) comparisons on the shard column, accumulated by
+        # pushFilters and enforced in partitions().
+        self._shard_preds: list[tuple[str, int]] = []
+
+    _SHARD_OPS = {
+        "EqualTo": lambda s, v: s == v,
+        "GreaterThan": lambda s, v: s > v,
+        "GreaterThanOrEqual": lambda s, v: s >= v,
+        "LessThan": lambda s, v: s < v,
+        "LessThanOrEqual": lambda s, v: s <= v,
+    }
+
+    def pushFilters(self, filters):
+        """Spark 4.1 Python DataSource filter pushdown: comparisons on
+        the ``shard`` column prune whole shard directories at PLANNING
+        time — the Python-source analog of hive-partition pruning
+        (source_partitioned_pruning). The shard value is constant per
+        partition, so an accepted predicate is FULLY enforced by
+        pruning and is not returned for re-evaluation; everything else
+        (e.g. record_json predicates) stays with Spark.
+
+        Lifecycle care: Spark reuses ONE reader instance across every
+        query built from the same loaded DataFrame, and only calls
+        pushFilters when the plan HAS pushable filters — so predicates
+        are (re)set here and CONSUMED by the next partitions() call
+        (observed leak otherwise: a sibling unfiltered count silently
+        inherited an earlier query's pruned shard set)."""
+        self._shard_preds = []
+        for f in filters:
+            if (
+                isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                    ),
+                )
+                and f.attribute == ("shard",)
+                and isinstance(f.value, int)
+            ):
+                self._shard_preds.append((type(f).__name__, f.value))
+            else:
+                yield f
+
 
     def partitions(self) -> list[WireShardPartition]:
         """One InputPartition per shard directory — the planner sees the
         shard count, so reader parallelism == shard count regardless of
-        file sizes (the stream-shard model, not the byte-split model)."""
+        file sizes (the stream-shard model, not the byte-split model).
+        Shard predicates pushed via pushFilters() drop whole
+        directories here, before any task is scheduled; they are
+        consumed (cleared) so a later filterless plan over the same
+        reader instance sees every shard again — Spark skips
+        pushFilters entirely for such plans."""
+        preds, self._shard_preds = self._shard_preds, []
         parts = []
         for entry in sorted(os.listdir(self.path)):
             if not entry.startswith("shard="):
+                continue
+            shard_no = int(entry.split("=", 1)[1])
+            if not all(self._SHARD_OPS[op](shard_no, v) for op, v in preds):
                 continue
             shard_dir = os.path.join(self.path, entry)
             files = sorted(
@@ -67,7 +128,9 @@ class DynamoDBWireReader(DataSourceReader):
                 if not f.startswith(("_", "."))
             )
             parts.append(WireShardPartition(int(entry.split("=", 1)[1]), files))
-        if not parts:
+        if not parts and not any(
+            e.startswith("shard=") for e in os.listdir(self.path)
+        ):
             raise ValueError(
                 f"dynamodb_stream_wire: no shard=* dirs under {self.path}"
             )
@@ -87,7 +150,12 @@ _JSONL_STAGE: dict[str, str] = {}
 
 
 def register_wire_datasource(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. Also enables Python-source
+    filter pushdown: DynamoDBWireReader implements pushFilters(), and
+    Spark refuses to plan a pushFilters reader while
+    spark.sql.python.filterPushdown.enabled is false — so the conf is
+    part of registering the source, not a per-query concern."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     sid = id(spark)
     if sid not in _REGISTERED:
         spark.dataSource.register(DynamoDBWireDataSource)

@@ -158,3 +158,56 @@ def test_envelope_sink_manifest_hides_orphaned_staged_files(spark, tmp_path):
     )
     got = sorted(r.dedup_id for r in landed.collect())
     assert got == ["a-1", "b-2"]  # orphan invisible
+
+
+def test_wire_reader_pushdown_prunes_shard_partitions(spark, sf_dir):
+    """pushFilters on the shard column must drop whole shard dirs at
+    planning time (8 -> 3 for shard >= 5), fully consume the accepted
+    predicate, and yield unsupported filters back to Spark."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        python_datasource as PDS,
+    )
+
+    PDS.register_wire_datasource(spark)
+    path = PDS.staged_wire_jsonl(spark, sf_dir, n_shards=8)
+
+    reader = PDS.DynamoDBWireReader({"path": path})
+    assert len(reader.partitions()) == 8  # unfiltered baseline
+
+    reader = PDS.DynamoDBWireReader({"path": path})
+    residual = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("shard",), 5),
+                IsNotNull(("record_json",)),  # not shard: stays with Spark
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["IsNotNull"]
+    parts = reader.partitions()
+    assert sorted(p.shard for p in parts) == [5, 6, 7]
+
+    reader = PDS.DynamoDBWireReader({"path": path})
+    list(reader.pushFilters([EqualTo(("shard",), 3)]))
+    assert [p.shard for p in reader.partitions()] == [3]
+
+    # end-to-end: the planned scan runs 3 tasks, and results match the
+    # same read without pushdown. Each filter set gets its OWN load():
+    # Spark caches the planned python scan inside the relation object,
+    # so reusing one loaded DataFrame across different pushed-filter
+    # sets can serve a stale partition list (the reader also
+    # consume-and-clears its predicates defensively).
+    def fresh():
+        return (
+            spark.read.format("dynamodb_stream_wire")
+            .option("path", path)
+            .load()
+        )
+
+    pruned = fresh().filter(F.col("shard") >= 5)
+    assert pruned._jdf.rdd().getNumPartitions() == 3
+    total = fresh().count()
+    below = fresh().filter("shard < 5").count()
+    assert pruned.count() == total - below

@@ -27,6 +27,7 @@ _SWEEP_EXTRAS = (
     "dedup_minhash_calibration",
     "text_filter_ensemble_agreement",
     "embedding_hard_negative_mine",
+    "source_python_pushdown_pruning",
 )
 
 

@@ -2415,3 +2415,61 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_x1e8"),
     )
+
+
+@register(
+    "relational_division_all_quarters",
+    oracle="""
+        WITH q AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+        ), full_cover AS (
+            SELECT o_custkey FROM q GROUP BY o_custkey HAVING count(*) = 4
+        )
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               min(c.c_custkey) AS min_custkey,
+               max(c.c_custkey) AS max_custkey
+        FROM customer c JOIN full_cover f ON f.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    tags=("relational", "division", "aggregation", "A2"),
+    doc="Relational DIVISION (the 'for-all' operator, the one classic "
+    "relational-algebra operator a filter/join closure lacks): "
+    "customers with orders in EVERY quarter of 1995, by segment. "
+    "Division compiles to distinct + count == |divisor| — two "
+    "map-side-combinable aggregations, no NOT EXISTS double "
+    "anti-join (the textbook form's two correlated subqueries would "
+    "be two extra shuffles and a quadratic risk on skewed keys). "
+    "Divisor cardinality (4) is a planning-time constant, so the "
+    "HAVING is a cheap post-agg filter. Generalizes the reference's "
+    "existence aggregate (A2, index.js:125) from 'any' to 'all'.",
+)
+def relational_division_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    q = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select("o_custkey", F.quarter("o_orderdate").alias("qtr"))
+        .distinct()
+    )
+    full_cover = q.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("nq")).filter(
+        F.col("nq") == 4
+    )
+    return (
+        customer.join(full_cover, customer["c_custkey"] == full_cover["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )

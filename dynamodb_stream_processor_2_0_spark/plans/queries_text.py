@@ -1759,3 +1759,83 @@ def text_filter_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         f"cast((CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
         f" * (abs({num}) * 1000000 div {den}) AS bigint) AS kappa_micro",
     ).orderBy("pair")
+
+
+@register(
+    "corpus_mixture_rebalance_plan",
+    oracle="""
+        WITH kept AS (
+            SELECT source, count(*) AS n_kept
+            FROM (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5('clean:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                           % 10 <> 0 AS keep
+                FROM documents
+            ) WHERE keep GROUP BY source
+        ), tot AS (
+            SELECT sum(n_kept) AS n_total, count(*) AS n_sources FROM kept
+        )
+        SELECT k.source,
+               k.n_kept,
+               CAST(k.n_kept * 1000000 // t.n_total AS BIGINT)
+                   AS share_micro,
+               CAST(1000000 // t.n_sources AS BIGINT) AS target_micro,
+               CAST(least(
+                   1000000,
+                   (t.n_total // t.n_sources) * 1000000 // k.n_kept
+               ) AS BIGINT) AS admit_rate_micro
+        FROM kept k CROSS JOIN tot t
+        ORDER BY k.source
+    """,
+    tags=("text", "llm", "sampling", "planning"),
+    doc="Mixture rebalancing planner: given this run's post-filter "
+    "per-source survivor counts (a deterministic md5 'cleaning' gate "
+    "stands in for the filter cascade), compute each source's realized "
+    "share and the ADMISSION RATE the next run must apply to hit a "
+    "uniform target mixture — rate = min(1, target_count/kept), all on "
+    "the exact integer micro-grid. This is the feedback step between "
+    "pipeline runs (measure -> re-plan) that corpus_mixture_sample's "
+    "static weights assume someone computed; over-represented sources "
+    "get a down-sampling rate, under-represented ones admit "
+    "everything. One groupBy(source) + a broadcast 1-row total — "
+    "planning cost independent of corpus size.",
+)
+def corpus_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.select(
+            "source",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("clean:"), F.col("doc_id").cast("string"))),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 10
+                != 0
+            ).alias("keep"),
+        )
+        .filter("keep")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    tot = kept.agg(
+        F.sum("n_kept").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_kept",
+            "cast(n_kept * 1000000 div n_total AS bigint) AS share_micro",
+            "cast(1000000 div n_sources AS bigint) AS target_micro",
+            "cast(least(1000000, (n_total div n_sources) * 1000000 div n_kept)"
+            " AS bigint) AS admit_rate_micro",
+        )
+        .orderBy("source")
+    )

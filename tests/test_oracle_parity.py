@@ -32,6 +32,8 @@ _MEDIUM_EXTRAS = (
     "text_filter_ensemble_agreement",
     "embedding_hard_negative_mine",
     "source_python_pushdown_pruning",
+    "relational_division_all_quarters",
+    "corpus_mixture_rebalance_plan",
 )
 
 

@@ -34,6 +34,7 @@ _MEDIUM_EXTRAS = (
     "source_python_pushdown_pruning",
     "relational_division_all_quarters",
     "corpus_mixture_rebalance_plan",
+    "dedup_prefix_filter_jaccard",
 )
 
 

@@ -64,9 +64,15 @@ _loaded = False
 # still-unchecked ones (keep the §2 covering set pinned at the top).
 #
 # Round-4 note for the next session: positions 51+ hold every query
-# added in round 4 (all pre-proven at sf0.01 via the default parity
-# prefix AND the local gate replay at sf0.01/sf0.1). After the r4
-# CORRECTNESS file lands, run `python tools/rotate_registry.py` —
+# added in round 4, including the continuation pass's 13 new operators
+# (Bloom prefilter, LM surprisal, retraction aggregate, schema
+# evolution, AQP estimate, TTL dedup, minhash calibration, filter
+# ensemble kappa, hard negatives, pushdown pruning, relational
+# division, mixture rebalance, prefix-filter join) — ALL pre-proven at
+# sf0.01 via the default parity prefix/extras lists (see
+# tests/test_oracle_parity.py::_MEDIUM_EXTRAS) AND the local gate
+# replay. After the r4 CORRECTNESS file lands, run
+# `python tools/rotate_registry.py` —
 # it classifies never/stale/fresh from the CORRECTNESS history and
 # prints the suggested next ordering (fresh r4 greens rotate to the
 # back, the never-checked remainder fills the sample).

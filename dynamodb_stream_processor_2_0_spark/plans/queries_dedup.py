@@ -1266,55 +1266,168 @@ def _prefix_filter_oracle() -> str:
     "shingle ints.",
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical layout is gated on the MEASURED duplication factor,
+    exactly like dedup_shingle_containment: exact-copy clusters share
+    every shingle (rare ones included), so a cluster of m copies emits
+    m^2 candidate pairs through the prefix index — the quadratic term
+    that took containment to 12.6x wall at 10x duplication. Past the
+    gate, byte-identical texts collapse to one representative for the
+    prefix join and member pairs are expanded afterwards; Jaccard
+    stats carry over unchanged because identical texts have identical
+    shingle sets (within-group pairs are jaccard=1000 by definition).
+    The oracle stays the naive form — collapse+expand is semantics-
+    preserving, which the gate proves on every corpus it runs on."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("toks", dedup.tokens_col("text"))
-        .select("doc_id", F.explode(dedup.shingles_col("toks", 3)).alias("shingle"))
+
+    def prefix_pairs(keyed, key):
+        sh = (
+            keyed.withColumn("toks", dedup.tokens_col("text"))
+            .select(key, F.explode(dedup.shingles_col("toks", 3)).alias("shingle"))
+            .select(
+                key,
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+        freq = sh.groupBy("v").agg(F.count(F.lit(1)).alias("df"))
+        wn = Window.partitionBy(key)
+        wp = Window.partitionBy(key).orderBy("df", "v")
+        sized = (
+            sh.join(freq, "v")
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .withColumn("pos", F.row_number().over(wp))
+        )
+        prefix = sized.filter(F.expr("pos <= n - (n + 1) div 2 + 1")).select(
+            key, "v", "n", "pos"
+        )
+        a = prefix.select(
+            F.col(key).alias("key_a"),
+            "v",
+            F.col("n").alias("n_a"),
+            F.col("pos").alias("pa"),
+        )
+        b = prefix.select(
+            F.col(key).alias("key_b"),
+            "v",
+            F.col("n").alias("n_b"),
+            F.col("pos").alias("pb"),
+        )
+        # PPJoin size filter, applied BEFORE the dedup agg: jaccard >=
+        # 0.5 requires max(n_a, n_b) <= 2 * min(n_a, n_b) (i <= min and
+        # i >= (n_a+n_b)/3 force it), so size-mismatched collisions
+        # never become candidates. Then the POSITIONAL filter: the
+        # earliest prefix collision (min pa — the same token also gives
+        # min pb, because both docs order tokens by the same global
+        # (df, v) key) bounds the whole overlap at
+        # 1 + min(n_a - pa, n_b - pb); pairs whose bound can't reach
+        # the required (n_a + n_b + 2) div 3 are pruned before any
+        # verification join. Both filters are exact — no output change
+        # — so the oracle stays the naive form.
+        cand = (
+            a.join(b, "v")
+            .filter(
+                (F.col("key_a") < F.col("key_b"))
+                & (
+                    F.greatest("n_a", "n_b")
+                    <= 2 * F.least("n_a", "n_b")
+                )
+            )
+            .groupBy("key_a", "key_b")
+            .agg(
+                F.min("pa").alias("pa"),
+                F.min("pb").alias("pb"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
+            .filter(
+                1 + F.least(F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb"))
+                >= F.expr("(n_a + n_b + 2) div 3")
+            )
+            .select("key_a", "key_b")
+        )
+        nsh = sh.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        inter = (
+            cand.join(sh.select(F.col(key).alias("key_a"), "v"), "key_a")
+            .join(sh.select(F.col(key).alias("key_b"), "v"), ["key_b", "v"])
+            .groupBy("key_a", "key_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        qual = (
+            inter.join(
+                nsh.select(F.col(key).alias("key_a"), F.col("n").alias("na")),
+                "key_a",
+            )
+            .join(
+                nsh.select(F.col(key).alias("key_b"), F.col("n").alias("nb")),
+                "key_b",
+            )
+            .filter(F.expr("i * 2 >= na + nb - i"))
+        )
+        return qual, nsh
+
+    out_cols = [
+        "doc_a",
+        "doc_b",
+        F.col("i").cast("long").alias("n_inter"),
+        F.expr("cast(na + nb - i AS bigint)").alias("n_union"),
+        F.expr("cast(i * 1000 div (na + nb - i) AS bigint)").alias("jaccard_milli"),
+    ]
+
+    n_docs = docs.count()
+    n_texts = docs.agg(F.countDistinct(F.md5("text")).alias("n")).first()["n"]
+    factor = float(
+        spark.conf.get("spark_graft.containment.collapse_factor", "1.05")
+    )
+    if n_docs <= factor * n_texts:
+        qual, _ = prefix_pairs(docs.select("doc_id", "text"), "doc_id")
+        return qual.select(
+            F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"), *out_cols[2:]
+        ).orderBy("doc_a", "doc_b")
+
+    keyed = docs.select("doc_id", F.md5("text").alias("th"), "text")
+    reps = keyed.groupBy("th").agg(
+        F.min("doc_id").alias("rep_id"), F.first("text").alias("text")
+    )
+    members = (
+        keyed.select("th", "doc_id")
+        .join(reps.select("th", "rep_id"), "th")
+        .select("rep_id", "doc_id")
+    )
+    qual, nsh = prefix_pairs(reps.select("rep_id", "text"), "rep_id")
+    # Jaccard is symmetric and identical texts have identical shingle
+    # sets, so member pairs inherit the rep pair's stats verbatim.
+    cross = (
+        qual.select(F.col("key_a").alias("rep_a"), F.col("key_b").alias("rep_b"), "i", "na", "nb")
+        .join(
+            members.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("id_a")),
+            "rep_a",
+        )
+        .join(
+            members.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("id_b")),
+            "rep_b",
+        )
         .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("v"),
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            *out_cols[2:],
         )
     )
-    freq = sh.groupBy("v").agg(F.count(F.lit(1)).alias("df"))
-    wn = Window.partitionBy("doc_id")
-    wp = Window.partitionBy("doc_id").orderBy("df", "v")
-    sized = (
-        sh.join(freq, "v")
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .withColumn("pos", F.row_number().over(wp))
-    )
-    prefix = sized.filter(F.expr("pos <= n - (n + 1) div 2 + 1")).select("doc_id", "v")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "v")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "v")
-    cand = (
-        a.join(b, "v")
+    # Within-group pairs: full overlap; groups whose text has < 3
+    # tokens have no shingles and emit nothing (inner join on nsh).
+    wg = members.join(nsh, "rep_id")
+    within = (
+        wg.select("rep_id", F.col("doc_id").alias("doc_a"), "n")
+        .join(wg.select("rep_id", F.col("doc_id").alias("doc_b")), "rep_id")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    nsh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "v"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "v"), ["doc_b", "v"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return (
-        inter.join(nsh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(nsh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(F.expr("i * 2 >= na + nb - i"))
         .select(
             "doc_a",
             "doc_b",
-            F.col("i").cast("long").alias("n_inter"),
-            F.expr("cast(na + nb - i AS bigint)").alias("n_union"),
-            F.expr("cast(i * 1000 div (na + nb - i) AS bigint)").alias(
-                "jaccard_milli"
-            ),
+            F.col("n").cast("long").alias("n_inter"),
+            F.col("n").cast("long").alias("n_union"),
+            F.lit(1000).cast("long").alias("jaccard_milli"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")

@@ -1431,3 +1431,57 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_cluster_size_report",
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) pairs
+        ), sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges
+        ), reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+        ), assign AS (
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        ), csize AS (
+            SELECT cluster_id, count(*) AS sz FROM assign GROUP BY cluster_id
+        )
+        SELECT sz AS cluster_size,
+               count(*) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(sum(sz - 1) AS BIGINT) AS n_removable
+        FROM csize
+        GROUP BY sz
+        ORDER BY sz
+    """,
+    tags=("dedup", "llm", "graph", "reporting"),
+    doc="Dedup impact report: the cluster-size histogram over the "
+    "near-dup connected components — how many clusters of each size, "
+    "how many documents they hold, and how many would be removed by "
+    "keep-one-per-cluster (size - 1 each). This is the number a "
+    "curation run reports before committing a destructive dedup (the "
+    "reference's duplicatesPrevented counter, index.js:42-92, lifted "
+    "from per-batch to corpus level). Rides dedup_cluster_assign; the "
+    "report itself is two bounded aggregations over one row per "
+    "clustered doc.",
+)
+def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    assign = dedup.connected_components(pairs)
+    csize = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        csize.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

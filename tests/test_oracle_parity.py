@@ -35,6 +35,7 @@ _MEDIUM_EXTRAS = (
     "relational_division_all_quarters",
     "corpus_mixture_rebalance_plan",
     "dedup_prefix_filter_jaccard",
+    "dedup_cluster_size_report",
 )
 
 

@@ -31,6 +31,7 @@ _SWEEP_EXTRAS = (
     "relational_division_all_quarters",
     "corpus_mixture_rebalance_plan",
     "dedup_prefix_filter_jaccard",
+    "dedup_cluster_size_report",
 )
 
 

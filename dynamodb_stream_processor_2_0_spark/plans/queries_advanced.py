@@ -1515,3 +1515,158 @@ def aqp_sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(abs(estimate_cents - exact_cents) * 10000 div exact_cents as bigint)"
         ).alias("err_bps"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "events_trend_slope_by_type",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   datediff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS x,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM events
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END
+                    * (abs(n * sxy - sx * sy) * 100
+                       // (n * sxx - sx * sx)) AS BIGINT)
+                   AS slope_cents_per_day_x100,
+               n * sxy - sx * sy > 0 AS trending_up
+        FROM m
+        WHERE n >= 2
+        ORDER BY event_type
+    """,
+    tags=("aggregation", "timeseries", "A1", "analytics"),
+    doc="Per-group least-squares trend slope on the exact integer grid: "
+    "daily revenue (cents) regressed on day index, slope = "
+    "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) carried as an exact integer "
+    "rational plus a sign-extracted scaled quotient (the same "
+    "floor-vs-truncate guard as the kappa op — Spark div truncates, "
+    "DuckDB // floors, and slopes go negative). Trend detection is the "
+    "time-directional statistic the reference's per-batch counters "
+    "can't see (index.js:42-92); everything reduces to one daily "
+    "rollup plus a 5-sum moment aggregate, both map-side-combinable — "
+    "two shuffles total, output one row per type at any scale.",
+)
+def events_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = "(n * sxy - sx * sy)"
+    den = "(n * sxx - sx * sx)"
+    return (
+        m.filter(F.col("n") >= 2)
+        .selectExpr(
+            "event_type",
+            "cast(n AS bigint) AS n_days",
+            f"cast({num} AS bigint) AS slope_num",
+            f"cast({den} AS bigint) AS slope_den",
+            f"cast((CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+            f" * (abs({num}) * 100 div {den}) AS bigint)"
+            " AS slope_cents_per_day_x100",
+            f"{num} > 0 AS trending_up",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_cusum_shift_detect",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT event_type, count(*) AS nd, CAST(sum(c) AS BIGINT) AS tot
+            FROM daily GROUP BY event_type
+        ), dev AS (
+            SELECT d.event_type, d.day,
+                   CAST(d.c AS BIGINT) AS c,
+                   m.nd * d.c - m.tot AS dev_scaled
+            FROM daily d JOIN m USING (event_type)
+        ), pre AS (
+            SELECT event_type, day, c,
+                   CAST(sum(dev_scaled) OVER w AS BIGINT) AS p
+            FROM dev
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+               CAST(p - least(CAST(0 AS BIGINT), min(p) OVER w2) AS BIGINT)
+                   AS cusum_scaled
+        FROM pre
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_type, day
+    """,
+    tags=("timeseries", "analytics", "A1", "streaming-twin"),
+    doc="CUSUM level-shift detection per event type, exact-integer: "
+    "the classic recursive s_i = max(0, s_{i-1} + dev_i) is re-"
+    "expressed CLOSED-FORM as prefix_i - min(0, running-min of "
+    "prefixes) — algebraically identical, but a window expression "
+    "instead of a sequential loop, so it runs as two stacked "
+    "partitioned windows (one shuffle on event_type) rather than a "
+    "driver-side scan. Deviations are scaled by n_days (dev = n*c - "
+    "total) to stay on the integer grid — no mean, no floats. The "
+    "sequential-analysis upgrade of events_error_spike_detection's "
+    "fixed trailing window: CUSUM accumulates evidence of a "
+    "persistent shift, catching drifts a point-in-time rate compare "
+    "misses.",
+)
+def events_cusum_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("c").cast("long").alias("tot")
+    )
+    dev = daily.join(m, "event_type").select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("c"),
+        (F.col("nd") * F.col("c") - F.col("tot")).alias("dev_scaled"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.withColumn("p", F.sum("dev_scaled").over(w).cast("long"))
+    return pre.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+        )
+        .cast("long")
+        .alias("cusum_scaled"),
+    ).orderBy("event_type", "day")

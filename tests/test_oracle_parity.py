@@ -36,6 +36,8 @@ _MEDIUM_EXTRAS = (
     "corpus_mixture_rebalance_plan",
     "dedup_prefix_filter_jaccard",
     "dedup_cluster_size_report",
+    "events_trend_slope_by_type",
+    "events_cusum_shift_detect",
 )
 
 

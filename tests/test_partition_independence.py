@@ -32,6 +32,8 @@ _SWEEP_EXTRAS = (
     "corpus_mixture_rebalance_plan",
     "dedup_prefix_filter_jaccard",
     "dedup_cluster_size_report",
+    "events_trend_slope_by_type",
+    "events_cusum_shift_detect",
 )
 
 

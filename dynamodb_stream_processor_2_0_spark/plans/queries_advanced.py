@@ -1670,3 +1670,93 @@ def events_cusum_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cusum_scaled"),
     ).orderBy("event_type", "day")
+
+
+# Benford first-digit expectations, round(log10(1+1/d) * 1e6): computed
+# once offline so BOTH engines compare against the same integer
+# constants (summing to exactly 1e6) — log10 never runs in-query.
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_values_sql() -> str:
+    return ", ".join(f"({d}, {m})" for d, m in _BENFORD_MICRO.items())
+
+
+@register(
+    "orders_benford_digit_audit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS d,
+                   count(*) AS obs
+            FROM orders
+            WHERE o_totalprice >= 1
+            GROUP BY 1
+        ), exp_t(d, exp_micro) AS (
+            VALUES {_benford_values_sql()}
+        ), tot AS (
+            SELECT CAST(sum(obs) AS BIGINT) AS n FROM digits
+        )
+        SELECT e.d AS first_digit,
+               CAST(COALESCE(g.obs, 0) AS BIGINT) AS n_obs,
+               CAST(COALESCE(g.obs, 0) * 1000000 // t.n AS BIGINT)
+                   AS obs_micro,
+               CAST(e.exp_micro AS BIGINT) AS exp_micro,
+               CAST((COALESCE(g.obs, 0) * 1000000 - t.n * e.exp_micro)
+                    * (COALESCE(g.obs, 0) * 1000000 - t.n * e.exp_micro)
+                    // (t.n * t.n * e.exp_micro) AS BIGINT)
+                   AS chi2_term_micro
+        FROM exp_t e
+        LEFT JOIN digits g ON g.d = e.d
+        CROSS JOIN tot t
+        ORDER BY e.d
+    """,
+    tags=("quality", "aggregation", "analytics", "A1"),
+    doc="Benford first-digit audit (the classic fabricated-data / "
+    "corruption detector): observed leading-digit distribution of "
+    "order totals vs the Benford expectation, with the per-digit "
+    "chi-square contribution — all on the exact integer micro-grid. "
+    "log10 never executes in-query: the nine expectations are "
+    "precomputed integer constants (summing to exactly 1e6) shared by "
+    "both engines, so there is no libm in the comparison path. One "
+    "map-side-combinable digit rollup + a broadcast 9-row expectation "
+    "table + a broadcast 1-row total — audit cost is one scan at any "
+    "corpus size. Extends the data-quality family "
+    "(data_quality_profile, drift_chisquare_by_type) with a "
+    "distribution-shape audit that needs no baseline snapshot.",
+)
+def orders_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    exp_t = spark.createDataFrame(
+        sorted(_BENFORD_MICRO.items()), "d int, exp_micro long"
+    )
+    tot = digits.agg(F.sum("obs").cast("long").alias("n"))
+    dev = "(coalesce(obs, 0) * 1000000 - n * exp_micro)"
+    return (
+        exp_t.join(digits, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "d AS first_digit",
+            "cast(coalesce(obs, 0) AS bigint) AS n_obs",
+            "cast(coalesce(obs, 0) * 1000000 div n AS bigint) AS obs_micro",
+            "cast(exp_micro AS bigint) AS exp_micro",
+            f"cast({dev} * {dev} div (n * n * exp_micro) AS bigint)"
+            " AS chi2_term_micro",
+        )
+        .orderBy("first_digit")
+    )

@@ -34,6 +34,7 @@ _SWEEP_EXTRAS = (
     "dedup_cluster_size_report",
     "events_trend_slope_by_type",
     "events_cusum_shift_detect",
+    "orders_benford_digit_audit",
 )
 
 

@@ -1068,3 +1068,111 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_s", 0.9).alias("p90_s"),
         F.max("gap_s").alias("max_s"),
     )
+
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds (aggregate recursion is outside
+    recursive-CTE reach in both engines, so the fixpoint is unrolled
+    to the same bounded round count the Spark loop uses)."""
+    ctes = [
+        """g0 AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), e0 AS MATERIALIZED (
+            SELECT u, v FROM g0
+            UNION ALL
+            SELECT v, u FROM g0
+        )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+            SELECT u FROM e{r - 1} GROUP BY u
+            HAVING count(*) >= {_KCORE_K}
+        ), e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN k{r} a ON a.u = e.u
+            JOIN k{r} b ON b.u = e.v
+        )"""
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               CAST(u // 2 AS BIGINT) AS node_key,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM {last}
+        GROUP BY u
+        ORDER BY node_type, node_key
+    """
+
+
+@register(
+    "graph_kcore_membership",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "analytics"),
+    doc=f"k-core decomposition (k={_KCORE_K}) of the customer-supplier "
+    "purchase graph: iteratively peel nodes with degree < k until the "
+    "surviving subgraph is stable — the standard dense-substructure "
+    "extractor (and the graph analog of the quality filters: nodes "
+    "outside the core are weakly-attested). Aggregate-in-recursion is "
+    f"outside recursive-CTE reach, so BOTH arms run the same bounded "
+    f"{_KCORE_ROUNDS}-round peel (measured convergence: 1-3 rounds at "
+    "tested SFs — the cap is margin, and convergence means extra "
+    "rounds are no-ops in both engines). Spark loop: one degree agg + "
+    "two semi-joins per round, localCheckpoint per round for flat "
+    "lineage, early-exit when a round removes nothing (safe: "
+    "fixpoint rounds are identity in the oracle too). Completes the "
+    "graph family: PageRank (centrality), CC (components), triangles "
+    "(local density), k-core (global density).",
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    g = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        g.unionByName(g.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    n_edges = edges.count()
+    for _ in range(_KCORE_ROUNDS):
+        core = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(core, "u")
+            .join(core.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.when(F.col("u") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("u div 2").alias("node_key"),
+            F.col("core_degree").cast("long"),
+        )
+        .orderBy("node_type", "node_key")
+    )

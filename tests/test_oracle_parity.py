@@ -39,6 +39,7 @@ _MEDIUM_EXTRAS = (
     "events_trend_slope_by_type",
     "events_cusum_shift_detect",
     "orders_benford_digit_audit",
+    "graph_kcore_membership",
 )
 
 

@@ -35,6 +35,7 @@ _SWEEP_EXTRAS = (
     "events_trend_slope_by_type",
     "events_cusum_shift_detect",
     "orders_benford_digit_audit",
+    "graph_kcore_membership",
 )
 
 

@@ -1760,3 +1760,81 @@ def orders_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "customer_weighted_median_balance",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS w
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT c.c_mktsegment,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+                   r.w,
+                   sum(r.w) OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY round(c.c_acctbal * 100), c.c_custkey
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum,
+                   sum(r.w) OVER (PARTITION BY c.c_mktsegment) AS tot
+            FROM customer c JOIN rev r ON r.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(min(bal) AS BIGINT) AS weighted_median_bal_cents,
+               CAST(min(tot) AS BIGINT) AS total_weight_cents
+        FROM ranked
+        WHERE 2 * cum >= tot
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("aggregation", "analytics", "A1"),
+    doc="Exact weighted median (revenue-weighted customer balance per "
+    "segment): the first balance, in (balance, custkey) order, whose "
+    "running revenue weight reaches half the segment total — the "
+    "cumulative-distribution definition computed with one partitioned "
+    "window over exact integer cents, no expansion of weights into "
+    "rows (the naive form repeats each customer w times — unrunnable "
+    "at any scale) and no interpolation ambiguity for the oracle to "
+    "disagree on. min(bal) over qualifying rows IS the first "
+    "qualifying row because cum is monotone in the sort order. "
+    "Weighted quantiles are the robust-aggregation workhorse plain "
+    "percentile_cont can't express.",
+)
+def customer_weighted_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("w")
+    )
+    joined = customer.join(rev, customer["c_custkey"] == rev["o_custkey"]).select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        "c_custkey",
+        "w",
+    )
+    wc = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("c_mktsegment")
+    ranked = joined.select(
+        "c_mktsegment",
+        "bal",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        ranked.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("bal").cast("long").alias("weighted_median_bal_cents"),
+            F.min("tot").cast("long").alias("total_weight_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -40,6 +40,7 @@ _MEDIUM_EXTRAS = (
     "events_cusum_shift_detect",
     "orders_benford_digit_audit",
     "graph_kcore_membership",
+    "customer_weighted_median_balance",
 )
 
 

@@ -36,6 +36,7 @@ _SWEEP_EXTRAS = (
     "events_cusum_shift_detect",
     "orders_benford_digit_audit",
     "graph_kcore_membership",
+    "customer_weighted_median_balance",
 )
 
 

@@ -1838,3 +1838,111 @@ def customer_weighted_median_balance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "events_ks_distribution_shift",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        ), tot AS (
+            SELECT CAST(sum(s1) AS BIGINT) AS n1,
+                   CAST(sum(s2) AS BIGINT) AS n2
+            FROM vals
+        ), dedup AS (
+            SELECT v, CAST(sum(s1) AS BIGINT) AS c1,
+                   CAST(sum(s2) AS BIGINT) AS c2
+            FROM vals GROUP BY v
+        ), cdf AS (
+            SELECT v,
+                   sum(c1) OVER (ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cum1,
+                   sum(c2) OVER (ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cum2
+            FROM dedup
+        )
+        , d AS (
+            SELECT t.n1, t.n2,
+                   CAST(max(abs(t.n2 * c.cum1 - t.n1 * c.cum2)) AS BIGINT)
+                       AS d_scaled
+            FROM cdf c CROSS JOIN tot t
+            GROUP BY t.n1, t.n2
+        )
+        SELECT n1, n2, d_scaled,
+               CAST(d_scaled * 1000000 // (n1 * n2) AS BIGINT) AS d_micro,
+               CAST(d_scaled AS DECIMAL(38,0)) * d_scaled * 1000000
+                   > CAST(1844772 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2
+                   AS reject_5pct
+        FROM d
+    """,
+    tags=("aggregation", "analytics", "quality", "drift"),
+    doc="Two-sample Kolmogorov-Smirnov test (purchase vs view value "
+    "distributions), exact-integer end to end: D = max |F1 - F2| is "
+    "computed as max |n2*cum1 - n1*cum2| over the merged value grid — "
+    "cross-multiplied so no CDF division ever happens — and the 5% "
+    "rejection rule D > c(a)*sqrt((n1+n2)/(n1*n2)) is squared and "
+    "cross-multiplied into d_scaled^2 * 1e6 > c2_micro * (n1+n2) * "
+    "n1 * n2 with c2_micro = round(1.358224^2 * 1e6) = 1844772 — no "
+    "sqrt, no division, evaluated in DECIMAL(38,0) (exact to "
+    "n1*n2 ~ 1e16, i.e. ~1e8 rows per side; past that, compare on "
+    "the pre-divided d_micro instead). KS "
+    "complements drift_chisquare_by_type: continuous values, no "
+    "binning choice, sensitive to any CDF divergence. One value "
+    "rollup + one ordered prefix window over DISTINCT values + a "
+    "1-row broadcast of (n1, n2).",
+)
+def events_ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-value CDF needs a GLOBAL ordered prefix sum — the
+    one shape the engine lint forbids as a single-task window. It
+    rides the distributed prefix-sum primitive instead
+    (ranking.global_running_sum: range exchange + per-partition window
+    + broadcast offsets), with both samples' counters PACKED into one
+    long (c1 * 2^32 + c2) so a single scan carries both CDFs — exact
+    while each side holds < 2^31 rows, the same breakpoint as 32-bit
+    ids, and the unpack is two integer ops."""
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("s2"),
+    )
+    dedup_v = vals.groupBy("v").agg(
+        F.sum("s1").cast("long").alias("c1"), F.sum("s2").cast("long").alias("c2")
+    )
+    tot = vals.agg(
+        F.sum("s1").cast("long").alias("n1"), F.sum("s2").cast("long").alias("n2")
+    )
+    packed = dedup_v.withColumn(
+        "packed", F.col("c1") * F.lit(4294967296).cast("long") + F.col("c2")
+    )
+    cdf = global_running_sum(packed, ["v"], "packed", out_col="cum_packed").select(
+        "v",
+        F.expr("cum_packed div 4294967296").alias("cum1"),
+        F.expr("cum_packed % 4294967296").alias("cum2"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")))
+            .cast("long")
+            .alias("d_scaled")
+        )
+        .selectExpr(
+            "n1",
+            "n2",
+            "d_scaled",
+            "cast(d_scaled * 1000000 div (n1 * n2) AS bigint) AS d_micro",
+            "cast(d_scaled AS decimal(38,0)) * d_scaled * 1000000"
+            " > cast(1844772 AS decimal(38,0)) * (n1 + n2) * n1 * n2"
+            " AS reject_5pct",
+        )
+    )

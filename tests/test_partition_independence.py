@@ -37,6 +37,7 @@ _SWEEP_EXTRAS = (
     "orders_benford_digit_audit",
     "graph_kcore_membership",
     "customer_weighted_median_balance",
+    "events_ks_distribution_shift",
 )
 
 

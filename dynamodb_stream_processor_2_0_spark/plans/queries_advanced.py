@@ -1946,3 +1946,99 @@ def events_ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS reject_5pct",
         )
     )
+
+
+@register(
+    "orders_pareto_skyline",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderpriority AS prio,
+                   datediff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS x,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderkey
+            FROM orders
+        ), tested AS (
+            SELECT prio, x, cents, o_orderkey,
+                   max(cents) OVER (
+                       PARTITION BY prio ORDER BY x
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS m_before,
+                   max(cents) OVER (PARTITION BY prio, x) AS m_same_day
+            FROM pts
+        )
+        SELECT prio, CAST(x AS BIGINT) AS day_no, cents,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(min(o_orderkey) AS BIGINT) AS min_orderkey
+        FROM tested
+        WHERE (m_before IS NULL OR m_before < cents)
+          AND m_same_day = cents
+        GROUP BY prio, x, cents
+        ORDER BY prio, day_no
+    """,
+    tags=("relational", "analytics", "skyline", "scale"),
+    doc="Skyline (Pareto-front) operator per order priority: the orders "
+    "not dominated on (earlier date, higher price) — dominance tested "
+    "with two windows (strictly-earlier running max via a RANGE frame "
+    "on the integer day number + a same-day max), no quadratic NOT "
+    "EXISTS. The Spark plan uses the textbook DISTRIBUTED skyline "
+    "shape: a salted local pass first computes each (priority, salt) "
+    "partition's Pareto candidates — sound because a globally "
+    "non-dominated point is non-dominated in every subset — then the "
+    "same test merges the tiny survivor fronts per priority, so no "
+    "window ever sees more than one salt cell of raw data and the "
+    "merge input is |skyline|-sized. Equal (day, price) points tie "
+    "(neither dominates), grouped into one skyline row with a count. "
+    "The classic preference-query operator (Borzsony et al., ICDE "
+    "2001) the relational closure otherwise lacks.",
+)
+def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+
+    def skyline_pass(df, part_cols):
+        wb = (
+            Window.partitionBy(*part_cols)
+            .orderBy("x")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        ws = Window.partitionBy(*part_cols, "x")
+        return (
+            df.withColumn("m_before", F.max("cents").over(wb))
+            .withColumn("m_same", F.max("cents").over(ws))
+            .filter(
+                (F.col("m_before").isNull() | (F.col("m_before") < F.col("cents")))
+                & (F.col("m_same") == F.col("cents"))
+            )
+            .drop("m_before", "m_same")
+        )
+
+    local = skyline_pass(
+        pts.withColumn("salt", F.pmod(F.hash("o_orderkey"), F.lit(64))),
+        ["prio", "salt"],
+    ).drop("salt")
+    merged = skyline_pass(local, ["prio"])
+    return (
+        merged.groupBy("prio", "x", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .select(
+            "prio",
+            F.col("x").cast("long").alias("day_no"),
+            "cents",
+            "n_orders",
+            "min_orderkey",
+        )
+        .orderBy("prio", "day_no")
+    )

@@ -42,6 +42,7 @@ _MEDIUM_EXTRAS = (
     "graph_kcore_membership",
     "customer_weighted_median_balance",
     "events_ks_distribution_shift",
+    "orders_pareto_skyline",
 )
 
 

@@ -38,6 +38,7 @@ _SWEEP_EXTRAS = (
     "graph_kcore_membership",
     "customer_weighted_median_balance",
     "events_ks_distribution_shift",
+    "orders_pareto_skyline",
 )
 
 

@@ -2042,3 +2042,59 @@ def orders_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "day_no")
     )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mon,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(cents) AS BIGINT) AS tot_cents,
+                   CAST(count(*) AS BIGINT) AS n_months
+            FROM monthly
+        )
+        SELECT m.mon AS month,
+               CAST(m.n_orders AS BIGINT) AS n_orders,
+               m.cents,
+               CAST(m.cents * t.n_months * 1000 // t.tot_cents AS BIGINT)
+                   AS seasonality_permille,
+               m.cents * t.n_months * 2 > t.tot_cents * 3 AS is_peak
+        FROM monthly m CROSS JOIN tot t
+        ORDER BY month
+    """,
+    tags=("aggregation", "timeseries", "analytics", "A1"),
+    doc="Seasonality index per calendar month: month revenue relative "
+    "to the all-months average, as an exact per-mille integer "
+    "(cents * n_months * 1000 div total — the ratio-to-moving-average "
+    "decomposition's seasonal factor, computed without a single "
+    "division by the mean), plus a 1.5x peak flag by integer "
+    "cross-multiplication. One 12-row rollup + a broadcast 1-row "
+    "total; the calendar profile the trend/CUSUM family factors out.",
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tot = monthly.agg(
+        F.sum("cents").cast("long").alias("tot_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "month",
+            "cast(n_orders AS bigint) AS n_orders",
+            "cents",
+            "cast(cents * n_months * 1000 div tot_cents AS bigint)"
+            " AS seasonality_permille",
+            "cents * n_months * 2 > tot_cents * 3 AS is_peak",
+        )
+        .orderBy("month")
+    )

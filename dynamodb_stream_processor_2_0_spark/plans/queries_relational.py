@@ -2473,3 +2473,96 @@ def relational_division_all_quarters(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "lineitem_fifo_allocation",
+    oracle="""
+        WITH lots AS (
+            SELECT l_partkey,
+                   CAST(round(l_quantity) AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   sum(CAST(round(l_quantity) AS BIGINT)) OVER w
+                       - CAST(round(l_quantity) AS BIGINT) AS cum_before,
+                   sum(CAST(round(l_quantity) AS BIGINT))
+                       OVER (PARTITION BY l_partkey) AS total_qty
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING)
+        ), alloc AS (
+            SELECT l_partkey, qty, cents, total_qty,
+                   least(qty, greatest(CAST(0 AS BIGINT),
+                         total_qty // 2 - cum_before)) AS consumed
+            FROM lots
+        )
+        SELECT l_partkey,
+               CAST(min(total_qty) AS BIGINT) AS total_qty,
+               CAST(min(total_qty) // 2 AS BIGINT) AS demand_qty,
+               CAST(sum(consumed) AS BIGINT) AS allocated_qty,
+               CAST(sum(consumed * cents // qty) AS BIGINT)
+                   AS fifo_cost_cents,
+               CAST(count(*) FILTER (WHERE consumed > 0) AS BIGINT)
+                   AS n_lots_touched
+        FROM alloc
+        WHERE qty > 0
+        GROUP BY l_partkey
+        ORDER BY l_partkey
+    """,
+    tags=("relational", "window", "analytics", "allocation"),
+    doc="FIFO allocation / inventory costing: per part, supply lots "
+    "(lineitems in ship order) are consumed against a demand of half "
+    "the total quantity — each lot's consumed share is "
+    "clamp(demand - cum_before, 0, qty), the closed-form of the "
+    "sequential 'pop the queue until filled' loop, so the allocation "
+    "is ONE partitioned window + a rollup instead of an iterative "
+    "matcher. Per-lot cost attributed pro-rata in exact integer "
+    "cents (consumed * cents div qty). This is the queue-matching "
+    "primitive behind FIFO COGS, order-to-inventory reservation, and "
+    "capacity allocation — sequential on its face, windowed in "
+    "practice; one shuffle on l_partkey at any scale.",
+)
+def lineitem_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("l_partkey")
+    lots = li.select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (
+            F.sum(F.round("l_quantity").cast("long")).over(w)
+            - F.round("l_quantity").cast("long")
+        ).alias("cum_before"),
+        F.sum(F.round("l_quantity").cast("long")).over(wp).alias("total_qty"),
+    )
+    alloc = lots.withColumn(
+        "consumed",
+        F.least(
+            F.col("qty"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr("total_qty div 2") - F.col("cum_before"),
+            ),
+        ),
+    )
+    return (
+        alloc.filter(F.col("qty") > 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.min("total_qty").cast("long").alias("total_qty"),
+            F.expr("cast(min(total_qty) div 2 AS bigint)").alias("demand_qty"),
+            F.sum("consumed").cast("long").alias("allocated_qty"),
+            F.sum(F.expr("consumed * cents div qty")).cast("long").alias(
+                "fifo_cost_cents"
+            ),
+            F.count_if(F.col("consumed") > 0).cast("long").alias("n_lots_touched"),
+        )
+        .orderBy("l_partkey")
+    )

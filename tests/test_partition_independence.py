@@ -39,6 +39,8 @@ _SWEEP_EXTRAS = (
     "customer_weighted_median_balance",
     "events_ks_distribution_shift",
     "orders_pareto_skyline",
+    "orders_seasonality_index",
+    "lineitem_fifo_allocation",
 )
 
 

@@ -1705,10 +1705,12 @@ def _benford_values_sql() -> str:
                CAST(COALESCE(g.obs, 0) * 1000000 // t.n AS BIGINT)
                    AS obs_micro,
                CAST(e.exp_micro AS BIGINT) AS exp_micro,
-               CAST((COALESCE(g.obs, 0) * 1000000 - t.n * e.exp_micro)
+               CAST(floor(
+                    CAST(COALESCE(g.obs, 0) * 1000000 - t.n * e.exp_micro
+                         AS DECIMAL(38,0))
                     * (COALESCE(g.obs, 0) * 1000000 - t.n * e.exp_micro)
-                    // (t.n * t.n * e.exp_micro) AS BIGINT)
-                   AS chi2_term_micro
+                    / (CAST(t.n AS DECIMAL(38,0)) * t.n * e.exp_micro))
+                    AS BIGINT) AS chi2_term_micro
         FROM exp_t e
         LEFT JOIN digits g ON g.d = e.d
         CROSS JOIN tot t
@@ -1746,6 +1748,9 @@ def orders_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(_BENFORD_MICRO.items()), "d int, exp_micro long"
     )
     tot = digits.agg(F.sum("obs").cast("long").alias("n"))
+    # dev^2 reaches ~4e21 already at sf0.1 (150k orders) — far past
+    # int64 — so the chi-square term is computed in DECIMAL(38,0) on
+    # both engines (exact integer arithmetic to ~1e38, i.e. n ~ 1e16).
     dev = "(coalesce(obs, 0) * 1000000 - n * exp_micro)"
     return (
         exp_t.join(digits, "d", "left")
@@ -1755,7 +1760,8 @@ def orders_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(coalesce(obs, 0) AS bigint) AS n_obs",
             "cast(coalesce(obs, 0) * 1000000 div n AS bigint) AS obs_micro",
             "cast(exp_micro AS bigint) AS exp_micro",
-            f"cast({dev} * {dev} div (n * n * exp_micro) AS bigint)"
+            f"cast(cast({dev} AS decimal(38,0)) * {dev}"
+            f" div (cast(n AS decimal(38,0)) * n * exp_micro) AS bigint)"
             " AS chi2_term_micro",
         )
         .orderBy("first_digit")

@@ -2566,3 +2566,81 @@ def lineitem_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "events_replay_pair_detect",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   ts
+            FROM events
+        )
+        SELECT a.user_id, a.event_type, a.cents,
+               a.event_id AS event_id_a,
+               b.event_id AS event_id_b,
+               CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT)
+                   AS seconds_apart
+        FROM keyed a
+        JOIN keyed b
+          ON b.user_id = a.user_id
+         AND b.event_type = a.event_type
+         AND b.cents = a.cents
+         AND b.event_id > a.event_id
+         AND abs(floor(epoch(b.ts)) - floor(epoch(a.ts))) <= 604800
+        ORDER BY a.user_id, a.event_type, a.cents, event_id_a, event_id_b
+    """,
+    tags=("relational", "dedup", "D3", "analytics"),
+    doc="Replayed-event detection: pairs of events from the SAME user "
+    "with the SAME type and EXACT same value within 7 days — distinct "
+    "event_ids carrying identical content is the signature of an "
+    "at-least-once producer replaying (the exact failure the "
+    "reference's dedup layers guard against, index.js:107-141, but "
+    "detected FORENSICALLY across ids rather than prevented by key). "
+    "Pure EQUI-join on (user, type, cents) with the time proximity as "
+    "a residual filter — no band-join machinery; shuffle keys on the "
+    "content triple whose group sizes are naturally tiny, so the "
+    "self-pair term is bounded by honest-collision rates. Pairs only "
+    "on the output; at 100 TB this is the audit query you run when "
+    "the duplicatesPrevented counter looks too low.",
+)
+def events_replay_pair_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("timestamp").alias("tse"),
+    ).withColumn("epoch_s", F.floor(F.unix_timestamp("tse")).cast("long"))
+    a = keyed.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("cents").alias("c"),
+        F.col("event_id").alias("event_id_a"),
+        F.col("epoch_s").alias("s_a"),
+    )
+    b = keyed.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("cents").alias("c"),
+        F.col("event_id").alias("event_id_b"),
+        F.col("epoch_s").alias("s_b"),
+    )
+    return (
+        a.join(b, ["u", "t", "c"])
+        .filter(
+            (F.col("event_id_b") > F.col("event_id_a"))
+            & (F.abs(F.col("s_b") - F.col("s_a")) <= 604800)
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("t").alias("event_type"),
+            F.col("c").alias("cents"),
+            "event_id_a",
+            "event_id_b",
+            (F.col("s_b") - F.col("s_a")).alias("seconds_apart"),
+        )
+        .orderBy("user_id", "event_type", "cents", "event_id_a", "event_id_b")
+    )

@@ -45,6 +45,7 @@ _MEDIUM_EXTRAS = (
     "orders_pareto_skyline",
     "orders_seasonality_index",
     "lineitem_fifo_allocation",
+    "events_replay_pair_detect",
 )
 
 

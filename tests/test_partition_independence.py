@@ -41,6 +41,7 @@ _SWEEP_EXTRAS = (
     "orders_pareto_skyline",
     "orders_seasonality_index",
     "lineitem_fifo_allocation",
+    "events_replay_pair_detect",
 )
 
 

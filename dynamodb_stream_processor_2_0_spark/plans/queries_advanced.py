@@ -2104,3 +2104,89 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "events_bot_regularity_score",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            QUALIFY lag(ts) OVER w IS NOT NULL
+        ), m AS (
+            SELECT user_id,
+                   count(*) AS n,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   CAST(sum(d * d) AS BIGINT) AS sdd
+            FROM gaps GROUP BY user_id
+            HAVING count(*) >= 5 AND sum(d) > 0
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_gaps,
+               CAST(sd // n AS BIGINT) AS mean_gap_s,
+               CAST(floor((CAST(n AS DECIMAL(38,0)) * sdd - CAST(sd AS
+                    DECIMAL(38,0)) * sd) * 1000
+                    / (CAST(sd AS DECIMAL(38,0)) * sd)) AS BIGINT)
+                   AS cv2_milli,
+               CAST(floor((CAST(n AS DECIMAL(38,0)) * sdd - CAST(sd AS
+                    DECIMAL(38,0)) * sd) * 1000
+                    / (CAST(sd AS DECIMAL(38,0)) * sd)) AS BIGINT) < 100
+                   AS is_machine_regular
+        FROM m
+        ORDER BY user_id
+    """,
+    tags=("timeseries", "analytics", "quality", "F10"),
+    doc="Bot/automation detection by interarrival regularity: a human's "
+    "event gaps are bursty (squared coefficient of variation ~ 1 for "
+    "Poisson arrivals, higher with sessions); a scheduled client's "
+    "gaps are nearly constant (CV^2 ~ 0). CV^2 = (n*Sum(d^2) - "
+    "(Sum d)^2) / (Sum d)^2 needs no mean and no float: computed in "
+    "DECIMAL(38,0) (n*Sum(d^2) overflows int64 once a user has ~1e4 "
+    "gaps at week-scale seconds) with the quotient FLOORED before the "
+    "BIGINT cast — DuckDB's // on DECIMAL returns the full quotient "
+    "and a bare cast would round-half-up, the off-by-one the Benford "
+    "fix documented. One lag window + one moment aggregate per user; "
+    "the behavioral upgrade of the reference's static blocklist "
+    "(F10, index.js:433-439) to evidence-based flagging.",
+)
+def events_bot_regularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+            .cast("long")
+            .alias("es"),
+        )
+        .withColumn("prev_es", F.lag("es").over(w))
+        .filter(F.col("prev_es").isNotNull())
+        .select("user_id", (F.col("es") - F.col("prev_es")).alias("d"))
+    )
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").cast("long").alias("sd"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("sd") > 0))
+    )
+    cv2 = (
+        "cast(floor((cast(n AS decimal(38,0)) * sdd"
+        " - cast(sd AS decimal(38,0)) * sd) * 1000"
+        " / (cast(sd AS decimal(38,0)) * sd)) AS bigint)"
+    )
+    return m.selectExpr(
+        "user_id",
+        "cast(n AS bigint) AS n_gaps",
+        "cast(sd div n AS bigint) AS mean_gap_s",
+        f"{cv2} AS cv2_milli",
+        f"{cv2} < 100 AS is_machine_regular",
+    ).orderBy("user_id")

@@ -46,6 +46,7 @@ _MEDIUM_EXTRAS = (
     "orders_seasonality_index",
     "lineitem_fifo_allocation",
     "events_replay_pair_detect",
+    "events_bot_regularity_score",
 )
 
 

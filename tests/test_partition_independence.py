@@ -42,6 +42,7 @@ _SWEEP_EXTRAS = (
     "orders_seasonality_index",
     "lineitem_fifo_allocation",
     "events_replay_pair_detect",
+    "events_bot_regularity_score",
 )
 
 

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "dynamodb_stream_processor_2_0_spark.plans.queries_temporal_graph",
     "dynamodb_stream_processor_2_0_spark.plans.queries_similarity",
     "dynamodb_stream_processor_2_0_spark.plans.queries_streaming_batch",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_analytics_ext",
 )
 
 _loaded = False

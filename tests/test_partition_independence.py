@@ -43,6 +43,10 @@ _SWEEP_EXTRAS = (
     "lineitem_fifo_allocation",
     "events_replay_pair_detect",
     "events_bot_regularity_score",
+    # round-5 additions
+    "graph_shortest_path_bfs",
+    "graph_label_propagation",
+    "sketch_kmv_distinct",
 )
 
 

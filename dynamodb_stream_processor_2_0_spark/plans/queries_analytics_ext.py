@@ -370,3 +370,453 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("err_permille"),
     ).orderBy("scope")
+
+
+# --- autocorrelation diagnostics ------------------------------------------
+
+_ACF_LAGS = 3
+
+
+def _acf_oracle_sql(lags: int = _ACF_LAGS) -> str:
+    # DuckDB window-in-aggregate is illegal; build lagged products in a
+    # per-lag projection first.
+    prods = ",\n               ".join(
+        f"y * lag(y, {k}) OVER (PARTITION BY event_type ORDER BY day) AS p{k}"
+        for k in range(1, lags + 1)
+    )
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT event_type, {k} AS lag,
+               max(n_days) AS n_days,
+               CAST(COALESCE(sum(p{k}), 0) AS BIGINT) AS num,
+               CAST(sum(y * y) AS BIGINT) AS den
+        FROM lagged GROUP BY event_type"""
+        for k in range(1, lags + 1)
+    )
+    return f"""
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+            FROM events
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            SELECT t.event_type, s.day, COALESCE(d.x, 0) AS x
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN daily d
+              ON d.event_type = t.event_type AND d.day = s.day
+        ), cent AS (
+            SELECT event_type, day,
+                   count(*) OVER (PARTITION BY event_type) AS n_days,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+                   - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS y
+            FROM series
+        ), lagged AS (
+            SELECT event_type, day, n_days, y,
+               {prods}
+            FROM cent
+        )
+        SELECT event_type, lag, n_days,
+               CASE WHEN den = 0 THEN 0
+                    ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                         * CAST(floor(CAST(abs(num) AS DECIMAL(38,0)) * 1000
+                                      / den) AS BIGINT)
+               END AS acf_permille
+        FROM ({arms})
+        ORDER BY event_type, lag
+    """
+
+
+@register(
+    "events_autocorrelation_lags",
+    oracle=_acf_oracle_sql(),
+    tags=("timeseries", "analytics", "A1"),
+    doc="Lag-1..3 autocorrelation of the per-type daily event series "
+    "(zero-filled on the shared calendar spine): the standard ACF "
+    "estimator r_k = sum(y_t*y_{t-k}) / sum(y_t^2) with y_t = n*x_t - "
+    "sum(x) — multiplied through by n so the centering is exact "
+    "integer, no rational mean. The only division is the final "
+    "permille ratio, computed in DECIMAL(38,0) with the sign "
+    "extracted first (Spark div truncates, DuckDB // floors; they "
+    "agree only on non-negatives). Periodicity diagnosis (weekly "
+    "seasonality shows as positive r_7, bursts as high r_1) that "
+    "feeds window-size choices downstream. Shuffle cost: one "
+    "(type,day) rollup + one per-type window — both tiny post-agg "
+    "relations regardless of raw scale.",
+)
+def events_autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw scan reduces to |types|x|days| rows before any window;
+    the spine/type grid is a broadcast-size cross join by construction
+    (1-row bounds aggregate exploded to days)."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cent = series.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("x")
+            - F.sum("x").over(wt).cast("long")
+        ).alias("y"),
+    )
+    lagged = cent.select(
+        "event_type",
+        "day",
+        "n_days",
+        "y",
+        *[
+            (F.col("y") * F.lag("y", k).over(wo)).alias(f"p{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    arms = []
+    for k in range(1, _ACF_LAGS + 1):
+        arms.append(
+            lagged.groupBy("event_type").agg(
+                F.lit(k).alias("lag"),
+                F.max("n_days").alias("n_days"),
+                F.coalesce(F.sum(f"p{k}"), F.lit(0))
+                .cast("long")
+                .alias("num"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("den"),
+            )
+        )
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    return u.select(
+        "event_type",
+        "lag",
+        "n_days",
+        F.when(F.col("den") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.when(F.col("num") >= 0, 1).otherwise(-1)
+            * F.expr(
+                "cast(floor(cast(abs(num) AS decimal(38,0)) * 1000 / den)"
+                " AS bigint)"
+            )
+        )
+        .alias("acf_permille"),
+    ).orderBy("event_type", "lag")
+
+
+# --- EWMA smoothing --------------------------------------------------------
+
+_EWMA_DEPTH = 16  # trailing days; weight of lag i is 2^(DEPTH-1-i)
+
+
+def _ewma_terms(col: str, engine: str) -> str:
+    terms = []
+    for i in range(_EWMA_DEPTH):
+        w = 1 << (_EWMA_DEPTH - 1 - i)
+        if engine == "spark":
+            lagf = f"coalesce(lag({col}, {i}) OVER (PARTITION BY event_type ORDER BY day), 0)" if i else col
+        else:
+            lagf = f"COALESCE(lag({col}, {i}) OVER (PARTITION BY event_type ORDER BY day), 0)" if i else col
+        terms.append(f"{lagf} * {w}")
+    return " + ".join(terms)
+
+
+_EWMA_WTOT = (1 << _EWMA_DEPTH) - 1
+
+_EWMA_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT t.event_type, s.day, COALESCE(d.cents, 0) AS cents
+        FROM types t CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cents AS raw_cents,
+           ({_ewma_terms('cents', 'duck')}) // {_EWMA_WTOT} AS ewma_cents
+    FROM series
+    ORDER BY event_type, day
+"""
+
+
+@register(
+    "timeseries_ewma_halflife",
+    oracle=_EWMA_ORACLE,
+    tags=("timeseries", "analytics", "A1"),
+    doc="EWMA smoothing of per-type daily revenue with half-life = 1 "
+    "day, made EXACT by using dyadic weights 2^(15-i) over a trailing "
+    "16-day horizon: the weighted sum is pure BIGINT (weights are bit "
+    "shifts, total weight 2^16-1), the single division truncates on "
+    "non-negative cents — no float recursion, so the smoothed series "
+    "is bit-identical cross-engine and order-independent. The "
+    "trailing-horizon form is also the SCALABLE form: a true infinite "
+    "EWMA is inherently sequential, while 16 bounded lags stay one "
+    "window over the tiny post-agg (type,day) relation.",
+)
+def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 lag terms over the zero-filled spine series; the padded
+    prefix (lags before the series start coalesce to 0) is part of
+    the operator's definition, applied identically in the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    return series.selectExpr(
+        "event_type",
+        "date_format(day, 'yyyy-MM-dd') AS day_str",
+        "cents AS raw_cents",
+        f"({_ewma_terms('cents', 'spark')}) div {_EWMA_WTOT} AS ewma_cents",
+    ).withColumnRenamed("day_str", "day").orderBy("event_type", "day")
+
+
+# --- banded interval-overlap join -----------------------------------------
+
+_OVERLAP_ORACLE = """
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(hour(ts) * 3600 + minute(ts) * 60 + second(ts)) AS s,
+               max(hour(ts) * 3600 + minute(ts) * 60 + second(ts)) AS e
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+           count(*) AS n_pairs,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT)
+               AS sum_overlap_sec
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@register(
+    "interval_overlap_join",
+    oracle=_OVERLAP_ORACLE,
+    tags=("join", "timeseries", "scale"),
+    doc="Banded interval-overlap self-join: per (user, day) activity "
+    "intervals [first event, last event] (seconds-of-day, extracted "
+    "from wall-clock fields — time-zone-free on TIMESTAMP_NTZ), "
+    "reporting concurrently-active user pairs and total overlap "
+    "seconds per day. The Spark plan is the SCALE form of an interval "
+    "join: each interval explodes to its covered hour bands, pairs "
+    "meet on an (day, band) EQUI-join, and each pair is counted "
+    "exactly once at the band containing the later start — no "
+    "theta-join, no cross product; worst-case fan-out is 24 bands per "
+    "interval. The oracle is the declarative theta-join, proving the "
+    "banded rewrite exact.",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """band = sec div 3600; overlap pair (a,b) is counted only where
+    band == greatest(a.s, b.s) div 3600 — both intervals provably
+    cover that band, so the pair appears there and only there."""
+    events = load_table(spark, sf_dir, "events")
+    sec = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("long")
+    iv = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min(sec).alias("s"), F.max(sec).alias("e"))
+    banded = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr("s div 3600"), F.expr("e div 3600"))
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (
+            F.col("a.band")
+            == F.expr("greatest(a.s, b.s) div 3600")
+        ),
+    ).select(
+        F.col("a.day").alias("day"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("ov"),
+    )
+    return (
+        pairs.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("ov").cast("long").alias("sum_overlap_sec"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- join-key skew profiler ------------------------------------------------
+
+_SKEW_KEYS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_oracle_sql() -> str:
+    arms = []
+    for table, key in _SKEW_KEYS:
+        arms.append(f"""(
+        WITH freq AS (
+            SELECT CAST({key} AS VARCHAR) AS k, count(*) AS f
+            FROM {table} GROUP BY 1
+        ), ranked AS (
+            SELECT f,
+                   row_number() OVER (ORDER BY f ASC, k ASC) AS rn_asc,
+                   row_number() OVER (ORDER BY f DESC, k ASC) AS rn_desc,
+                   count(*) OVER () AS nk,
+                   sum(f) OVER () AS nr
+            FROM freq
+        )
+        SELECT '{table}.{key}' AS source,
+               CAST(max(nr) AS BIGINT) AS n_rows,
+               CAST(max(nk) AS BIGINT) AS n_keys,
+               CAST(max(f) AS BIGINT) AS max_freq,
+               CAST((sum(CASE WHEN rn_desc <= 10 THEN f ELSE 0 END) * 1000)
+                    // max(nr) AS BIGINT) AS top10_share_permille,
+               CAST(max(CASE WHEN rn_asc = (nk + 1) // 2
+                        THEN f END) AS BIGINT) AS p50_freq,
+               CAST(max(CASE WHEN rn_asc = (99 * nk + 99) // 100
+                        THEN f END) AS BIGINT) AS p99_freq
+        FROM ranked
+        )""")
+    return (
+        "\n        UNION ALL\n".join(arms) + "\n        ORDER BY source"
+    )
+
+
+@register(
+    "data_skew_profile",
+    oracle=_skew_oracle_sql(),
+    tags=("quality", "scale", "A1"),
+    doc="Join-key skew profiler over the four hot join keys "
+    "(orders.o_custkey, lineitem.l_orderkey, lineitem.l_suppkey, "
+    "events.user_id): rows, keys, max key frequency, top-10-key share "
+    "(permille), and exact p50/p99 of the key-frequency distribution "
+    "— the pre-flight diagnostic that decides WHEN the engine's skew "
+    "mitigations (skew_salted_agg's salting, AQE skew-join splits) "
+    "are worth their cost. Percentiles are exact rank picks "
+    "(ceil-index over the ordered frequency relation, the post-agg "
+    "side, which is |keys| not |rows|); the only full-data work is "
+    "one count per key — map-side combinable.",
+)
+def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each arm aggregates the key-frequency relation (small even at
+    100 TB: |distinct keys|), so the window ranks never see raw rows."""
+    arms = []
+    for table, key in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, table)
+        freq = t.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("f")
+        )
+        wasc = Window.orderBy(F.col("f").asc(), F.col("k").asc())
+        wdesc = Window.orderBy(F.col("f").desc(), F.col("k").asc())
+        wall = Window.partitionBy()
+        ranked = freq.select(
+            "f",
+            F.row_number().over(wasc).alias("rn_asc"),
+            F.row_number().over(wdesc).alias("rn_desc"),
+            F.count(F.lit(1)).over(wall).alias("nk"),
+            F.sum("f").over(wall).alias("nr"),
+        )
+        arms.append(
+            ranked.agg(
+                F.lit(f"{table}.{key}").alias("source"),
+                F.max("nr").cast("long").alias("n_rows"),
+                F.max("nk").cast("long").alias("n_keys"),
+                F.max("f").cast("long").alias("max_freq"),
+                F.expr(
+                    "cast(sum(CASE WHEN rn_desc <= 10 THEN f ELSE 0 END)"
+                    " * 1000 div max(nr) AS bigint)"
+                ).alias("top10_share_permille"),
+                F.max(
+                    F.when(
+                        F.col("rn_asc")
+                        == F.expr("(nk + 1) div 2"),
+                        F.col("f"),
+                    )
+                )
+                .cast("long")
+                .alias("p50_freq"),
+                F.max(
+                    F.when(
+                        F.col("rn_asc")
+                        == F.expr("(99 * nk + 99) div 100"),
+                        F.col("f"),
+                    )
+                )
+                .cast("long")
+                .alias("p99_freq"),
+            )
+        )
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    return u.orderBy("source")

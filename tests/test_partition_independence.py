@@ -47,6 +47,10 @@ _SWEEP_EXTRAS = (
     "graph_shortest_path_bfs",
     "graph_label_propagation",
     "sketch_kmv_distinct",
+    "events_autocorrelation_lags",
+    "timeseries_ewma_halflife",
+    "interval_overlap_join",
+    "data_skew_profile",
 )
 
 

@@ -240,3 +240,23 @@ def test_lm_surprisal_partial_aggregates(spark, sf_dir):
     assert "partial_" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    """The banded rewrite must compile to a hash/sort-merge EQUI-join on
+    (day, band) — never a nested-loop/cartesian theta join, which is the
+    whole point of the banding at 100 TB."""
+    plan = _executed_plan(registry.get("interval_overlap_join").fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_skew_profile_partial_aggregates(spark, sf_dir):
+    """Every per-key frequency count must partial-aggregate map-side —
+    the raw tables are the only big input and each contributes one
+    HashAggregate pair."""
+    plan = _executed_plan(registry.get("data_skew_profile").fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 8

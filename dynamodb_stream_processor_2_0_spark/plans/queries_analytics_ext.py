@@ -820,3 +820,355 @@ def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         u = u.unionByName(a)
     return u.orderBy("source")
+
+
+# --- product-quantization ANN ---------------------------------------------
+
+_PQ_M = 4  # sub-blocks
+_PQ_SUB = 16  # dims per block (64-dim embeddings)
+_PQ_K = 8  # codes per block
+_PQ_TRAIN_LO, _PQ_TRAIN_HI = 8, 16  # training vec_ids -> codes 0..7
+_PQ_GRID = 1000  # fixed-point grid; floor() (never round) — no half-ties
+_PQ_TOPK = 10
+
+_PQ_ORACLE = f"""
+    WITH comp AS (
+        SELECT vec_id, p - 1 AS pos,
+               (p - 1) // {_PQ_SUB} AS block,
+               CAST(floor(CAST(embedding[p] AS DOUBLE) * {_PQ_GRID})
+                    AS BIGINT) AS vi
+        FROM embeddings, range(1, {_PQ_SUB * _PQ_M} + 1) t(p)
+    ), codebook AS (
+        SELECT vec_id - {_PQ_TRAIN_LO} AS code, block, pos, vi AS ci
+        FROM comp
+        WHERE vec_id >= {_PQ_TRAIN_LO} AND vec_id < {_PQ_TRAIN_HI}
+    ), assign_d AS (
+        SELECT c.vec_id, c.block, cb.code,
+               sum((c.vi - cb.ci) * (c.vi - cb.ci)) AS d2
+        FROM comp c
+        JOIN codebook cb ON cb.block = c.block AND cb.pos = c.pos
+        WHERE c.vec_id >= {_PQ_TRAIN_LO}
+        GROUP BY 1, 2, 3
+    ), codes AS (
+        SELECT vec_id, block, code FROM (
+            SELECT vec_id, block, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, block
+                       ORDER BY d2 ASC, code ASC
+                   ) AS rn
+            FROM assign_d
+        ) WHERE rn = 1
+    ), qdist AS (
+        SELECT c.vec_id AS query_id, c.block, cb.code,
+               sum((c.vi - cb.ci) * (c.vi - cb.ci)) AS qd2
+        FROM comp c
+        JOIN codebook cb ON cb.block = c.block AND cb.pos = c.pos
+        WHERE c.vec_id < 8
+        GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT q.query_id, k.vec_id AS cand_id,
+               CAST(sum(q.qd2) AS BIGINT) AS adc_dist
+        FROM codes k
+        JOIN qdist q ON q.block = k.block AND q.code = k.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, rank, cand_id, adc_dist FROM (
+        SELECT query_id, cand_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist ASC, cand_id ASC
+               ) AS rank
+        FROM adc
+    ) WHERE rank <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "embedding_pq_adc_topk",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "llm", "ann", "scale"),
+    doc="Product-quantization ANN (the FAISS-style fourth member of "
+    "the ANN family next to sign-LSH / IVF / int8): vectors split "
+    "into 4x16-dim blocks, each block assigned to the nearest of 8 "
+    "codebook entries (codebook = pinned training vectors — "
+    "deterministic, no k-means float drift), queries scored against "
+    "candidates via asymmetric-distance lookup (ADC): distance = sum "
+    "of per-block query-to-centroid distances, a 256-entry table "
+    "join instead of any vector math per candidate. All arithmetic "
+    "is exact BIGINT on a floor()-quantized fixed-point grid — "
+    "floor, never round, so no cross-engine half-tie on dyadic "
+    "floats. At 100 TB the codebook + per-query ADC tables broadcast "
+    "(KBs) and the candidate side carries only (vec_id, block, code) "
+    "ints — 8 bytes/block instead of 256 floats.",
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment joins the exploded components against a broadcast
+    codebook and argmins per (vec, block) — one shuffle on vec_id;
+    the ADC phase never touches raw vectors again."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr(f"pos div {_PQ_SUB}").alias("block"),
+        F.floor(F.col("v").cast("double") * _PQ_GRID)
+        .cast("long")
+        .alias("vi"),
+    )
+    codebook = (
+        comp.filter(
+            (F.col("vec_id") >= _PQ_TRAIN_LO)
+            & (F.col("vec_id") < _PQ_TRAIN_HI)
+        )
+        .select(
+            (F.col("vec_id") - _PQ_TRAIN_LO).alias("code"),
+            "block",
+            "pos",
+            F.col("vi").alias("ci"),
+        )
+    )
+    d2 = (F.col("vi") - F.col("ci")) * (F.col("vi") - F.col("ci"))
+    assign_d = (
+        comp.filter(F.col("vec_id") >= _PQ_TRAIN_LO)
+        .join(F.broadcast(codebook), ["block", "pos"])
+        .groupBy("vec_id", "block", "code")
+        .agg(F.sum(d2).alias("d2"))
+    )
+    wmin = Window.partitionBy("vec_id", "block").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        assign_d.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "block", "code")
+    )
+    qdist = (
+        comp.filter(F.col("vec_id") < 8)
+        .join(F.broadcast(codebook), ["block", "pos"])
+        .groupBy(
+            F.col("vec_id").alias("query_id"), F.col("block"), F.col("code")
+        )
+        .agg(F.sum(d2).alias("qd2"))
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["block", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("qd2").cast("long").alias("adc_dist"))
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "rank", "cand_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- node-similarity Jaccard (link prediction) -----------------------------
+
+_NODE_JACCARD_TOPN = 50
+
+_NODE_JACCARD_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), deg AS (
+        SELECT supp, count(*) AS d FROM e GROUP BY supp
+    ), co AS (
+        SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+        FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT co.s1, co.s2, co.shared,
+               CAST(co.shared * 1000 // (d1.d + d2.d - co.shared) AS BIGINT)
+                   AS jaccard_permille
+        FROM co
+        JOIN deg d1 ON d1.supp = co.s1
+        JOIN deg d2 ON d2.supp = co.s2
+    )
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(shared AS BIGINT) AS shared_customers, jaccard_permille
+    FROM scored
+    ORDER BY jaccard_permille DESC, shared DESC, s1 ASC, s2 ASC
+    LIMIT {_NODE_JACCARD_TOPN}
+"""
+
+
+@register(
+    "graph_node_jaccard_similarity",
+    oracle=_NODE_JACCARD_ORACLE,
+    tags=("graph", "similarity", "scale"),
+    doc="Structural node similarity (link prediction): top-50 supplier "
+    "pairs by Jaccard of their customer sets, computed via the "
+    "INVERTED-INDEX join (pairs meet on each shared customer, one "
+    "groupBy collapses to co-counts) — never a supplier x supplier "
+    "cross product. |union| = deg(a)+deg(b)-shared comes from the "
+    "degree relation, so raw edges are scanned once. At 100 TB the "
+    "known hazard is hub customers (fan-out is sum of deg_c^2); the "
+    "mitigation is the same as market_basket_pairs: cap or sample "
+    "per-hub contributions, or pre-filter customers by degree. "
+    "Permille ratio is truncating BIGINT division on non-negatives; "
+    "the top-50 cut is totally ordered (score, shared, s1, s2).",
+)
+def graph_node_jaccard_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The co-count relation is |pairs with >=1 shared customer|, far
+    smaller than the cross product; TakeOrdered handles the global
+    top-50 without a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(
+            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        co.join(F.broadcast(deg).withColumnRenamed("supp", "s1"), "s1")
+        .withColumnRenamed("d", "d1")
+        .join(
+            F.broadcast(deg).withColumnRenamed("supp", "s2"), "s2"
+        )
+        .withColumnRenamed("d", "d2")
+        .select(
+            F.col("s1").cast("long"),
+            F.col("s2").cast("long"),
+            F.col("shared").cast("long").alias("shared_customers"),
+            F.expr("cast(shared * 1000 div (d1 + d2 - shared) AS bigint)")
+            .alias("jaccard_permille"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_permille").desc(),
+        F.col("shared_customers").desc(),
+        F.col("s1").asc(),
+        F.col("s2").asc(),
+    ).limit(_NODE_JACCARD_TOPN)
+
+
+# --- deterministic hash-seeded graph walks ---------------------------------
+
+_WALK_STEPS = 3
+_WALK_STARTS = 50  # customers 1..50 (exist at every SF)
+
+
+def _walk_oracle_sql(steps: int = _WALK_STEPS) -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        f"""w0 AS (
+            SELECT DISTINCT src AS walker, src AS node
+            FROM edges
+            WHERE src % 2 = 0 AND src <= {2 * _WALK_STARTS}
+        )""",
+    ]
+    for i in range(1, steps + 1):
+        p = i - 1
+        ctes.append(f"""s{i} AS (
+            SELECT walker, node FROM (
+                SELECT w.walker, e.dst AS node,
+                       row_number() OVER (
+                           PARTITION BY w.walker
+                           ORDER BY md5(CAST(w.node AS VARCHAR) || '|' ||
+                                        {i} || '|' ||
+                                        CAST(e.dst AS VARCHAR)) ASC,
+                                    e.dst ASC
+                       ) AS rn
+                FROM w{p} w JOIN edges e ON e.src = w.node
+            ) WHERE rn = 1
+        ), w{i} AS (SELECT walker, node FROM s{i})""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS end_type,
+               CAST(node // 2 AS BIGINT) AS end_key,
+               count(*) AS n_walkers
+        FROM w{steps}
+        GROUP BY 1, 2
+        ORDER BY n_walkers DESC, end_type ASC, end_key ASC
+    """
+
+
+@register(
+    "graph_deterministic_walks",
+    oracle=_walk_oracle_sql(),
+    tags=("graph", "iterative", "llm"),
+    doc="Hash-seeded graph walks (the node2vec/DeepWalk sampling "
+    "primitive made reproducible): 50 walkers start at customers "
+    "1..50 and take 3 steps, each step choosing the neighbor with "
+    "the smallest md5(node|step|neighbor) — a deterministic stand-in "
+    "for uniform random choice that is bit-identical cross-engine "
+    "and across reruns (the property walk-based training-data "
+    "generation needs for cache keys / incremental refresh). Per "
+    "step: one walkers||edges join + one per-walker argmin window — "
+    "both shuffle on node/walker ids. Walk state is (walker, node): "
+    "O(walkers), never paths.",
+)
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-step choice hash includes the step index, so a walker
+    revisiting a node does not repeat its previous choice — the walk
+    explores, as a seeded RNG walk would."""
+    edges = _undirected_edges(spark, sf_dir)
+    walks = (
+        edges.select(F.col("src").alias("node"))
+        .filter((F.col("node") % 2 == 0) & (F.col("node") <= 2 * _WALK_STARTS))
+        .distinct()
+        .select(F.col("node").alias("walker"), "node")
+    )
+    for i in range(1, _WALK_STEPS + 1):
+        wmin = Window.partitionBy("walker").orderBy(
+            F.col("h").asc(), F.col("dst").asc()
+        )
+        walks = (
+            walks.join(edges, walks["node"] == edges["src"])
+            .select(
+                "walker",
+                "dst",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("node").cast("string"),
+                        F.lit(str(i)),
+                        F.col("dst").cast("string"),
+                    )
+                ).alias("h"),
+            )
+            .withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("walker", F.col("dst").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        walks.groupBy(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("end_type"),
+            F.expr("node div 2").cast("long").alias("end_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_walkers"))
+        .orderBy(
+            F.col("n_walkers").desc(),
+            F.col("end_type").asc(),
+            F.col("end_key").asc(),
+        )
+    )

@@ -55,6 +55,9 @@ _MEDIUM_EXTRAS = (
     "timeseries_ewma_halflife",
     "interval_overlap_join",
     "data_skew_profile",
+    "embedding_pq_adc_topk",
+    "graph_node_jaccard_similarity",
+    "graph_deterministic_walks",
 )
 
 

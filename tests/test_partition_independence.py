@@ -51,6 +51,9 @@ _SWEEP_EXTRAS = (
     "timeseries_ewma_halflife",
     "interval_overlap_join",
     "data_skew_profile",
+    "embedding_pq_adc_topk",
+    "graph_node_jaccard_similarity",
+    "graph_deterministic_walks",
 )
 
 

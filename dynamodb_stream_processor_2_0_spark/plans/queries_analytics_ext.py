@@ -1172,3 +1172,332 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("end_key").asc(),
         )
     )
+
+
+# --- gaps-and-islands streaks ----------------------------------------------
+
+_STREAK_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), numbered AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM active
+    ), streaks AS (
+        SELECT user_id, island, count(*) AS len
+        FROM numbered GROUP BY 1, 2
+    ), longest AS (
+        SELECT user_id, max(len) AS longest_streak
+        FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(longest_streak AS BIGINT) AS streak_days,
+           count(*) AS n_users
+    FROM longest
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@register(
+    "events_streak_islands",
+    oracle=_STREAK_ORACLE,
+    tags=("timeseries", "window", "analytics"),
+    doc="Gaps-and-islands: longest consecutive-active-day streak per "
+    "user via the classic day_number - row_number island key (two "
+    "window-free integer subtractions turn consecutive runs into "
+    "equal keys), rolled up to a streak-length histogram — the "
+    "engagement-streak primitive. All work happens on the distinct "
+    "(user, day) relation (|users| x |days| max, tiny vs raw events) "
+    "and every shuffle is on user_id — one partition profile "
+    "end-to-end.",
+)
+def events_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """island = epoch_day - row_number is constant exactly while days
+    are consecutive; counting per (user, island) yields streak lengths
+    without any self-join or lag chain."""
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = active.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = numbered.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak")
+    )
+    return (
+        longest.groupBy(
+            F.col("longest_streak").cast("long").alias("streak_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+# --- RFM segment migration matrix ------------------------------------------
+
+_RFM_MIGRATION_ORACLE = """
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), mid AS (
+        SELECT d0 + CAST((datediff('day', d0, d1) // 2) AS INTEGER) AS m
+        FROM bounds
+    ), spend AS (
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) < (SELECT m FROM mid)
+                    THEN 'a' ELSE 'b' END AS period,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ), tiers AS (
+        SELECT user_id, period,
+               ntile(4) OVER (PARTITION BY period
+                              ORDER BY cents DESC, user_id ASC) AS tier
+        FROM spend
+    ), a AS (SELECT user_id, tier FROM tiers WHERE period = 'a'),
+       b AS (SELECT user_id, tier FROM tiers WHERE period = 'b')
+    SELECT COALESCE(a.tier, 0) AS tier_first_half,
+           COALESCE(b.tier, 0) AS tier_second_half,
+           count(*) AS n_users
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@register(
+    "rfm_migration_matrix",
+    oracle=_RFM_MIGRATION_ORACLE,
+    tags=("analytics", "window", "A1"),
+    doc="Customer segment-migration matrix: users tiered into spend "
+    "quartiles (ntile over a TOTAL order — cents desc, user asc — so "
+    "tie assignment is deterministic cross-engine) independently in "
+    "the first and second half of the timeline, then full-outer "
+    "joined into a 5x5 transition matrix (tier 0 = absent: acquired "
+    "/ churned users). The upgrade of the static rfm_customer_"
+    "segments snapshot into segment DYNAMICS — the retention view "
+    "marketing actually acts on. Shuffles: one (user, period) "
+    "rollup, one per-period window over |users| rows, one join on "
+    "user_id.",
+)
+def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeline split derives from a 1-row bounds aggregate
+    (broadcast into the scan predicate), so the raw table is read
+    once; all downstream relations are per-user aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).select(
+        F.expr("date_add(d0, cast(datediff(d1, d0) div 2 AS int))").alias("m")
+    )
+    spend = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(F.to_date("ts") < F.col("m"), "a")
+            .otherwise("b")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    wt = Window.partitionBy("period").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc()
+    )
+    tiers = spend.select(
+        "user_id", "period", F.ntile(4).over(wt).alias("tier")
+    )
+    a = tiers.filter(F.col("period") == "a").select(
+        "user_id", F.col("tier").alias("tier_a")
+    )
+    b = tiers.filter(F.col("period") == "b").select(
+        "user_id", F.col("tier").alias("tier_b")
+    )
+    return (
+        a.join(b, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce("tier_a", F.lit(0)).alias("tier_first_half"),
+            F.coalesce("tier_b", F.lit(0)).alias("tier_second_half"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("tier_first_half", "tier_second_half")
+    )
+
+
+# --- SimHash threshold-precision sweep -------------------------------------
+
+
+def _simhash_sweep_oracle_sql() -> str:
+    from dynamodb_stream_processor_2_0_spark.operators import dedup as D
+
+    return f"""
+        WITH fp AS (
+            {D.simhash_oracle_sql(bits=32)}
+        ), banded AS (
+            SELECT doc_id, b.band,
+                   (simhash // CAST(2 ** (8 * b.band) AS BIGINT)) % 256
+                       AS byte_sig,
+                   simhash
+            FROM fp, (VALUES (0), (1), (2), (3)) AS b(band)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.byte_sig = b.byte_sig
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ), tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest({D._shingles_sql(3)}) AS shingle FROM tk
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, c.hamming, count(*) AS i
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2, 3
+        ), verified AS (
+            SELECT c.doc_a, c.doc_b, c.hamming,
+                   COALESCE(i.i, 0) AS i,
+                   na.n + nb.n - COALESCE(i.i, 0) AS u
+            FROM cand c
+            JOIN sizes na ON na.doc_id = c.doc_a
+            JOIN sizes nb ON nb.doc_id = c.doc_b
+            LEFT JOIN inter i
+              ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        )
+        SELECT t.t AS hamming_threshold,
+               count(*) AS n_candidate_pairs,
+               CAST(sum(CASE WHEN v.i * 2 >= v.u THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_dups,
+               CAST(sum(CASE WHEN v.i * 2 >= v.u THEN 1 ELSE 0 END) * 1000
+                    // count(*) AS BIGINT) AS precision_permille
+        FROM verified v, (VALUES (0), (1), (2), (3)) t(t)
+        WHERE v.hamming <= t.t
+        GROUP BY t.t
+        ORDER BY t.t
+    """
+
+
+@register(
+    "dedup_simhash_threshold_sweep",
+    oracle=_simhash_sweep_oracle_sql(),
+    tags=("dedup", "llm", "simhash", "eval"),
+    doc="Operating-point sweep for the SimHash dedup family: for each "
+    "Hamming threshold t in 0..3 (the range where 4-byte banding "
+    "guarantees complete recall by pigeonhole), candidate-pair count, "
+    "exactly-verified true-dup count (trigram Jaccard >= 0.5, checked "
+    "as i*2 >= u — no division), and precision in permille. This is "
+    "the tuning harness that picks the production threshold from "
+    "data instead of folklore — the same eval-first pattern as "
+    "dedup_minhash_calibration but for the Hamming axis. Exact "
+    "verification joins shingles ONLY for surviving candidates "
+    "(bounded by the banded pair count, never all pairs).",
+)
+def dedup_simhash_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, bits=32)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(x) for x in range(4)])).alias("band"),
+    ).withColumn(
+        "byte_sig", F.expr("(simhash div shiftleft(1L, 8 * band)) % 256")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", "byte_sig",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "byte_sig",
+        F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["band", "byte_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sh_a ^ sh_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    # shingles_col already emits DISTINCT shingles per doc — no
+    # dedup shuffle needed before the intersection join.
+    sh = docs.withColumn("toks", D.tokens_col("text")).select(
+        "doc_id", F.explode(D.shingles_col(k=3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shb = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("b_id"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b", "hamming")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    verified = (
+        cand.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a"))
+            .withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b"))
+            .withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .join(inter.drop("hamming"), ["doc_a", "doc_b"], "left")
+        .select(
+            "hamming",
+            F.coalesce("i", F.lit(0)).alias("i"),
+            (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))).alias(
+                "u"
+            ),
+        )
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in range(4)], "t int"
+    )
+    return (
+        verified.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("hamming") <= F.col("t"))
+        .groupBy(F.col("t").alias("hamming_threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(
+                F.when(F.col("i") * 2 >= F.col("u"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_true_dups"),
+            F.expr(
+                "cast(sum(CASE WHEN i * 2 >= u THEN 1 ELSE 0 END) * 1000"
+                " div count(1) AS bigint)"
+            ).alias("precision_permille"),
+        )
+        .orderBy("hamming_threshold")
+    )

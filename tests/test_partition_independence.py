@@ -54,6 +54,9 @@ _SWEEP_EXTRAS = (
     "embedding_pq_adc_topk",
     "graph_node_jaccard_similarity",
     "graph_deterministic_walks",
+    "events_streak_islands",
+    "rfm_migration_matrix",
+    "dedup_simhash_threshold_sweep",
 )
 
 

@@ -49,3 +49,30 @@ def test_shingle_containment_on_duplicated_corpus(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_prefix_filter_jaccard_on_duplicated_corpus(spark, sf_dir):
+    """Same duplication workload for the PPJoin-style prefix filter:
+    its collapse gate (byte-identical reps + within-group expansion,
+    queries_dedup.py) must stay oracle-identical — including after the
+    round-5 array-intersect verification rewrite."""
+    d = tempfile.mkdtemp(prefix="dupdocs_pf_")
+    tmp = tempfile.mkdtemp(prefix="dupwrite_pf_")
+    try:
+        for t in TABLES_TO_LINK:
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dup = docs
+        for i in range(1, 4):
+            dup = dup.union(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**7))
+            )
+        dup.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/documents.parquet")
+        assert spark.conf.get(
+            "spark_graft.containment.collapse_factor", "1.05"
+        ) == "1.05"  # 4x duplication crosses the default gate
+        compare_query(spark, registry.get("dedup_prefix_filter_jaccard"), d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

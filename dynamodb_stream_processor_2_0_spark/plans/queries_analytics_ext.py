@@ -1501,3 +1501,266 @@ def dedup_simhash_threshold_sweep(
         )
         .orderBy("hamming_threshold")
     )
+
+
+# --- Matryoshka truncation recall ------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 5
+
+_MRL_ORACLE = f"""
+    WITH comp AS (
+        SELECT vec_id, p - 1 AS pos,
+               CAST(floor(CAST(embedding[p] AS DOUBLE) * 1000) AS BIGINT)
+                   AS vi
+        FROM embeddings, range(1, 65) t(p)
+    ), prods AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.pos,
+               q.vi * c.vi AS pr
+        FROM comp q JOIN comp c ON c.pos = q.pos
+        WHERE q.vec_id < 8 AND c.vec_id >= 8
+    ), scores AS (
+        SELECT query_id, cand_id,
+               {", ".join(f"CAST(sum(pr) FILTER (WHERE pos < {d}) AS BIGINT) AS ip{d}" for d in _MRL_DIMS)}
+        FROM prods GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, cand_id,
+               {", ".join(f"row_number() OVER (PARTITION BY query_id ORDER BY ip{d} DESC, cand_id ASC) AS rk{d}" for d in _MRL_DIMS)}
+        FROM scores
+    ), nq AS (SELECT count(DISTINCT query_id) AS n FROM ranked)
+    {" UNION ALL ".join(f'''
+    SELECT {d} AS dims,
+           CAST(count(*) FILTER (WHERE rk{d} <= {_MRL_K}
+                                 AND rk{_MRL_DIMS[-1]} <= {_MRL_K})
+                AS BIGINT) AS n_hits,
+           CAST(count(*) FILTER (WHERE rk{d} <= {_MRL_K}
+                                 AND rk{_MRL_DIMS[-1]} <= {_MRL_K}) * 1000
+                // ({_MRL_K} * (SELECT n FROM nq)) AS BIGINT)
+               AS recall_permille
+    FROM ranked''' for d in _MRL_DIMS)}
+    ORDER BY dims
+"""
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=_MRL_ORACLE,
+    tags=("similarity", "llm", "ann", "eval"),
+    doc="Matryoshka truncation evaluation: inner-product top-5 "
+    "retrieval run at prefix dimensions 8/16/32/64 of the same "
+    "embeddings, reporting recall@5 of each truncation against the "
+    "full-width ranking — the measurement that decides how many "
+    "dimensions a 100 TB vector store actually needs to keep hot "
+    "(MRL-style dim-elastic serving). ONE product join computes all "
+    "four widths: per-(query,cand) prefix scores are conditional "
+    "aggregates (FILTER pos < d) over a single exploded-product "
+    "relation, so adding truncation levels costs aggregate columns, "
+    "not extra scans. Scores are exact BIGINT on the floor-quantized "
+    "grid; rankings are totally ordered (score desc, cand asc).",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval is brute-force BY DESIGN (8 probe queries, the exact
+    arm of the ANN family); the one big relation is the 8 x |cands| x
+    64 product stream, which partial-aggregates map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000).cast("long").alias("vi"),
+    )
+    q = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("vi").alias("qi")
+    )
+    c = comp.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("cand_id"), "pos", F.col("vi").alias("ci")
+    )
+    scores = (
+        c.join(F.broadcast(q), "pos")
+        .groupBy("query_id", "cand_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("pos") < d, F.col("qi") * F.col("ci"))
+                )
+                .cast("long")
+                .alias(f"ip{d}")
+                for d in _MRL_DIMS
+            ]
+        )
+    )
+    ranked = scores.select(
+        "query_id",
+        "cand_id",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col(f"ip{d}").desc(), F.col("cand_id").asc()
+                )
+            )
+            .alias(f"rk{d}")
+            for d in _MRL_DIMS
+        ],
+    )
+    nq = ranked.agg(
+        F.countDistinct("query_id").alias("n")
+    )
+    full = _MRL_DIMS[-1]
+    arms = []
+    for d in _MRL_DIMS:
+        arms.append(
+            ranked.crossJoin(F.broadcast(nq)).agg(
+                F.lit(d).alias("dims"),
+                F.sum(
+                    F.when(
+                        (F.col(f"rk{d}") <= _MRL_K)
+                        & (F.col(f"rk{full}") <= _MRL_K),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_hits"),
+                F.expr(
+                    f"cast(sum(CASE WHEN rk{d} <= {_MRL_K} AND"
+                    f" rk{full} <= {_MRL_K} THEN 1 ELSE 0 END) * 1000"
+                    f" div ({_MRL_K} * first(n)) AS bigint)"
+                ).alias("recall_permille"),
+            )
+        )
+    u = arms[0]
+    for arm in arms[1:]:
+        u = u.unionByName(arm)
+    return u.orderBy("dims")
+
+
+# --- SQL UDF (CREATE TEMPORARY FUNCTION) surface ---------------------------
+
+
+@register(
+    "sql_udf_temp_function",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                        - (CAST(round(o_totalprice * 100) AS BIGINT)
+                           * CASE WHEN o_orderpriority IN
+                                       ('1-URGENT', '2-HIGH')
+                                  THEN 0 ELSE 50 END) // 1000)
+                    AS BIGINT) AS discounted_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("sql", "functions", "P12"),
+    doc="Spark 4 SQL-language UDF surface: CREATE OR REPLACE TEMPORARY "
+    "FUNCTION with a RETURNS ... RETURN body (declarative, "
+    "catalyst-inlined — unlike a Python UDF the optimizer sees "
+    "through it: constant folding and codegen apply as if the "
+    "expression were written inline, which the oracle proves by "
+    "BEING the inlined expression). The function computes a "
+    "priority-conditional discount in exact integer cents with "
+    "truncating division on non-negatives.",
+)
+def sql_udf_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs are session-scoped catalog objects; CREATE OR REPLACE
+    keeps the query re-runnable in one session and concurrent-safe
+    per session (temp functions are session-isolated)."""
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION priority_discount_cents(
+            cents BIGINT, prio STRING
+        ) RETURNS BIGINT
+        RETURN cents - (cents * CASE WHEN prio IN ('1-URGENT', '2-HIGH')
+                                     THEN 0 ELSE 50 END) div 1000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(priority_discount_cents(
+                        CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderpriority)) AS BIGINT) AS discounted_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# --- repurchase-gap survival curve -----------------------------------------
+
+_SURVIVAL_HORIZONS = (7, 14, 30, 60, 90)
+
+_SURVIVAL_ORACLE = f"""
+    WITH gaps AS (
+        SELECT o_custkey,
+               datediff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                        CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        QUALIFY lag(o_orderdate) OVER w IS NOT NULL
+    )
+    {" UNION ALL ".join(f'''
+    SELECT {t} AS horizon_days,
+           count(*) AS n_gaps,
+           CAST(count(*) FILTER (WHERE gap > {t}) AS BIGINT) AS n_surviving,
+           CAST(count(*) FILTER (WHERE gap > {t}) * 1000 // count(*)
+                AS BIGINT) AS survival_permille
+    FROM gaps''' for t in _SURVIVAL_HORIZONS)}
+    ORDER BY horizon_days
+"""
+
+
+@register(
+    "customer_gap_survival_curve",
+    oracle=_SURVIVAL_ORACLE,
+    tags=("timeseries", "analytics", "A1"),
+    doc="Repurchase survival curve: S(t) = fraction of between-order "
+    "gaps exceeding t for horizons 7/14/30/60/90 days — the empirical "
+    "survival function (uncensored form; censoring the open interval "
+    "after each customer's last order is a one-line extension) that "
+    "churn models and re-engagement triggers calibrate against. One "
+    "lag window per customer + one conditional aggregate per horizon "
+    "over the tiny gap relation; horizons are aggregate columns on a "
+    "shared scan, unioned into curve rows.",
+)
+def customer_gap_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .select(F.datediff("d", "prev_d").alias("gap"))
+    )
+    arms = []
+    for t in _SURVIVAL_HORIZONS:
+        arms.append(
+            gaps.agg(
+                F.lit(t).alias("horizon_days"),
+                F.count(F.lit(1)).alias("n_gaps"),
+                F.sum(F.when(F.col("gap") > t, 1).otherwise(0))
+                .cast("long")
+                .alias("n_surviving"),
+                F.expr(
+                    f"cast(sum(CASE WHEN gap > {t} THEN 1 ELSE 0 END)"
+                    " * 1000 div count(1) AS bigint)"
+                ).alias("survival_permille"),
+            )
+        )
+    u = arms[0]
+    for arm in arms[1:]:
+        u = u.unionByName(arm)
+    return u.orderBy("horizon_days")

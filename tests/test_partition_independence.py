@@ -57,6 +57,9 @@ _SWEEP_EXTRAS = (
     "events_streak_islands",
     "rfm_migration_matrix",
     "dedup_simhash_threshold_sweep",
+    "embedding_matryoshka_recall",
+    "sql_udf_temp_function",
+    "customer_gap_survival_curve",
 )
 
 

@@ -770,50 +770,68 @@ def _skew_oracle_sql() -> str:
 def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each arm aggregates the key-frequency relation (small even at
     100 TB: |distinct keys|), so the window ranks never see raw rows."""
+    # No global window anywhere (the engine-wide plan lint forbids
+    # single-partition windows): percentiles come from the FREQUENCY-
+    # OF-FREQUENCIES relation (distinct per-key counts — tiny even at
+    # 100 TB) via a triangular cumulative join, and the top-10 share
+    # from a TakeOrdered limit; rank-pick and min-f-with-cum>=ceil(q*n)
+    # are the same statistic.
     arms = []
     for table, key in _SKEW_KEYS:
         t = load_table(spark, sf_dir, table)
         freq = t.groupBy(F.col(key).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("f")
         )
-        wasc = Window.orderBy(F.col("f").asc(), F.col("k").asc())
-        wdesc = Window.orderBy(F.col("f").desc(), F.col("k").asc())
-        wall = Window.partitionBy()
-        ranked = freq.select(
-            "f",
-            F.row_number().over(wasc).alias("rn_asc"),
-            F.row_number().over(wdesc).alias("rn_desc"),
-            F.count(F.lit(1)).over(wall).alias("nk"),
-            F.sum("f").over(wall).alias("nr"),
+        ff = freq.groupBy("f").agg(F.count(F.lit(1)).alias("m"))
+        a_ff, b_ff = ff.alias("a"), ff.alias("b")
+        cum = (
+            a_ff.join(b_ff, F.col("b.f") <= F.col("a.f"))
+            .groupBy(F.col("a.f").alias("f"))
+            .agg(F.sum("b.m").alias("cum"))
         )
-        arms.append(
-            ranked.agg(
-                F.lit(f"{table}.{key}").alias("source"),
-                F.max("nr").cast("long").alias("n_rows"),
-                F.max("nk").cast("long").alias("n_keys"),
-                F.max("f").cast("long").alias("max_freq"),
-                F.expr(
-                    "cast(sum(CASE WHEN rn_desc <= 10 THEN f ELSE 0 END)"
-                    " * 1000 div max(nr) AS bigint)"
-                ).alias("top10_share_permille"),
-                F.max(
+        totals = ff.agg(
+            F.sum("m").cast("long").alias("nk"),
+            F.sum(F.col("f") * F.col("m")).cast("long").alias("nr"),
+            F.max("f").cast("long").alias("max_freq"),
+        )
+        top10 = (
+            freq.orderBy(F.col("f").desc(), F.col("k").asc())
+            .limit(10)
+            .agg(F.sum("f").cast("long").alias("top_f"))
+        )
+        pcts = (
+            cum.crossJoin(F.broadcast(totals))
+            .agg(
+                F.min(
                     F.when(
-                        F.col("rn_asc")
-                        == F.expr("(nk + 1) div 2"),
-                        F.col("f"),
+                        F.col("cum") >= F.expr("(nk + 1) div 2"), F.col("f")
                     )
                 )
                 .cast("long")
                 .alias("p50_freq"),
-                F.max(
+                F.min(
                     F.when(
-                        F.col("rn_asc")
-                        == F.expr("(99 * nk + 99) div 100"),
+                        F.col("cum") >= F.expr("(99 * nk + 99) div 100"),
                         F.col("f"),
                     )
                 )
                 .cast("long")
                 .alias("p99_freq"),
+            )
+        )
+        arms.append(
+            totals.crossJoin(F.broadcast(top10))
+            .crossJoin(F.broadcast(pcts))
+            .select(
+                F.lit(f"{table}.{key}").alias("source"),
+                F.col("nr").alias("n_rows"),
+                F.col("nk").alias("n_keys"),
+                "max_freq",
+                F.expr("cast(top_f * 1000 div nr AS bigint)").alias(
+                    "top10_share_permille"
+                ),
+                "p50_freq",
+                "p99_freq",
             )
         )
     u = arms[0]
@@ -1764,3 +1782,277 @@ def customer_gap_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for arm in arms[1:]:
         u = u.unionByName(arm)
     return u.orderBy("horizon_days")
+
+
+# --- Markov stationary distribution ----------------------------------------
+
+_MK_SCALE = 10**12
+_MK_ITERS = 3
+
+
+def _markov_oracle_sql(iters: int = _MK_ITERS) -> str:
+    ctes = [
+        """seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )""",
+        """cnt AS (
+            SELECT event_type AS f, next_type AS t, count(*) AS c
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        )""",
+        "rs AS (SELECT f, sum(c) AS s FROM cnt GROUP BY f)",
+        "states AS (SELECT DISTINCT event_type AS st FROM events)",
+        "ns AS (SELECT count(*) AS n FROM states)",
+        f"""p0 AS (
+            SELECT st, CAST({_MK_SCALE} AS BIGINT) // (SELECT n FROM ns)
+                   AS mass
+            FROM states
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""contrib{i} AS (
+            SELECT c.t AS st, sum((p.mass * c.c) // r.s) AS m
+            FROM p{p} p JOIN cnt c ON c.f = p.st JOIN rs r ON r.f = p.st
+            GROUP BY c.t
+        ), carry{i} AS (
+            SELECT p.st, p.mass
+            FROM p{p} p LEFT JOIN rs r ON r.f = p.st
+            WHERE r.f IS NULL
+        ), p{i} AS (
+            SELECT s.st,
+                   COALESCE(c.m, 0) + COALESCE(k.mass, 0) AS mass
+            FROM states s
+            LEFT JOIN contrib{i} c ON c.st = s.st
+            LEFT JOIN carry{i} k ON k.st = s.st
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT st AS event_type, CAST(mass AS BIGINT) AS stationary_micro
+        FROM p{iters}
+        ORDER BY event_type
+    """
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle_sql(),
+    tags=("timeseries", "iterative", "analytics"),
+    doc="Stationary distribution of the user-behavior Markov chain: "
+    "the events_transition_matrix rollup row-normalized and "
+    "power-iterated 3 rounds from uniform, in exact BIGINT mass on a "
+    "1e12 grid (truncating division, same discipline as "
+    "graph_pagerank_fixpoint) — where user behavior settles, the "
+    "long-run mix capacity planning needs. States without outgoing "
+    "transitions retain their mass (absorbing). The honest scale "
+    "note: the heavy work is the transition rollup over raw events "
+    "(one user-keyed window + one map-side-combined (from,to) "
+    "count); the iteration then runs on the collapsed "
+    "|states|^2 matrix — broadcast-size at any corpus scale.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cnt = seq.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    rs = cnt.groupBy("f").agg(F.sum("c").alias("s"))
+    states = events.select(
+        F.col("event_type").alias("st")
+    ).distinct()
+    n_states = states.count()
+    p = states.withColumn("mass", F.lit(_MK_SCALE // n_states))
+    for _ in range(_MK_ITERS):
+        contrib = (
+            p.join(cnt, p["st"] == cnt["f"])
+            .join(rs, "f")
+            .select(F.col("t").alias("st"), F.expr("mass * c div s").alias("m"))
+            .groupBy("st")
+            .agg(F.sum("m").alias("m"))
+        )
+        carry = (
+            p.join(rs, p["st"] == rs["f"], "left_anti")
+            .select("st", F.col("mass").alias("k"))
+        )
+        p = (
+            states.join(contrib, "st", "left")
+            .join(carry, "st", "left")
+            .select(
+                "st",
+                (
+                    F.coalesce("m", F.lit(0)) + F.coalesce("k", F.lit(0))
+                ).alias("mass"),
+            )
+        )
+    return p.select(
+        F.col("st").alias("event_type"),
+        F.col("mass").cast("long").alias("stationary_micro"),
+    ).orderBy("event_type")
+
+
+# --- binary payload dedup by digest ----------------------------------------
+
+
+@register(
+    "multimodal_dedup_by_digest",
+    oracle="""
+        WITH bin AS (
+            SELECT doc_id, md5(text) AS digest,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ), grp AS (
+            SELECT digest,
+                   count(*) AS n_copies,
+                   min(doc_id) AS canonical_id,
+                   max(n_bytes) AS payload_bytes
+            FROM bin GROUP BY digest
+            HAVING count(*) > 1
+        )
+        SELECT digest, n_copies, canonical_id,
+               CAST(payload_bytes AS BIGINT) AS payload_bytes,
+               CAST((n_copies - 1) * payload_bytes AS BIGINT)
+                   AS bytes_saved
+        FROM grp
+        ORDER BY digest
+    """,
+    tags=("multimodal", "dedup", "llm", "D5"),
+    doc="Exact media dedup by content digest: binary payloads grouped "
+    "on md5(payload), duplicate groups reported with the canonical "
+    "(min-id) survivor and bytes reclaimed — the first pass every "
+    "media corpus runs (identical files re-crawled under different "
+    "ids dominate raw crawl bytes). The shuffle carries (digest, "
+    "doc_id, n_bytes) — 32-byte keys — never payload bytes; at "
+    "100 TB the payload column is scanned once, projected to its "
+    "digest, and dropped before the exchange (the same "
+    "never-shuffle-content rule as every dedup op here).",
+)
+def multimodal_dedup_by_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators import multimodal as MM
+
+    bin_df = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return (
+        bin_df.select(
+            "doc_id",
+            F.md5("payload").alias("digest"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("n_bytes").alias("payload_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "digest",
+            "n_copies",
+            "canonical_id",
+            F.col("payload_bytes").cast("long"),
+            ((F.col("n_copies") - 1) * F.col("payload_bytes"))
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .orderBy("digest")
+    )
+
+
+# --- CCNet-style quality bucket mix ----------------------------------------
+
+
+def _ccnet_oracle_sql() -> str:
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    lm = REGISTRY["text_lm_surprisal_score"].oracle
+    return f"""
+        WITH lm AS (
+            SELECT doc_id, sum_bits, n_bigrams FROM ({lm}) s
+        ), docs AS (
+            SELECT d.doc_id, d.source,
+                   (l.sum_bits * 1000000) // l.n_bigrams AS milli_bits
+            FROM documents d JOIN lm l USING (doc_id)
+        ), tiered AS (
+            SELECT source,
+                   CASE ntile(3) OVER (ORDER BY milli_bits ASC, doc_id ASC)
+                        WHEN 1 THEN 'head'
+                        WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM docs
+        ), mix AS (
+            SELECT source, bucket, count(*) AS n_docs
+            FROM tiered GROUP BY 1, 2
+        ), tot AS (
+            SELECT source, sum(n_docs) AS n FROM mix GROUP BY source
+        )
+        SELECT m.source, m.bucket, m.n_docs,
+               CAST(m.n_docs * 1000 // t.n AS BIGINT) AS share_permille
+        FROM mix m JOIN tot t USING (source)
+        ORDER BY m.source, m.bucket
+    """
+
+
+@register(
+    "text_ccnet_bucket_mix",
+    oracle=_ccnet_oracle_sql(),
+    tags=("text", "llm", "quality", "pipeline"),
+    doc="CCNet-style quality bucketing: documents ranked by bigram-LM "
+    "surprisal (the registered text_lm_surprisal_score, reused as-is) "
+    "and cut into head/middle/tail terciles, reported as the per-"
+    "source mix — the composition dashboard CCNet publishes per "
+    "snapshot and the knob (keep head+middle, resample tail) that "
+    "follows. Ranking uses milli-bits = sum_bits*1e6 div n_bigrams "
+    "with doc_id tie-break — an exact-integer TOTAL order, because "
+    "ntile over a float average would let last-ulp libm noise move a "
+    "boundary doc across engines. The global tercile is one ntile "
+    "window over |docs| post-agg rows (range-partitionable at scale "
+    "via the ranking helper, as rfm_customer_segments does).",
+)
+def text_ccnet_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
+
+    lm = REGISTRY["text_lm_surprisal_score"].fn(spark, sf_dir).select(
+        "doc_id", "sum_bits", "n_bigrams"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = docs.join(lm, "doc_id").select(
+        "doc_id",
+        "source",
+        F.expr("sum_bits * 1000000 div n_bigrams").alias("milli_bits"),
+    )
+    # Global tercile WITHOUT a single-partition window: global_rank
+    # range-partitions the total order, and ntile(k) of rank r among n
+    # is exactly floor((r-1)*k/n)+1 — same tie handling as the
+    # oracle's ntile.
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
+    ranked = global_rank(scored, ["milli_bits", "doc_id"], "gr")
+    n_total = ranked.agg(F.count(F.lit(1)).alias("n"))
+    tiered = ranked.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        F.when(F.expr("(gr - 1) * 3 div n") == 0, "head")
+        .when(F.expr("(gr - 1) * 3 div n") == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    mix = tiered.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = mix.groupBy("source").agg(F.sum("n_docs").alias("n"))
+    return (
+        mix.join(tot, "source")
+        .select(
+            "source",
+            "bucket",
+            "n_docs",
+            F.expr("cast(n_docs * 1000 div n AS bigint)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -73,6 +73,10 @@ def test_prefix_filter_jaccard_on_duplicated_corpus(spark, sf_dir):
             "spark_graft.containment.collapse_factor", "1.05"
         ) == "1.05"  # 4x duplication crosses the default gate
         compare_query(spark, registry.get("dedup_prefix_filter_jaccard"), d)
+        # the digest dedup is 0-row on the pristine corpus; the
+        # duplicated corpus proves its non-empty path (every group
+        # has 4 copies and bytes_saved = 3x payload)
+        compare_query(spark, registry.get("multimodal_dedup_by_digest"), d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -60,6 +60,9 @@ _SWEEP_EXTRAS = (
     "embedding_matryoshka_recall",
     "sql_udf_temp_function",
     "customer_gap_survival_curve",
+    "events_markov_stationary",
+    "multimodal_dedup_by_digest",
+    "text_ccnet_bucket_mix",
 )
 
 

@@ -2056,3 +2056,317 @@ def text_ccnet_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# --- behavioral entropy ----------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), nt AS (
+        SELECT user_id, sum(cnt) AS n, count(*) AS n_types
+        FROM c GROUP BY user_id
+    ), u AS (
+        SELECT c.user_id, nt.n, nt.n_types,
+               CAST(sum(c.cnt * length(bin(nt.n // c.cnt))) AS BIGINT)
+                   AS wbits
+        FROM c JOIN nt USING (user_id)
+        GROUP BY c.user_id, nt.n, nt.n_types
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, n_types,
+           CAST(wbits * 1000 // n AS BIGINT) AS entropy_millibits
+    FROM u
+    ORDER BY user_id
+"""
+
+
+@register(
+    "events_entropy_by_user",
+    oracle=_ENTROPY_ORACLE,
+    tags=("analytics", "quality", "F10"),
+    doc="Behavioral entropy per user: Shannon entropy of each user's "
+    "event-type distribution, integer-exact via the surprisal trick — "
+    "bits(p) ~ length(bin(n div cnt)) = floor(log2(n/cnt))+1, so "
+    "H_milli = sum(cnt*bits)*1000 div n needs no libm log. Low "
+    "entropy = single-action automation, high = diverse human "
+    "behavior; the diversity complement to events_bot_regularity_"
+    "score's timing regularity (both feed the same evidence-based "
+    "blocklist, reference F10, index.js:433-439). One (user,type) "
+    "rollup + one per-user window-free second rollup.",
+)
+def events_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuckDB twin nests a window inside the aggregate arguments
+    (legal there); Spark computes n with a second grouped pass joined
+    back — same relation sizes, both |users| x |types| max."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = c.groupBy("user_id").agg(F.sum("cnt").alias("n"))
+    return (
+        c.join(n, "user_id")
+        .withColumn("bits", F.length(F.bin(F.expr("n div cnt"))))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.expr(
+                "cast(sum(cnt * bits) * 1000 div max(n) AS bigint)"
+            ).alias("entropy_millibits"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Shewhart control chart (sqrt-free) ------------------------------------
+
+_CONTROL_ORACLE = """
+    WITH d AS (
+        SELECT l_suppkey,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS delay
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), m AS (
+        SELECT l_suppkey,
+               count(*) AS n,
+               CAST(sum(delay) AS BIGINT) AS s,
+               CAST(sum(delay * delay) AS BIGINT) AS q
+        FROM d GROUP BY l_suppkey
+    ), flags AS (
+        SELECT d.l_suppkey, m.n, m.s, m.q,
+               CASE WHEN (m.n * d.delay - m.s) * (m.n * d.delay - m.s)
+                         > 9 * (m.n * m.q - m.s * m.s)
+                    THEN 1 ELSE 0 END AS ooc
+        FROM d JOIN m USING (l_suppkey)
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           CAST(max(n) AS BIGINT) AS n_shipments,
+           (CASE WHEN max(s) >= 0 THEN 1 ELSE -1 END)
+               * CAST((abs(max(s)) * 1000) // max(n) AS BIGINT)
+               AS mean_delay_milli,
+           CAST(sum(ooc) AS BIGINT) AS n_out_of_control,
+           sum(ooc) = 0 AS is_stable
+    FROM flags
+    GROUP BY l_suppkey
+    ORDER BY suppkey
+"""
+
+
+@register(
+    "supplier_delay_control_chart",
+    oracle=_CONTROL_ORACLE,
+    tags=("analytics", "quality", "A1"),
+    doc="Shewhart 3-sigma control chart on per-supplier order-to-ship "
+    "delay (l_shipdate - o_orderdate), sqrt-free: the out-of-control test "
+    "(d - mean)^2 > 9*var multiplies through by n^2 to "
+    "(n*d - S)^2 > 9*(n*Q - S^2) — pure BIGINT, no sqrt, no float, "
+    "so the flag is bit-identical cross-engine (libm sqrt is not). "
+    "The process-quality upgrade of q21's late-supplier count: not "
+    "just WHO is late, but whose delivery process is out of "
+    "statistical control. One moment aggregate + one re-join of the "
+    "raw delays against their supplier's moments (both shuffle on "
+    "suppkey; the moments side is |suppliers| rows).",
+)
+def supplier_delay_control_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = lineitem.join(
+        orders, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay"
+        ),
+    )
+    m = d.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("delay").cast("long").alias("s"),
+        F.sum(F.col("delay") * F.col("delay")).cast("long").alias("q"),
+    )
+    flags = d.join(m, "l_suppkey").withColumn(
+        "ooc",
+        F.when(
+            (F.col("n") * F.col("delay") - F.col("s"))
+            * (F.col("n") * F.col("delay") - F.col("s"))
+            > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flags.groupBy(F.col("l_suppkey").cast("long").alias("suppkey"))
+        .agg(
+            F.max("n").cast("long").alias("n_shipments"),
+            (
+                F.when(F.max("s") >= 0, 1).otherwise(-1)
+                * F.expr("abs(max(s)) * 1000 div max(n)")
+            )
+            .cast("long")
+            .alias("mean_delay_milli"),
+            F.sum("ooc").cast("long").alias("n_out_of_control"),
+            (F.sum("ooc") == 0).alias("is_stable"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# --- Holt double-exponential forecast --------------------------------------
+
+_HOLT_TAIL_DAYS = 7
+
+
+def _holt_sign_div(col: str) -> tuple[str, str]:
+    """(duck, spark) sign-extracted truncating division by the dyadic
+    weight total — identical on both engines for either sign."""
+    duck = (
+        f"(CASE WHEN {col} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({col}) // {_EWMA_WTOT})"
+    )
+    spark = (
+        f"(CASE WHEN {col} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({col}) div {_EWMA_WTOT})"
+    )
+    return duck, spark
+
+
+_HOLT_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT t.event_type, s.day, COALESCE(d.cents, 0) AS cents,
+               (SELECT d1 FROM bounds) AS max_day
+        FROM types t CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    ), dx AS (
+        SELECT event_type, day, cents, max_day,
+               cents - COALESCE(lag(cents) OVER (
+                   PARTITION BY event_type ORDER BY day), 0) AS d
+        FROM series
+    ), lt AS (
+        SELECT event_type, day, cents, max_day,
+               ({_ewma_terms('cents', 'duck')}) AS wl,
+               ({_ewma_terms('d', 'duck')}) AS wb
+        FROM dx
+    ), st AS (
+        SELECT event_type, day, cents, max_day,
+               wl // {_EWMA_WTOT} AS level,
+               {_holt_sign_div('wb')[0]} AS trend
+        FROM lt
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           cents AS actual_cents,
+           lag(level) OVER w + lag(trend) OVER w AS forecast_cents,
+           abs(cents - (lag(level) OVER w + lag(trend) OVER w)) AS abs_err
+    FROM st
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    QUALIFY day > max_day - {_HOLT_TAIL_DAYS}
+        AND lag(level) OVER w IS NOT NULL
+    ORDER BY event_type, day
+"""
+
+
+@register(
+    "timeseries_holt_forecast",
+    oracle=_HOLT_ORACLE,
+    tags=("timeseries", "analytics", "forecast"),
+    doc="Holt double-exponential forecast on per-type daily revenue: "
+    "level = dyadic-weight EWMA of the series, trend = dyadic EWMA of "
+    "its first differences (sign-extracted truncating division — "
+    "differences go negative), one-step-ahead forecast = lagged level "
+    "+ lagged trend, backtested over the final week with absolute "
+    "errors. Like timeseries_ewma_halflife, the bounded dyadic FIR "
+    "form is both the EXACT form (pure BIGINT, bit-identical "
+    "cross-engine) and the SCALABLE form (a true Holt recursion is "
+    "sequential; 16 bounded lags are one window over the tiny "
+    "(type, day) rollup).",
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+        # the series end is the bounds aggregate's d1 — a broadcast
+        # 1-row cross join, never a global window
+        .crossJoin(F.broadcast(bounds.select(F.col("d1").alias("max_day"))))
+    )
+    dx = series.withColumn(
+        "d",
+        F.col("cents") - F.coalesce(F.lag("cents").over(wo), F.lit(0)),
+    )
+    st = dx.selectExpr(
+        "event_type",
+        "day",
+        "cents",
+        "max_day",
+        f"({_ewma_terms('cents', 'spark')}) AS wl",
+        f"({_ewma_terms('d', 'spark')}) AS wb",
+    ).selectExpr(
+        "event_type",
+        "day",
+        "cents",
+        "max_day",
+        f"wl div {_EWMA_WTOT} AS level",
+        f"{_holt_sign_div('wb')[1]} AS trend",
+    )
+    out = st.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        F.col("day"),
+        F.col("max_day"),
+        F.col("cents").alias("actual_cents"),
+        (F.lag("level").over(wo) + F.lag("trend").over(wo)).alias(
+            "forecast_cents"
+        ),
+    )
+    return (
+        out.filter(
+            (F.col("day") > F.date_sub(F.col("max_day"), _HOLT_TAIL_DAYS))
+            & F.col("forecast_cents").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("day_str").alias("day"),
+            "actual_cents",
+            "forecast_cents",
+            F.abs(F.col("actual_cents") - F.col("forecast_cents")).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -67,6 +67,9 @@ _MEDIUM_EXTRAS = (
     "events_markov_stationary",
     "multimodal_dedup_by_digest",
     "text_ccnet_bucket_mix",
+    "events_entropy_by_user",
+    "supplier_delay_control_chart",
+    "timeseries_holt_forecast",
 )
 
 

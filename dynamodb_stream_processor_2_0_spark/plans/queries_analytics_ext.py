@@ -2370,3 +2370,124 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- time-decay multi-touch attribution ------------------------------------
+
+_ATTR_WINDOW_DAYS = 3  # touches within this many days before the purchase
+
+_ATTR_ORACLE = f"""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, CAST(ts AS DATE) AS pday, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_type AS channel, CAST(ts AS DATE) AS tday,
+               ts AS tts
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ), pairs AS (
+        SELECT p.pid, t.channel,
+               CAST(1 AS BIGINT) << ({_ATTR_WINDOW_DAYS} - 1
+                   - datediff('day', t.tday, p.pday)) AS w
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.tts < p.pts
+         AND datediff('day', t.tday, p.pday) < {_ATTR_WINDOW_DAYS}
+    ), per_p AS (
+        SELECT pid, channel, sum(w) AS wc,
+               sum(sum(w)) OVER (PARTITION BY pid) AS wtot
+        FROM pairs GROUP BY pid, channel
+    ), credited AS (
+        SELECT channel,
+               sum((wc * 1000) // wtot) AS credit_milli,
+               count(DISTINCT pid) AS n_purchases_touched
+        FROM per_p GROUP BY channel
+    ), unattributed AS (
+        SELECT 'unattributed' AS channel,
+               count(*) * 1000 AS credit_milli,
+               count(*) AS n_purchases_touched
+        FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM pairs)
+    )
+    SELECT channel, CAST(credit_milli AS BIGINT) AS credit_milli,
+           CAST(n_purchases_touched AS BIGINT) AS n_purchases
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+    WHERE n_purchases_touched > 0
+    ORDER BY channel
+"""
+
+
+@register(
+    "attribution_time_decay",
+    oracle=_ATTR_ORACLE,
+    tags=("analytics", "funnel", "join"),
+    doc="Time-decay multi-touch attribution: each purchase splits 1000 "
+    "milli-credits across the user's click/view/signup touches of the "
+    "prior 3 days, weighted 2^-(days_ago) (bit-shift decay — no "
+    "transcendental), rolled up per channel; purchases with no "
+    "in-window touch land in 'unattributed'. The multi-touch upgrade "
+    "of first_touch_attribution (which keeps the reference's "
+    "earliest-wins state semantics): marketing-mix decisions need "
+    "split credit, not winner-takes-all. The touch<->purchase pairing "
+    "is an EQUI-join on user_id with the time window as residual "
+    "predicates (per-user event lists are bounded by the 3-day "
+    "window), then two map-side-combinable rollups; integer credit "
+    "division truncates on non-negatives.",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.to_date("ts").alias("pday"),
+        F.col("ts").alias("pts"),
+    )
+    t = events.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.to_date("ts").alias("tday"),
+        F.col("ts").alias("tts"),
+    )
+    days_ago = F.datediff(F.col("pday"), F.col("tday"))
+    pairs = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("tts") < F.col("pts"))
+        & (days_ago < _ATTR_WINDOW_DAYS),
+    ).select(
+        "pid",
+        "channel",
+        F.expr(
+            f"cast(shiftleft(1L, {_ATTR_WINDOW_DAYS - 1}"
+            " - datediff(pday, tday)) AS bigint)"
+        ).alias("w"),
+    )
+    wc = pairs.groupBy("pid", "channel").agg(F.sum("w").alias("wc"))
+    wtot = wc.groupBy("pid").agg(F.sum("wc").alias("wtot"))
+    credited = (
+        wc.join(wtot, "pid")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.expr("wc * 1000 div wtot")).alias("credit_milli"),
+            F.countDistinct("pid").alias("n_purchases_touched"),
+        )
+    )
+    unattributed = (
+        p.join(pairs.select("pid").distinct(), "pid", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("unattributed").alias("channel"),
+            (F.col("n") * 1000).alias("credit_milli"),
+            F.col("n").alias("n_purchases_touched"),
+        )
+    )
+    return (
+        credited.unionByName(unattributed)
+        .filter(F.col("n_purchases_touched") > 0)
+        .select(
+            "channel",
+            F.col("credit_milli").cast("long"),
+            F.col("n_purchases_touched").cast("long").alias("n_purchases"),
+        )
+        .orderBy("channel")
+    )

@@ -70,6 +70,7 @@ _MEDIUM_EXTRAS = (
     "events_entropy_by_user",
     "supplier_delay_control_chart",
     "timeseries_holt_forecast",
+    "attribution_time_decay",
 )
 
 

@@ -2508,3 +2508,145 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- perceptual-hash media near-dup ----------------------------------------
+
+_PHASH_BYTES = 7  # 56-bit hash stays inside positive BIGINT
+_PHASH_MAX_HAMMING = 6  # <= 6 bit flips over 7 byte-bands: pigeonhole-complete
+
+
+def _phash_oracle_sql() -> str:
+    from dynamodb_stream_processor_2_0_spark.plans.queries_multimodal import (
+        _md5_byte_sql,
+    )
+
+    phash = " + ".join(
+        f"CAST({_md5_byte_sql(2 + i)} AS BIGINT) * {1 << (8 * i)}"
+        for i in range(_PHASH_BYTES)
+    )
+    bands = ", ".join(f"({i})" for i in range(_PHASH_BYTES))
+    return f"""
+        WITH fp AS (
+            SELECT doc_id, {phash} AS phash FROM documents
+        ), banded AS (
+            SELECT doc_id, phash, b.band,
+                   (phash // CAST(2 ** (8 * b.band) AS BIGINT)) % 256
+                       AS byte_sig
+            FROM fp, (VALUES {bands}) b(band)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.byte_sig = b.byte_sig
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=_phash_oracle_sql(),
+    tags=("multimodal", "dedup", "llm", "mapInPandas"),
+    doc="Near-duplicate MEDIA detection by perceptual hash: the decoded "
+    "feature bytes (Arrow-batched mapInPandas decode — the same "
+    "injectable-codec path as multimodal_image_decode; production "
+    "swaps in a real pHash/DCT) pack into a 56-bit fingerprint, "
+    "candidates block on its 7 bytes (Hamming <= 6 cannot differ in "
+    "all 7 — pigeonhole-complete, the Manku crawl-dedup scheme), and "
+    "survivors verify with exact XOR popcount. Completes the media "
+    "dedup pair with multimodal_dedup_by_digest (exact): digest "
+    "catches re-crawled identical files, pHash catches re-encoded / "
+    "resized ones. Payloads never shuffle — the pair pipeline runs "
+    "on 8-byte fingerprints; the oracle recomputes the identical "
+    "fingerprint from the payload bytes in SQL.",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators import multimodal as MM
+
+    bin_df = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    decoded = MM.decode_image_batch(bin_df)
+    phash = None
+    for i in range(_PHASH_BYTES):
+        term = F.expr(
+            f"cast(round(feature[{i}] * 255) AS bigint) * {1 << (8 * i)}L"
+        )
+        phash = term if phash is None else phash + term
+    fp = decoded.select("doc_id", phash.alias("phash"))
+    banded = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_PHASH_BYTES)])
+        ).alias("band"),
+    ).withColumn(
+        "byte_sig", F.expr("(phash div shiftleft(1L, 8 * band)) % 256")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", "byte_sig",
+        F.col("phash").alias("ph_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "byte_sig",
+        F.col("phash").alias("ph_b"),
+    )
+    return (
+        a.join(b, ["band", "byte_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("ph_a ^ ph_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- parameterized SQL surface ---------------------------------------------
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("sql", "source", "P12"),
+    doc="Spark 4 parameterized SQL surface: spark.sql with NAMED "
+    "parameter markers (:start, :min_price) bound server-side — the "
+    "injection-safe templating every SQL front-end needs (string "
+    "interpolation of untrusted values is the alternative). "
+    "Parameters bind as typed literals BEFORE analysis, so constant "
+    "folding and parquet predicate pushdown see the concrete values "
+    "— the oracle is the same query with the literals inlined, "
+    "proving the binding is semantically transparent.",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_orderdate >= :start AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"start": "1996-01-01 00:00:00", "min_price": 1000.0},
+    )

@@ -77,6 +77,9 @@ def test_prefix_filter_jaccard_on_duplicated_corpus(spark, sf_dir):
         # duplicated corpus proves its non-empty path (every group
         # has 4 copies and bytes_saved = 3x payload)
         compare_query(spark, registry.get("multimodal_dedup_by_digest"), d)
+        # same for the perceptual-hash near-dup (exact copies land at
+        # hamming 0 through the banded pipeline)
+        compare_query(spark, registry.get("multimodal_phash_near_dup"), d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -71,6 +71,8 @@ _MEDIUM_EXTRAS = (
     "supplier_delay_control_chart",
     "timeseries_holt_forecast",
     "attribution_time_decay",
+    "multimodal_phash_near_dup",
+    "sql_parameterized_query",
 )
 
 

@@ -67,6 +67,8 @@ _SWEEP_EXTRAS = (
     "supplier_delay_control_chart",
     "timeseries_holt_forecast",
     "attribution_time_decay",
+    "multimodal_phash_near_dup",
+    "sql_parameterized_query",
 )
 
 

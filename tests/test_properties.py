@@ -142,3 +142,93 @@ def test_kappa_sign_extraction_is_engine_invariant(n, data):
     # the scaled integer result brackets the exact rational
     kappa = Fraction(num, den)
     assert abs(Fraction(sign_extracted, 1_000_000) - kappa) < Fraction(1, 1_000_000)
+
+
+# --- round-5 exact-arithmetic identities -----------------------------------
+
+
+def _sql_ntile(n: int, k: int) -> list[int]:
+    """Reference SQL ntile: the first n%k buckets get the extra row."""
+    sizes = [(n // k) + (1 if i < n % k else 0) for i in range(k)]
+    ref = []
+    for b, s in enumerate(sizes, start=1):
+        ref.extend([b] * s)
+    return ref
+
+
+@given(n=st.integers(min_value=1, max_value=2000))
+@settings(max_examples=300, deadline=None)
+def test_tercile_identity_matches_sql_ntile(n):
+    """text_ccnet_bucket_mix replaces a single-partition ntile(3)
+    window with bucket = floor((r-1)*3/n)+1 over a scalable
+    global_rank. For K=3 the identity reproduces SQL ntile exactly
+    for EVERY n (bucket sizes ceil(n/3), then q+(n%3>=2), then q —
+    same as ntile's extras-first rule); this test pins that, because
+    the identity is NOT general (see the k=5 counterexample below)
+    and a silent swap to another k would drift tercile boundaries
+    cross-engine."""
+    formula = [((r - 1) * 3) // n + 1 for r in range(1, n + 1)]
+    assert formula == _sql_ntile(n, 3)
+
+
+def test_ntile_identity_is_not_general():
+    """Why ccnet pins K=3: at n=7, k=5 SQL ntile is [1,1,2,3,4,5,5]-
+    shaped (extras contiguous in the FIRST buckets) while the floor
+    formula spreads extras evenly — they disagree, so the rewrite is
+    only valid for the k values proven above."""
+    n, k = 7, 5
+    formula = [((r - 1) * k) // n + 1 for r in range(1, n + 1)]
+    assert formula != _sql_ntile(n, k)
+
+
+@given(
+    num=st.integers(min_value=-(10**15), max_value=10**15),
+    den=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_sign_extracted_division_engine_invariant(num, den):
+    """ACF / trend / mean-delay ratios use sign(num)*(abs(num) div den)
+    because Spark's div truncates toward zero while DuckDB's //
+    floors: they agree only on non-negative operands. The extracted
+    form must equal BOTH engines' evaluation of itself."""
+    sign = 1 if num >= 0 else -1
+    extracted = sign * (abs(num) // den)  # python // == floor, but
+    # abs(num) >= 0 so floor == trunc here: engine-invariant by
+    # construction
+    # model the two engines evaluating the same extracted expression
+    trunc_div = sign * (abs(num) // den)  # Spark div on non-negative
+    floor_div = sign * (abs(num) // den)  # DuckDB // on non-negative
+    assert extracted == trunc_div == floor_div
+    # and the UNextracted forms genuinely disagree for negatives with
+    # remainder, which is why the rule exists:
+    if num < 0 and num % den != 0:
+        spark_div = -((-num) // den)  # trunc toward zero
+        duck_floor = num // den  # floor
+        assert spark_div != duck_floor
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=1, max_value=(1 << 52) - 1),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_kmv_estimator_model(hashes):
+    """sketch_kmv_distinct's estimator: with fewer than k distinct
+    hashes the sketch IS the exact set (estimate == count); with k or
+    more, (k-1)*2^52 div h_k lies within a sanity band around the
+    true distinct count for uniform hashes. The exact-fallback branch
+    boundary (k_used < k) must never misfire."""
+    K = 64
+    hs = sorted(hashes)
+    k_used = min(len(hs), K)
+    hk = hs[k_used - 1]
+    if k_used < K:
+        est = k_used
+        assert est == len(hs)  # exact for small scopes, by definition
+    else:
+        est = (K - 1) * (1 << 52) // hk
+        assert est >= K - 1  # hk <= 2^52 forces at least k-1

@@ -2041,9 +2041,12 @@ def text_ccnet_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_bits * 1000000 div n_bigrams").alias("milli_bits"),
     )
     # Global tercile WITHOUT a single-partition window: global_rank
-    # range-partitions the total order, and ntile(k) of rank r among n
-    # is exactly floor((r-1)*k/n)+1 — same tie handling as the
-    # oracle's ntile.
+    # range-partitions the total order, and for K=3 SPECIFICALLY,
+    # ntile(3) of rank r among n is exactly floor((r-1)*3/n)+1 for
+    # every n (the identity is NOT general — ntile packs extras into
+    # the first buckets, the floor formula spreads them; they coincide
+    # for k=3, pinned by tests/test_properties.py::
+    # test_tercile_identity_matches_sql_ntile).
     from dynamodb_stream_processor_2_0_spark.operators.ranking import (
         global_rank,
     )

@@ -64,7 +64,17 @@ _loaded = False
 # Rotate per round: once a query earns a green row, move it below the
 # still-unchecked ones (keep the §2 covering set pinned at the top).
 #
-# Round-4 note for the next session: positions 51+ hold every query
+# Round-5 note for the next session: the 26 round-5 operators (graph
+# BFS/LPA/Jaccard/walks, KMV sketch, ACF/EWMA/Holt, interval overlap,
+# skew profiler, PQ-ADC + Matryoshka ANN, SimHash sweep, streaks,
+# RFM migration, survival curve, attribution, entropy, control chart,
+# Markov stationary, digest + pHash media dedup, CCNet terciles, SQL
+# UDF + parameterized SQL) register AFTER the priority list, are all
+# in tests' _MEDIUM_EXTRAS/_SWEEP_EXTRAS (sf0.01-parity + two-width
+# sweep by default) and were hostile-session verified — safe rotation
+# candidates once the never-driver-checked set below earns its rows.
+#
+# Round-4 note: positions 51+ hold every query
 # added in round 4, including the continuation pass's 13 new operators
 # (Bloom prefilter, LM surprisal, retraction aggregate, schema
 # evolution, AQP estimate, TTL dedup, minhash calibration, filter

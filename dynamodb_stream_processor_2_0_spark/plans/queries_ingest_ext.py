@@ -1,0 +1,277 @@
+"""Round-5 ingestion & multiscale extensions: heterogeneous-shard
+schema harmonization (the multi-format backfill read every long-lived
+100 TB table needs) and Haar wavelet energy (multiscale burst
+diagnostics on event-time series).
+
+Same arithmetic discipline as queries_analytics_ext: exact BIGINT,
+truncating division only on non-negatives, oracles recompute from the
+pristine parquet.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dynamodb_stream_processor_2_0_spark.plans.registry import register
+from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+
+# --- heterogeneous-shard schema harmonization ------------------------------
+
+# Staged once per process per sf_dir (same pattern as the format
+# round-trip queries): three shard generations of the events table —
+#   v0: parquet, PRE-migration (no value column)
+#   v1: CSV, adds value_cents
+#   v2: JSONL, adds a channel column
+_HARMONIZE_STAGE_CACHE: dict[str, tuple[str, str, str]] = {}
+
+
+def _stage_harmonize_shards(spark: SparkSession, sf_dir: str):
+    from dynamodb_stream_processor_2_0_spark.sources import formats
+
+    if sf_dir in _HARMONIZE_STAGE_CACHE:
+        return _HARMONIZE_STAGE_CACHE[sf_dir]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    gen = F.col("event_id") % 3
+    p0 = tempfile.mkdtemp(prefix="harm_v0_")
+    p1 = tempfile.mkdtemp(prefix="harm_v1_")
+    p2 = tempfile.mkdtemp(prefix="harm_v2_")
+    formats.write_batch(
+        ev.filter(gen == 0).select("event_id", "user_id", "event_type"),
+        p0,
+        fmt="parquet",
+    )
+    formats.write_batch(
+        ev.filter(gen == 1),
+        p1,
+        fmt="csv",
+        header="true",
+    )
+    formats.write_batch(
+        ev.filter(gen == 2).withColumn(
+            "channel", F.concat(F.col("event_type"), F.lit("_ch"))
+        ),
+        p2,
+        fmt="json",
+    )
+    _HARMONIZE_STAGE_CACHE[sf_dir] = (p0, p1, p2)
+    return p0, p1, p2
+
+
+@register(
+    "source_union_schema_harmonize",
+    oracle="""
+        WITH v AS (
+            SELECT event_id % 3 AS gen, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT CAST(gen AS BIGINT) AS schema_version, event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN gen = 0 THEN 0 ELSE cents END) AS BIGINT)
+                   AS total_cents,
+               CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_channel
+        FROM v
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("source", "format", "S1", "scale"),
+    doc="Heterogeneous-shard schema harmonization: three shard "
+    "generations of one logical table (parquet without the value "
+    "column; CSV with it; JSONL with an extra channel column) read "
+    "with EXPLICIT per-generation schemas and unioned by NAME with "
+    "missing columns null-filled — the backfill-free read path for a "
+    "100 TB table whose schema evolved across format migrations "
+    "(complements source_schema_evolution_merge, which handles "
+    "evolution WITHIN one parquet lineage via mergeSchema; this op "
+    "handles evolution ACROSS formats, where no footer reconciliation "
+    "exists and the reader owns the contract). The oracle recomputes "
+    "the same rollup from the pristine table with the generation rule "
+    "inlined — proving the three encode/decode paths and the "
+    "null-fill are lossless.",
+)
+def source_union_schema_harmonize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """unionByName(allowMissingColumns=True) is the harmonization
+    primitive: each generation contributes its own explicit schema,
+    later columns surface as NULL for earlier shards, and the
+    coalesce defaults are the single place the contract lives."""
+    from dynamodb_stream_processor_2_0_spark.sources import formats
+
+    p0, p1, p2 = _stage_harmonize_shards(spark, sf_dir)
+    v0 = formats.read_batch(spark, p0, fmt="parquet").withColumn(
+        "schema_version", F.lit(0).cast("long")
+    )
+    v1 = formats.read_batch(
+        spark,
+        p1,
+        fmt="csv",
+        schema="event_id bigint, user_id bigint, event_type string, "
+        "value_cents bigint",
+    ).withColumn("schema_version", F.lit(1).cast("long"))
+    v2 = formats.read_batch(
+        spark,
+        p2,
+        fmt="json",
+        schema="event_id bigint, user_id bigint, event_type string, "
+        "value_cents bigint, channel string",
+    ).withColumn("schema_version", F.lit(2).cast("long"))
+    harmonized = v0.unionByName(
+        v1, allowMissingColumns=True
+    ).unionByName(v2, allowMissingColumns=True)
+    return (
+        harmonized.groupBy("schema_version", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("value_cents", F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+            F.sum(
+                F.when(F.col("channel").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_with_channel"),
+        )
+        .orderBy("schema_version", "event_type")
+    )
+
+
+# --- Haar wavelet energy ---------------------------------------------------
+
+_HAAR_LEVELS = 3
+
+
+def _haar_oracle_sql(levels: int = _HAAR_LEVELS) -> str:
+    ctes = [
+        """bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+            FROM events
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM bounds
+        ), types AS (SELECT DISTINCT event_type FROM events),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ), s0 AS (
+            SELECT t.event_type,
+                   row_number() OVER (PARTITION BY t.event_type
+                                      ORDER BY s.day) AS rn,
+                   COALESCE(d.cents, 0) AS x
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN daily d
+              ON d.event_type = t.event_type AND d.day = s.day
+        )""",
+    ]
+    arms = []
+    for lv in range(1, levels + 1):
+        p = lv - 1
+        ctes.append(f"""l{lv} AS (
+            SELECT event_type, (rn - 1) // 2 + 1 AS rn,
+                   sum(CASE WHEN rn % 2 = 0 THEN x ELSE -x END) AS d,
+                   sum(x) AS x,
+                   count(*) AS m
+            FROM s{p}
+            GROUP BY event_type, (rn - 1) // 2
+        ), s{lv} AS (
+            SELECT event_type, rn, x FROM l{lv} WHERE m = 2
+        )""")
+        arms.append(f"""
+        SELECT event_type, {lv} AS level,
+               count(*) AS n_pairs,
+               CAST(sum(d * d) AS BIGINT) AS energy
+        FROM l{lv} WHERE m = 2
+        GROUP BY event_type""")
+    return f"""
+        WITH {', '.join(ctes)}
+        {' UNION ALL '.join(arms)}
+        ORDER BY event_type, level
+    """
+
+
+@register(
+    "events_haar_energy",
+    oracle=_haar_oracle_sql(),
+    tags=("timeseries", "analytics", "iterative"),
+    doc="Unnormalized Haar wavelet energy of the per-type daily "
+    "revenue series, levels 1-3: level-l details are pairwise "
+    "differences of level-(l-1) smooths (sums), and sum(d^2) per "
+    "level localizes WHERE the series' variance lives — day-to-day "
+    "jitter (level 1) vs multi-day swings (level 3) — the multiscale "
+    "burst diagnostic complementing the single-scale CUSUM/trend "
+    "detectors. The unnormalized transform (no /sqrt(2)) keeps every "
+    "coefficient exact BIGINT, bit-identical cross-engine; an "
+    "unpaired tail element at any level is dropped (m=2 guard) "
+    "identically on both engines. Each level is one tiny groupBy on "
+    "the post-rollup (type, pair) relation.",
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.coalesce("cents", F.lit(0)).alias("x"),
+        )
+    )
+    arms = []
+    for lv in range(1, _HAAR_LEVELS + 1):
+        pairs = (
+            s.groupBy(
+                "event_type", F.expr("(rn - 1) div 2 + 1").alias("prn")
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("rn") % 2 == 0, F.col("x")).otherwise(
+                        -F.col("x")
+                    )
+                ).alias("d"),
+                F.sum("x").alias("x"),
+                F.count(F.lit(1)).alias("m"),
+            )
+        )
+        full = pairs.filter(F.col("m") == 2)
+        arms.append(
+            full.groupBy("event_type").agg(
+                F.lit(lv).alias("level"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+            )
+        )
+        s = full.select(
+            "event_type", F.col("prn").alias("rn"), "x"
+        )
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    return u.orderBy("event_type", "level")

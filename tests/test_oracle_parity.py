@@ -73,6 +73,8 @@ _MEDIUM_EXTRAS = (
     "attribution_time_decay",
     "multimodal_phash_near_dup",
     "sql_parameterized_query",
+    "source_union_schema_harmonize",
+    "events_haar_energy",
 )
 
 

@@ -69,6 +69,8 @@ _SWEEP_EXTRAS = (
     "attribution_time_decay",
     "multimodal_phash_near_dup",
     "sql_parameterized_query",
+    "source_union_schema_harmonize",
+    "events_haar_energy",
 )
 
 

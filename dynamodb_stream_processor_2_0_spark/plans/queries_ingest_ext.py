@@ -275,3 +275,135 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         u = u.unionByName(a)
     return u.orderBy("event_type", "level")
+
+
+# --- DSIR importance weighting ---------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, lang, source,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS bucket
+        FROM toks
+    ), src_d AS (
+        SELECT bucket, count(*) AS c FROM feat GROUP BY bucket
+    ), tgt_d AS (
+        SELECT bucket, count(*) AS c FROM feat WHERE lang = 'en'
+        GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT sum(c) FROM src_d) + {_DSIR_BUCKETS} AS s_tot,
+               (SELECT COALESCE(sum(c), 0) FROM tgt_d) + {_DSIR_BUCKETS}
+                   AS t_tot
+    ), w AS (
+        SELECT s.bucket,
+               (COALESCE(t.c, 0) + 1) * (SELECT s_tot FROM tot) AS num,
+               (s.c + 1) * (SELECT t_tot FROM tot) AS den
+        FROM src_d s LEFT JOIN tgt_d t USING (bucket)
+    ), scored AS (
+        SELECT f.doc_id, f.lang, f.source,
+               CAST(sum(CASE
+                   WHEN w.num >= w.den
+                       THEN length(bin(w.num // w.den)) - 1
+                   ELSE -(length(bin(w.den // w.num)) - 1)
+               END) AS BIGINT) AS llr_bits
+        FROM feat f JOIN w USING (bucket)
+        GROUP BY 1, 2, 3
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(llr_bits) AS BIGINT) AS sum_llr_bits,
+           CAST(sum(CASE WHEN llr_bits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target_like
+    FROM scored
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
+@register(
+    "text_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    tags=("text", "llm", "quality", "sampling"),
+    doc="DSIR-style importance weighting (Xie et al., data selection "
+    "via importance resampling): hashed unigram features (256 "
+    "buckets), per-bucket importance ratio target_p/source_p with "
+    "add-one smoothing (target = the 'en' slice), and a per-document "
+    "log-likelihood-ratio score summed over its tokens — the "
+    "principled replacement for hard language/quality filters when "
+    "composing a pretraining mixture toward a target distribution. "
+    "The LLR uses the integer bitlen log2 (sign-extracted for ratios "
+    "< 1: floor-log of the INVERTED ratio, negated), so scores are "
+    "bit-identical cross-engine. Rolled up per (source, lang): docs, "
+    "total LLR bits, target-like count — the report that decides "
+    "per-source resampling rates. Shuffles: one (bucket) dist agg "
+    "per arm, a broadcast 256-row weight join, one doc rollup.",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    src_d = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
+    tgt_d = (
+        feat.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = src_d.agg(
+        (F.sum("sc") + _DSIR_BUCKETS).alias("s_tot")
+    ).crossJoin(
+        tgt_d.agg(
+            (F.coalesce(F.sum("tc"), F.lit(0)) + _DSIR_BUCKETS).alias(
+                "t_tot"
+            )
+        )
+    )
+    w = (
+        src_d.join(tgt_d, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            ((F.coalesce("tc", F.lit(0)) + 1) * F.col("s_tot")).alias("num"),
+            ((F.col("sc") + 1) * F.col("t_tot")).alias("den"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(w), "bucket")
+        .withColumn(
+            "bits",
+            F.when(
+                F.col("num") >= F.col("den"),
+                F.length(F.bin(F.expr("num div den"))) - 1,
+            ).otherwise(
+                -(F.length(F.bin(F.expr("den div num"))) - 1)
+            ),
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("bits").cast("long").alias("llr_bits"))
+    )
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("llr_bits").cast("long").alias("sum_llr_bits"),
+            F.sum(F.when(F.col("llr_bits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_like"),
+        )
+        .orderBy("source", "lang")
+    )

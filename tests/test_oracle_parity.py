@@ -75,6 +75,7 @@ _MEDIUM_EXTRAS = (
     "sql_parameterized_query",
     "source_union_schema_harmonize",
     "events_haar_energy",
+    "text_dsir_importance",
 )
 
 

@@ -71,6 +71,7 @@ _SWEEP_EXTRAS = (
     "sql_parameterized_query",
     "source_union_schema_harmonize",
     "events_haar_energy",
+    "text_dsir_importance",
 )
 
 

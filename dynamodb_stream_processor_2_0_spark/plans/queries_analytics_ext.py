@@ -545,6 +545,25 @@ def _ewma_terms(col: str, engine: str) -> str:
 
 _EWMA_WTOT = (1 << _EWMA_DEPTH) - 1
 
+
+def _holt_sign_div(col: str) -> tuple[str, str]:
+    """(duck, spark) sign-extracted truncating division by the dyadic
+    weight total — identical on both engines for either sign (Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors; extracting
+    the sign and dividing the absolute value makes both arms agree
+    for negative weighted sums too, the house rule for engine-
+    invariant integer division)."""
+    duck = (
+        f"(CASE WHEN {col} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({col}) // {_EWMA_WTOT})"
+    )
+    spark = (
+        f"(CASE WHEN {col} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({col}) div {_EWMA_WTOT})"
+    )
+    return duck, spark
+
+
 _EWMA_ORACLE = f"""
     WITH bounds AS (
         SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
@@ -565,9 +584,13 @@ _EWMA_ORACLE = f"""
         FROM types t CROSS JOIN spine s
         LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
     )
-    SELECT event_type, CAST(day AS VARCHAR) AS day, cents AS raw_cents,
-           ({_ewma_terms('cents', 'duck')}) // {_EWMA_WTOT} AS ewma_cents
-    FROM series
+    SELECT event_type, day, raw_cents,
+           {_holt_sign_div('wsum')[0]} AS ewma_cents
+    FROM (
+        SELECT event_type, CAST(day AS VARCHAR) AS day, cents AS raw_cents,
+               ({_ewma_terms('cents', 'duck')}) AS wsum
+        FROM series
+    )
     ORDER BY event_type, day
 """
 
@@ -579,8 +602,9 @@ _EWMA_ORACLE = f"""
     doc="EWMA smoothing of per-type daily revenue with half-life = 1 "
     "day, made EXACT by using dyadic weights 2^(15-i) over a trailing "
     "16-day horizon: the weighted sum is pure BIGINT (weights are bit "
-    "shifts, total weight 2^16-1), the single division truncates on "
-    "non-negative cents — no float recursion, so the smoothed series "
+    "shifts, total weight 2^16-1), the single division is sign-"
+    "extracted truncating division (engine-invariant for negative "
+    "revenue too) — no float recursion, so the smoothed series "
     "is bit-identical cross-engine and order-independent. The "
     "trailing-horizon form is also the SCALABLE form: a true infinite "
     "EWMA is inherently sequential, while 16 bounded lags stay one "
@@ -614,12 +638,21 @@ def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", F.coalesce("cents", F.lit(0)).alias("cents")
         )
     )
-    return series.selectExpr(
-        "event_type",
-        "date_format(day, 'yyyy-MM-dd') AS day_str",
-        "cents AS raw_cents",
-        f"({_ewma_terms('cents', 'spark')}) div {_EWMA_WTOT} AS ewma_cents",
-    ).withColumnRenamed("day_str", "day").orderBy("event_type", "day")
+    return (
+        series.selectExpr(
+            "event_type",
+            "date_format(day, 'yyyy-MM-dd') AS day_str",
+            "cents AS raw_cents",
+            f"({_ewma_terms('cents', 'spark')}) AS wsum",
+        )
+        .selectExpr(
+            "event_type",
+            "day_str AS day",
+            "raw_cents",
+            f"{_holt_sign_div('wsum')[1]} AS ewma_cents",
+        )
+        .orderBy("event_type", "day")
+    )
 
 
 # --- banded interval-overlap join -----------------------------------------
@@ -1007,11 +1040,23 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- node-similarity Jaccard (link prediction) -----------------------------
 
 _NODE_JACCARD_TOPN = 50
+# Per-customer hub cap: a customer contributes at most this many
+# supplier memberships (the CAP lowest supplier ids — deterministic).
+# Bounds the per-basket pair fan-out at C(CAP,2) no matter how skewed
+# the graph is; at the fixture scales the cap never binds (max
+# suppliers-per-customer is ~tens), so capped == exact Jaccard there.
+_NODE_JACCARD_HUB_CAP = 1024
 
 _NODE_JACCARD_ORACLE = f"""
-    WITH e AS (
+    WITH e0 AS (
         SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT cust, supp FROM (
+            SELECT cust, supp,
+                   row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+            FROM e0
+        ) WHERE rn <= {_NODE_JACCARD_HUB_CAP}
     ), deg AS (
         SELECT supp, count(*) AS d FROM e GROUP BY supp
     ), co AS (
@@ -1034,49 +1079,46 @@ _NODE_JACCARD_ORACLE = f"""
 """
 
 
-@register(
-    "graph_node_jaccard_similarity",
-    oracle=_NODE_JACCARD_ORACLE,
-    tags=("graph", "similarity", "scale"),
-    doc="Structural node similarity (link prediction): top-50 supplier "
-    "pairs by Jaccard of their customer sets, computed via the "
-    "INVERTED-INDEX join (pairs meet on each shared customer, one "
-    "groupBy collapses to co-counts) — never a supplier x supplier "
-    "cross product. |union| = deg(a)+deg(b)-shared comes from the "
-    "degree relation, so raw edges are scanned once. At 100 TB the "
-    "known hazard is hub customers (fan-out is sum of deg_c^2); the "
-    "mitigation is the same as market_basket_pairs: cap or sample "
-    "per-hub contributions, or pre-filter customers by degree. "
-    "Permille ratio is truncating BIGINT division on non-negatives; "
-    "the top-50 cut is totally ordered (score, shared, s1, s2).",
-)
-def graph_node_jaccard_similarity(
-    spark: SparkSession, sf_dir: str
+def node_jaccard_from_edges(
+    edges: DataFrame,
+    hub_cap: int = _NODE_JACCARD_HUB_CAP,
+    topn: int = _NODE_JACCARD_TOPN,
 ) -> DataFrame:
-    """The co-count relation is |pairs with >=1 shared customer|, far
-    smaller than the cross product; TakeOrdered handles the global
-    top-50 without a full sort."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
-        )
-        .distinct()
+    """Top-N node pairs by Jaccard of their neighbor sets, from a
+    (cust, supp) bipartite edge relation — hub-capped basket form.
+
+    Each customer folds to ONE sorted, capped supplier basket
+    (``slice(sort_array(collect_set), 1, cap)`` keeps the cap lowest
+    supplier ids — deterministic, engine-invariant), pairs are
+    enumerated codegen-side INSIDE each basket, and degrees come from
+    the exploded capped baskets so |union| = d1+d2-shared is
+    consistent with the co-counts even when the cap binds. Worst-case
+    fan-out per customer is C(cap,2) regardless of skew — the
+    per-basket bound market_basket_pairs relies on — vs the uncapped
+    inverted-index join's sum(deg_c^2), where one hub customer
+    dominates a shuffle partition at 100 TB. Two shuffles: basket fold
+    on cust, pair count on (s1,s2)."""
+    baskets = edges.groupBy("cust").agg(
+        F.slice(
+            F.sort_array(F.collect_set("supp")), 1, hub_cap
+        ).alias("ss")
     )
-    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
-    a = e.alias("a")
-    b = e.alias("b")
+    deg = (
+        baskets.select(F.explode("ss").alias("supp"))
+        .groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.supp") < F.col("b.supp")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
-        )
+        .groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     scored = (
@@ -1099,7 +1141,45 @@ def graph_node_jaccard_similarity(
         F.col("shared_customers").desc(),
         F.col("s1").asc(),
         F.col("s2").asc(),
-    ).limit(_NODE_JACCARD_TOPN)
+    ).limit(topn)
+
+
+@register(
+    "graph_node_jaccard_similarity",
+    oracle=_NODE_JACCARD_ORACLE,
+    tags=("graph", "similarity", "scale"),
+    doc="Structural node similarity (link prediction): top-50 supplier "
+    "pairs by Jaccard of their customer sets, computed in the "
+    "HUB-CAPPED basket form: each customer folds to one sorted "
+    "supplier basket capped at the 1024 lowest supplier ids "
+    "(deterministic, applied identically in the oracle via "
+    "row_number<=cap), pairs are enumerated inside each basket "
+    "codegen-side, and degrees come from the capped baskets so "
+    "|union| = d1+d2-shared stays consistent when the cap binds. "
+    "Never a supplier x supplier cross product, and — unlike the "
+    "uncapped inverted-index join, whose fan-out is sum(deg_c^2) — "
+    "a hub customer contributes at most C(1024,2) pairs, so no "
+    "single key can dominate a shuffle partition at 100 TB. "
+    "Permille ratio is truncating BIGINT division on non-negatives; "
+    "the top-50 cut is totally ordered (score, shared, s1, s2).",
+)
+def graph_node_jaccard_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The co-count relation is |pairs with >=1 shared customer|, far
+    smaller than the cross product; TakeOrdered handles the global
+    top-50 without a full sort. See node_jaccard_from_edges for the
+    hub-cap mechanics (tests drive it with a synthetic hub graph)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    return node_jaccard_from_edges(e)
 
 
 # --- deterministic hash-seeded graph walks ---------------------------------
@@ -2089,7 +2169,7 @@ _ENTROPY_ORACLE = """
         FROM c GROUP BY user_id
     ), u AS (
         SELECT c.user_id, nt.n, nt.n_types,
-               CAST(sum(c.cnt * length(bin(nt.n // c.cnt))) AS BIGINT)
+               CAST(sum(c.cnt * (length(bin(nt.n // c.cnt)) - 1)) AS BIGINT)
                    AS wbits
         FROM c JOIN nt USING (user_id)
         GROUP BY c.user_id, nt.n, nt.n_types
@@ -2107,7 +2187,9 @@ _ENTROPY_ORACLE = """
     tags=("analytics", "quality", "F10"),
     doc="Behavioral entropy per user: Shannon entropy of each user's "
     "event-type distribution, integer-exact via the surprisal trick — "
-    "bits(p) ~ length(bin(n div cnt)) = floor(log2(n/cnt))+1, so "
+    "bits(p) ~ length(bin(n div cnt)) - 1 = floor(log2(n/cnt)), so a "
+    "probability-1 outcome scores exactly 0 bits (a single-action user "
+    "gets entropy 0, not a hidden +1-bit floor) and "
     "H_milli = sum(cnt*bits)*1000 div n needs no libm log. Low "
     "entropy = single-action automation, high = diverse human "
     "behavior; the diversity complement to events_bot_regularity_"
@@ -2126,7 +2208,7 @@ def events_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = c.groupBy("user_id").agg(F.sum("cnt").alias("n"))
     return (
         c.join(n, "user_id")
-        .withColumn("bits", F.length(F.bin(F.expr("n div cnt"))))
+        .withColumn("bits", F.length(F.bin(F.expr("n div cnt"))) - F.lit(1))
         .groupBy("user_id")
         .agg(
             F.max("n").cast("long").alias("n_events"),
@@ -2237,20 +2319,6 @@ def supplier_delay_control_chart(
 _HOLT_TAIL_DAYS = 7
 
 
-def _holt_sign_div(col: str) -> tuple[str, str]:
-    """(duck, spark) sign-extracted truncating division by the dyadic
-    weight total — identical on both engines for either sign."""
-    duck = (
-        f"(CASE WHEN {col} >= 0 THEN 1 ELSE -1 END)"
-        f" * (abs({col}) // {_EWMA_WTOT})"
-    )
-    spark = (
-        f"(CASE WHEN {col} >= 0 THEN 1 ELSE -1 END)"
-        f" * (abs({col}) div {_EWMA_WTOT})"
-    )
-    return duck, spark
-
-
 _HOLT_ORACLE = f"""
     WITH bounds AS (
         SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
@@ -2283,7 +2351,7 @@ _HOLT_ORACLE = f"""
         FROM dx
     ), st AS (
         SELECT event_type, day, cents, max_day,
-               wl // {_EWMA_WTOT} AS level,
+               {_holt_sign_div('wl')[0]} AS level,
                {_holt_sign_div('wb')[0]} AS trend
         FROM lt
     )
@@ -2361,7 +2429,7 @@ def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         "max_day",
-        f"wl div {_EWMA_WTOT} AS level",
+        f"{_holt_sign_div('wl')[1]} AS level",
         f"{_holt_sign_div('wb')[1]} AS trend",
     )
     out = st.select(

@@ -10,7 +10,6 @@ pristine parquet.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -39,9 +38,9 @@ def _stage_harmonize_shards(spark: SparkSession, sf_dir: str):
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
     gen = F.col("event_id") % 3
-    p0 = tempfile.mkdtemp(prefix="harm_v0_")
-    p1 = tempfile.mkdtemp(prefix="harm_v1_")
-    p2 = tempfile.mkdtemp(prefix="harm_v2_")
+    p0 = formats.staged_tmpdir("harm_v0_")
+    p1 = formats.staged_tmpdir("harm_v1_")
+    p2 = formats.staged_tmpdir("harm_v2_")
     formats.write_batch(
         ev.filter(gen == 0).select("event_id", "user_id", "event_type"),
         p0,

@@ -8,6 +8,7 @@ from dynamodb_stream_processor_2_0_spark.config import DEFAULT_CONFIG
 from dynamodb_stream_processor_2_0_spark.operators import disposition as D
 from dynamodb_stream_processor_2_0_spark.plans.registry import register
 from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+from dynamodb_stream_processor_2_0_spark.sources.formats import staged_tmpdir
 
 
 @register(
@@ -130,7 +131,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_stream_processor_2_0_spark.sources import formats
 
     if sf_dir not in _CSV_STAGE_CACHE:
-        path = tempfile.mkdtemp(prefix="events_csv_")
+        path = staged_tmpdir(prefix="events_csv_")
         staged = load_table(spark, sf_dir, "events").select(
             "event_id",
             "user_id",
@@ -181,7 +182,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_stream_processor_2_0_spark.sources import formats
 
     if sf_dir not in _JSONL_STAGE_CACHE:
-        path = tempfile.mkdtemp(prefix="docs_jsonl_")
+        path = staged_tmpdir(prefix="docs_jsonl_")
         formats.write_batch(
             load_table(spark, sf_dir, "documents").select(
                 "doc_id", "lang", "source", "n_chars", "text"
@@ -212,7 +213,7 @@ def _stage_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _PARTITIONED_STAGE_CACHE:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="events_part_")
+        path = staged_tmpdir(prefix="events_part_")
         staged = load_table(spark, sf_dir, "events").select(
             "event_id",
             "user_id",
@@ -285,7 +286,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_stream_processor_2_0_spark.sources import formats
 
     if sf_dir not in _ORC_STAGE_CACHE:
-        path = tempfile.mkdtemp(prefix="events_orc_")
+        path = staged_tmpdir(prefix="events_orc_")
         staged = load_table(spark, sf_dir, "events").select(
             "event_id",
             "user_id",
@@ -610,7 +611,7 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("action", F.lit("email_triggered"))
         .select("user_id", "event_type", "event_id", "action")
     )
-    out_dir = tempfile.mkdtemp(prefix="envelope_batch_sink_")
+    out_dir = staged_tmpdir(prefix="envelope_batch_sink_")
     (
         sinks.envelope(winners)
         .write.format("dynamodb_envelope_sink")

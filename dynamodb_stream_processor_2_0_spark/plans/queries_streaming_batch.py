@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dynamodb_stream_processor_2_0_spark.plans.registry import register
 from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
+from dynamodb_stream_processor_2_0_spark.sources.formats import staged_tmpdir
 
 
 def _dec(col: str) -> F.Column:
@@ -844,7 +845,7 @@ def streaming_foreachbatch_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
-    out_dir = tempfile.mkdtemp(prefix="envelope_sink_")
+    out_dir = staged_tmpdir(prefix="envelope_sink_")
     try:
         if int(prior) > 32:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -1109,7 +1110,7 @@ def streaming_python_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     PDS.register_wire_datasource(spark)
     prior = spark.conf.get("spark.sql.shuffle.partitions")
-    out_dir = tempfile.mkdtemp(prefix="envelope_pysink_")
+    out_dir = staged_tmpdir(prefix="envelope_pysink_")
     try:
         if int(prior) > 32:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -1125,7 +1126,7 @@ def streaming_python_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             triggered.writeStream.format("dynamodb_envelope_sink")
             .option("path", out_dir)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="pysink_ckpt_")
+                "checkpointLocation", staged_tmpdir(prefix="pysink_ckpt_")
             )
             .queryName(f"py_sink_{uuid.uuid4().hex[:8]}")
             .outputMode("append")

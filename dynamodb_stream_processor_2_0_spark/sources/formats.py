@@ -72,3 +72,23 @@ def write_batch(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def staged_tmpdir(prefix: str) -> str:
+    """mkdtemp with registered atexit cleanup.
+
+    Every staging directory the query plans materialize (format
+    round-trips, harmonization shards, sink outputs, checkpoints) is
+    process-scoped scratch: callers cache the path for the life of the
+    process, so the only correct deletion point is interpreter exit.
+    Registering rmtree here keeps staged shard copies from leaking
+    across sessions (each driver/test process previously left its
+    staged copies behind).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path

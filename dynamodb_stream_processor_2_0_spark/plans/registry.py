@@ -65,92 +65,84 @@ _loaded = False
 # Rotate per round: once a query earns a green row, move it below the
 # still-unchecked ones (keep the §2 covering set pinned at the top).
 #
-# Round-5 note for the next session: the 26 round-5 operators (graph
-# BFS/LPA/Jaccard/walks, KMV sketch, ACF/EWMA/Holt, interval overlap,
-# skew profiler, PQ-ADC + Matryoshka ANN, SimHash sweep, streaks,
-# RFM migration, survival curve, attribution, entropy, control chart,
-# Markov stationary, digest + pHash media dedup, CCNet terciles, SQL
-# UDF + parameterized SQL) register AFTER the priority list, are all
-# in tests' _MEDIUM_EXTRAS/_SWEEP_EXTRAS (sf0.01-parity + two-width
-# sweep by default) and were hostile-session verified — safe rotation
-# candidates once the never-driver-checked set below earns its rows.
-#
-# Round-4 note: positions 51+ hold every query
-# added in round 4, including the continuation pass's 13 new operators
-# (Bloom prefilter, LM surprisal, retraction aggregate, schema
-# evolution, AQP estimate, TTL dedup, minhash calibration, filter
-# ensemble kappa, hard negatives, pushdown pruning, relational
-# division, mixture rebalance, prefix-filter join) — ALL pre-proven at
-# sf0.01 via the default parity prefix/extras lists (see
-# tests/test_oracle_parity.py::_MEDIUM_EXTRAS) AND the local gate
-# replay. After the r4 CORRECTNESS file lands, run
-# `python tools/rotate_registry.py` —
-# it classifies never/stale/fresh from the CORRECTNESS history and
-# prints the suggested next ordering (fresh r4 greens rotate to the
-# back, the never-checked remainder fills the sample).
+# Round-6 rotation (from CORRECTNESS_r01..r05 via tools/rotate_registry.py,
+# hand-tuned): positions 22-50 hold (a) q6_forecast_revenue /
+# q18_large_volume_customer / cube_priority_status — the three r1 driver
+# FAILs whose decimal fix (22e9080) was never driver-re-gated; (b) the five
+# queries whose semantics changed in round 6 (hub-capped node Jaccard,
+# zero-floor entropy, sign-safe EWMA/Holt, harmonize staging) — all
+# pre-proven by the local gate replay at sf0.01; (c) the round-5 additions
+# the r5 verdict flagged as never driver-checked (graph family, PQ-ADC /
+# Matryoshka / MMR / hard-negative / Hamming ANN, SimHash sweep, KMV,
+# skew profile, DSIR, CCNet, media dedup, k-means). The remaining
+# never-checked set (streaming e2e family, text/multimodal/corpus
+# remainder, TPC-H remainder) fills rounds 7+; after each CORRECTNESS
+# file lands, re-run `python tools/rotate_registry.py` and rotate fresh
+# greens to the back.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---
-    "pipeline_disposition_summary",   # S1 S4 F2 F7 F9 F10 P12 D1 A1
-    "pipeline_disposition_ledger",    # F12
-    "s1_stream_record_parse",         # S1 P1 P2 P3 P4 P6
-    "streaming_delivery_e2e",         # S6 S7 D4(stream) E5 — never driver-checked
-    "cdc_upsert_compaction",          # S5
-    "a2_existence_per_key",           # S2 A2
-    "p10_priority_routing",           # S3 P10
-    "p11_envelope_json",              # S3 E3
-    "f1_change_type_filter",          # F1
-    "f3_null_pass_filter",            # F3 F4
-    "d2_cdc_old_new_diff",            # F5 F6 D2 — stale since r1
-    "d3_state_lookup_routing",        # F11 E4 D3 — stale since r1
-    "d5_first_occurrence_dedup",      # D4(batch) D5 — stale since r1
-    "first_touch_attribution",        # transformWithState batch twin — new
-    "f8_email_validation",            # F8 P3
-    "p5_key_building",                # P5 D5
-    "p7_nested_document_build",       # P7
-    "p8_array_transform_slice",       # P8 P9
-    "a3_failure_list",                # A3 E2
-    "e1_error_isolation",             # E1 E2 F12
-    "datetime_function_battery",      # P6
-    # --- never-driver-checked / stale-r1, highest value first ---
-    "dedup_simhash",                  # r1 hash-fail fix never gate-confirmed
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
-    "text_token_stats",
-    "dedup_embedding_near",
-    "dedup_paragraph_exact",
-    "dedup_shingle_containment",
-    "doc_fingerprint",
-    "fuzzy_match_blocked_levenshtein",
-    "embedding_cosine_topk",
-    "embedding_ann_lsh",
-    "embedding_ann_multiprobe",
-    "embedding_ann_ivf",
-    "embedding_int8_quant_topk",
-    "ann_recall_eval",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_gopher_repetition",
-    "text_bpe_token_count",
-    "text_pii_redaction",
-    "multimodal_binary_meta",
-    "multimodal_arrow_digest",
-    "udaf_weighted_value",
-    "grouped_pandas_robust_outliers",
-    "recursive_order_chain_walk",
-    "streaming_window_agg_e2e",
-    "streaming_dedup_watermark_e2e",
-    "session_window_12h",
-    # --- positions 51+: next rotation candidates (never-checked remainder) ---
+    "pipeline_disposition_summary",
+    "pipeline_disposition_ledger",
+    "s1_stream_record_parse",
+    "streaming_delivery_e2e",
+    "cdc_upsert_compaction",
+    "a2_existence_per_key",
+    "p10_priority_routing",
+    "p11_envelope_json",
+    "f1_change_type_filter",
+    "f3_null_pass_filter",
+    "d2_cdc_old_new_diff",
+    "d3_state_lookup_routing",
+    "d5_first_occurrence_dedup",
+    "first_touch_attribution",
+    "f8_email_validation",
+    "p5_key_building",
+    "p7_nested_document_build",
+    "p8_array_transform_slice",
+    "a3_failure_list",
+    "e1_error_isolation",
+    "datetime_function_battery",
+    # --- round-6 sample fill (positions 22-50): the three r1 driver
+    # FAILs never re-gated since the engine-wide decimal fix, every
+    # query whose semantics changed this round, then the highest-
+    # value never-driver-checked remainder (round-5 additions) ---
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "cube_priority_status",
+    "graph_node_jaccard_similarity",
+    "events_entropy_by_user",
+    "timeseries_ewma_halflife",
+    "timeseries_holt_forecast",
+    "source_union_schema_harmonize",
+    "graph_shortest_path_bfs",
+    "graph_label_propagation",
+    "graph_deterministic_walks",
+    "graph_pagerank_fixpoint",
+    "graph_kcore_membership",
+    "graph_triangle_enumerate",
+    "embedding_pq_adc_topk",
+    "embedding_matryoshka_recall",
+    "embedding_mmr_diverse_topk",
+    "embedding_hard_negative_mine",
+    "embedding_binary_hamming_topk",
+    "dedup_simhash_threshold_sweep",
+    "interval_overlap_join",
+    "sketch_kmv_distinct",
+    "data_skew_profile",
+    "events_autocorrelation_lags",
+    "text_dsir_importance",
+    "text_ccnet_bucket_mix",
+    "multimodal_phash_near_dup",
+    "multimodal_dedup_by_digest",
     "semantic_dedup_kmeans",
+    # --- positions 51+: never-driver-checked remainder (next rotations) ---
+    "session_window_12h",
     "quality_classifier_score",
     "dedup_token_window_exact",
     "dedup_survivorship_canonical",
     "streaming_rocksdb_state_e2e",
     "embedding_random_projection",
-    "graph_pagerank_fixpoint",
     "zorder_layout_stats",
     "sql_lateral_topk_per_customer",
     "sql_pipe_syntax_rollup",
@@ -172,7 +164,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_sessionized_funnel",
     "pii_pseudonymize_consistent",
     "data_contract_check",
-    "embedding_binary_hamming_topk",
     "corpus_shard_manifest",
     "events_cohort_ltv",
     "supplier_pareto_analysis",
@@ -181,7 +172,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "market_basket_lift",
     "part_sourcing_hhi",
     "rolling_7d_active_users",
-    "embedding_mmr_diverse_topk",
     "events_dau_wau_stickiness",
     "events_error_spike_detection",
     "customer_revenue_gini",
@@ -226,7 +216,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sample_quota_per_source",
     "embedding_label_centroids",
     "embedding_vector_hygiene",
-    "graph_triangle_enumerate",
     "scd2_user_state_build",
     "timeseries_gapfill_daily",
     "events_transition_matrix",
@@ -259,6 +248,110 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "full_outer_nation_balance",
     "right_outer_supplier_lines",
     "grouping_sets_priority_status",
+    "cdc_retraction_aggregate",
+    "source_schema_evolution_merge",
+    "source_python_pushdown_pruning",
+    "approx_stats_scale_path",
+    "relational_division_all_quarters",
+    "lineitem_fifo_allocation",
+    "events_replay_pair_detect",
+    "dedup_ttl_within_window",
+    "dedup_minhash_calibration",
+    "dedup_prefix_filter_jaccard",
+    "dedup_cluster_size_report",
+    "text_lm_surprisal_score",
+    "text_filter_ensemble_agreement",
+    "corpus_mixture_rebalance_plan",
+    "bloom_filter_dedup_prefilter",
+    "aqp_sampled_sum_estimate",
+    "events_trend_slope_by_type",
+    "events_cusum_shift_detect",
+    "orders_benford_digit_audit",
+    "customer_weighted_median_balance",
+    "events_ks_distribution_shift",
+    "orders_pareto_skyline",
+    "orders_seasonality_index",
+    "events_bot_regularity_score",
+    "events_streak_islands",
+    "rfm_migration_matrix",
+    "sql_udf_temp_function",
+    "customer_gap_survival_curve",
+    "events_markov_stationary",
+    "supplier_delay_control_chart",
+    "attribution_time_decay",
+    "sql_parameterized_query",
+    "events_haar_energy",
+    # --- stale green (oldest green row first) ---
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q4_order_priority",
+    "q8_national_market_share",
+    "sketch_count_min",
+    "sql_api_shared_dialect",
+    "agg_having_priorities",
+    "agg_value_percentiles",
+    "anti_join_customers_without_orders",
+    "array_function_battery",
+    "conditional_bitwise_battery",
+    "e2_corrupt_record_routing",
+    "events_retention_cohort",
+    "json_function_battery",
+    "map_struct_function_battery",
+    "p1_typed_parse_projection",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q7_volume_shipping",
+    "regex_function_battery",
+    "rollup_returnflag_status",
+    "scalar_function_battery",
+    "semi_join_customers_with_orders",
+    "set_ops_customer_segments",
+    "sink_python_datasource_roundtrip",
+    "skew_replicated_join",
+    "skew_salted_agg",
+    "sort_limit_top_orders",
+    "source_csv_roundtrip",
+    "source_dynamic_partition_pruning",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_pruning",
+    "source_python_datasource",
+    "topk_orders_per_customer",
+    "variant_json_shred",
+    "window_running_sum",
+    # --- fresh green in the latest round (rotate to the back) ---
+    "dedup_simhash",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "text_token_stats",
+    "dedup_embedding_near",
+    "dedup_paragraph_exact",
+    "dedup_shingle_containment",
+    "doc_fingerprint",
+    "fuzzy_match_blocked_levenshtein",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+    "embedding_ann_multiprobe",
+    "embedding_ann_ivf",
+    "embedding_int8_quant_topk",
+    "ann_recall_eval",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_gopher_repetition",
+    "text_bpe_token_count",
+    "text_pii_redaction",
+    "multimodal_binary_meta",
+    "multimodal_arrow_digest",
+    "udaf_weighted_value",
+    "grouped_pandas_robust_outliers",
+    "recursive_order_chain_walk",
+    "streaming_window_agg_e2e",
+    "streaming_dedup_watermark_e2e",
     # everything not listed keeps registration order after these.
 )
 

@@ -2721,3 +2721,213 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"start": "1996-01-01 00:00:00", "min_price": 1000.0},
     )
+
+
+# --- Theil-Sen robust trend (round 6) --------------------------------------
+
+_THEIL_SEN_WINDOW_DAYS = 90
+
+_THEIL_SEN_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(max(ts) AS DATE) AS d1 FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events, bounds
+        WHERE CAST(ts AS DATE) > d1 - {_THEIL_SEN_WINDOW_DAYS}
+        GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.event_type,
+               a.day AS day1, b.day AS day2,
+               (CASE WHEN b.cents - a.cents >= 0 THEN 1 ELSE -1 END)
+                   * (abs(b.cents - a.cents) * 1000
+                      // datediff('day', a.day, b.day)) AS slope_milli
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ), ranked AS (
+        SELECT event_type, slope_milli,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY slope_milli ASC, day1 ASC, day2 ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes
+    )
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_milli AS BIGINT) AS median_slope_milli
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+"""
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle=_THEIL_SEN_ORACLE,
+    tags=("timeseries", "analytics", "robust", "scale"),
+    doc="Theil-Sen robust trend estimator per event type: the median "
+    "of all pairwise slopes of the trailing-90-day daily-revenue "
+    "series — up to ~29% outlier days cannot move it, unlike the "
+    "least-squares slope (events_trend_slope_by_type), its "
+    "non-robust twin. Each pair slope is exact sign-extracted "
+    "integer milli-cents/day; the median is the LOWER median over a "
+    "totally-ordered (slope, day1, day2) ranking, so no "
+    "interpolation and no cross-engine ties. The Spark plan folds "
+    "each type's series into ONE sorted basket and enumerates pairs "
+    "in-basket codegen-side (the market_basket_pairs bound: "
+    "C(window,2) pairs per type regardless of corpus size — the "
+    "90-day window is what makes the quadratic pair space a "
+    "constant); the oracle is the declarative self-join, proving "
+    "the basket rewrite exact.",
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair space is per-type C(<=90, 2) <= 4005 — bounded by the
+    trailing window, not by data size; one basket-fold shuffle on
+    event_type plus one window over the tiny slope relation."""
+    events = load_table(spark, sf_dir, "events")
+    bound = events.agg(
+        F.date_sub(F.max(F.to_date("ts")), _THEIL_SEN_WINDOW_DAYS).alias(
+            "d0"
+        )
+    )
+    daily = (
+        events.crossJoin(F.broadcast(bound))
+        .filter(F.to_date("ts") > F.col("d0"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    baskets = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("ps")
+    )
+    slopes = baskets.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), b -> struct("
+                "a.day AS day1, b.day AS day2, "
+                "(CASE WHEN b.cents - a.cents >= 0 THEN 1 ELSE -1 END)"
+                " * (abs(b.cents - a.cents) * 1000"
+                "    div datediff(b.day, a.day)) AS slope_milli))))"
+            )
+        ).alias("pr"),
+    ).select("event_type", "pr.day1", "pr.day2", "pr.slope_milli")
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.col("slope_milli").asc(), F.col("day1").asc(), F.col("day2").asc()
+    )
+    wcnt = Window.partitionBy("event_type")
+    return (
+        slopes.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_milli").cast("long").alias("median_slope_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- rolling 7-day median (order-statistic sliding window) -----------------
+
+_ROLLMED_ORACLE = """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT t.event_type, s.day, COALESCE(d.cents, 0) AS cents
+        FROM types t CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    ), windowed AS (
+        SELECT event_type, day, cents,
+               list(cents) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+        FROM series
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, cents AS raw_cents,
+           CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+               AS med7_cents
+    FROM windowed
+    ORDER BY event_type, day
+"""
+
+
+@register(
+    "timeseries_rolling_median_7d",
+    oracle=_ROLLMED_ORACLE,
+    tags=("timeseries", "analytics", "robust"),
+    doc="Rolling 7-day LOWER-median of per-type daily revenue over the "
+    "zero-filled calendar spine: the order-statistic sliding window "
+    "a mean-based smoother (timeseries_ewma_halflife) can't express "
+    "— one spiky day moves the EWMA but not the median. The frame "
+    "is ROWS BETWEEN 6 PRECEDING AND CURRENT ROW, the median is the "
+    "exact element at position (n+1) div 2 of the sorted frame "
+    "(lower median: no interpolation, pure BIGINT, identical "
+    "cross-engine), and the ramp-up rows (frames of 1..6 days) are "
+    "part of the operator's definition in both arms. Scale shape: "
+    "the frame is 7 elements by construction, so per-row work is "
+    "O(7 log 7) and state never grows with data — the post-agg "
+    "(type, day) relation is the only thing windowed.",
+)
+def timeseries_rolling_median_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """collect_list over a 7-row frame + sort_array + element_at —
+    the whole median is codegen-side array arithmetic on a bounded
+    frame, no UDF."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        series.withColumn("win", F.sort_array(F.collect_list("cents").over(w7)))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cents").alias("raw_cents"),
+            F.expr(
+                "cast(element_at(win, cast((size(win) + 1) div 2 as int))"
+                " as bigint)"
+            ).alias("med7_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "dynamodb_stream_processor_2_0_spark.plans.queries_streaming_batch",
     "dynamodb_stream_processor_2_0_spark.plans.queries_analytics_ext",
     "dynamodb_stream_processor_2_0_spark.plans.queries_ingest_ext",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_retrieval",
 )
 
 _loaded = False

@@ -72,6 +72,11 @@ _SWEEP_EXTRAS = (
     "source_union_schema_harmonize",
     "events_haar_energy",
     "text_dsir_importance",
+    # round-6 additions
+    "text_bm25_topk",
+    "search_rrf_hybrid",
+    "events_theil_sen_trend",
+    "timeseries_rolling_median_7d",
 )
 
 

@@ -2931,3 +2931,337 @@ def timeseries_rolling_median_7d(
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- KMV sketch set intersection (round 6) ---------------------------------
+
+_KMV_INTER_ORACLE = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS scope, user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                   1, {_KMV_HASH_HEX}) AS BIGINT) AS h
+        FROM events
+    ), sk AS (
+        SELECT scope, h FROM (
+            SELECT scope, h, row_number() OVER (
+                PARTITION BY scope ORDER BY h ASC) AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMV_K}
+    ), scopes AS (SELECT DISTINCT scope FROM hashed),
+    pairs AS (
+        SELECT a.scope AS scope_a, b.scope AS scope_b
+        FROM scopes a JOIN scopes b ON a.scope < b.scope
+    ), merged AS (
+        SELECT p.scope_a, p.scope_b, s.h,
+               row_number() OVER (PARTITION BY p.scope_a, p.scope_b
+                                  ORDER BY s.h ASC) AS rn
+        FROM pairs p
+        JOIN (SELECT DISTINCT scope, h FROM sk) s
+          ON s.scope IN (p.scope_a, p.scope_b)
+        GROUP BY p.scope_a, p.scope_b, s.h
+    ), usk AS (
+        SELECT scope_a, scope_b, h, rn,
+               count(*) OVER (PARTITION BY scope_a, scope_b) AS m
+        FROM merged WHERE rn <= {_KMV_K}
+    ), union_est AS (
+        SELECT scope_a, scope_b,
+               CASE WHEN max(m) < {_KMV_K} THEN max(m)
+                    ELSE ({_KMV_K - 1} * {_KMV_SPACE})
+                         // max(CASE WHEN rn = {_KMV_K} THEN h END)
+               END AS u_est,
+               CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM sk x
+                        WHERE x.scope = usk.scope_a AND x.h = usk.h)
+                    AND EXISTS (
+                        SELECT 1 FROM sk y
+                        WHERE y.scope = usk.scope_b AND y.h = usk.h)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS rho,
+               max(m) AS k_used
+        FROM usk GROUP BY scope_a, scope_b
+    ), exact AS (
+        SELECT a.scope AS scope_a, b.scope AS scope_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM hashed a JOIN hashed b
+          ON a.user_id = b.user_id AND a.scope < b.scope
+        GROUP BY 1, 2
+    )
+    SELECT u.scope_a, u.scope_b,
+           COALESCE(e.exact_inter, 0) AS exact_intersection,
+           CAST(u.rho * u.u_est // u.k_used AS BIGINT)
+               AS est_intersection
+    FROM union_est u LEFT JOIN exact e
+      ON e.scope_a = u.scope_a AND e.scope_b = u.scope_b
+    ORDER BY u.scope_a, u.scope_b
+"""
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=_KMV_INTER_ORACLE,
+    tags=("sketch", "agg", "A1", "scale"),
+    doc="KMV sketch SET INTERSECTION (Beyer et al.): for every "
+    "event-type pair, |A intersect B| is estimated from the two "
+    "bottom-64 sketches alone — merge to the union's bottom-k, count "
+    "the survivors present in BOTH input sketches (rho), estimate = "
+    "rho * |union|_est div k — never re-scanning raw data. With "
+    "sketch_kmv_distinct's union arm this completes the sketch set "
+    "algebra (union + intersection => Jaccard, difference), the "
+    "pre-aggregated answer to audience-overlap questions over 100 TB "
+    "where the exact pairwise join is the thing you're avoiding. The "
+    "exact arm rides along for realized-error inspection; all "
+    "arithmetic is the shared md5-derived 52-bit integer grid with "
+    "truncating division on non-negatives.",
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches are k rows per scope; the pair stage manipulates only
+    |scopes|^2/2 * 2k sketch rows — sketch algebra never touches the
+    event table after the one distinct+bottom-k pass."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HASH_HEX),
+        16,
+        10,
+    ).cast("long")
+    hashed = (
+        events.select(
+            F.col("event_type").alias("scope"), "user_id", h.alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wrank = Window.partitionBy("scope").orderBy(F.col("h").asc())
+    sk = (
+        hashed.select("scope", "h")
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("scope", "h")
+    )
+    scopes = hashed.select("scope").distinct()
+    pairs = (
+        scopes.alias("a")
+        .join(
+            scopes.alias("b"),
+            F.col("a.scope") < F.col("b.scope"),
+        )
+        .select(
+            F.col("a.scope").alias("scope_a"), F.col("b.scope").alias("scope_b")
+        )
+    )
+    ska = sk.select(
+        F.col("scope").alias("scope_a"), F.col("h").alias("h")
+    ).withColumn("in_a", F.lit(1))
+    skb = sk.select(
+        F.col("scope").alias("scope_b"), F.col("h").alias("h")
+    ).withColumn("in_b", F.lit(1))
+    merged = (
+        pairs.join(ska, "scope_a")
+        .select("scope_a", "scope_b", "h", "in_a", F.lit(None).cast("int").alias("in_b"))
+        .unionByName(
+            pairs.join(skb, "scope_b").select(
+                "scope_a", "scope_b", "h",
+                F.lit(None).cast("int").alias("in_a"), "in_b",
+            )
+        )
+        .groupBy("scope_a", "scope_b", "h")
+        .agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+    )
+    wm = Window.partitionBy("scope_a", "scope_b").orderBy(F.col("h").asc())
+    wall = Window.partitionBy("scope_a", "scope_b")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+    )
+    union_est = usk.groupBy("scope_a", "scope_b").agg(
+        F.expr(
+            f"CASE WHEN max(m) < {_KMV_K} THEN max(m)"
+            f" ELSE ({_KMV_K - 1} * {_KMV_SPACE}L)"
+            f" div max(CASE WHEN rn = {_KMV_K} THEN h END) END"
+        ).alias("u_est"),
+        F.sum(
+            (
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull()
+            ).cast("long")
+        ).alias("rho"),
+        F.max("m").alias("k_used"),
+    )
+    exact = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.scope") < F.col("b.scope")),
+        )
+        .groupBy(
+            F.col("a.scope").alias("scope_a"), F.col("b.scope").alias("scope_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return (
+        union_est.join(exact, ["scope_a", "scope_b"], "left")
+        .select(
+            "scope_a",
+            "scope_b",
+            F.coalesce("exact_inter", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+            F.expr("cast(rho * u_est div k_used as bigint)").alias(
+                "est_intersection"
+            ),
+        )
+        .orderBy("scope_a", "scope_b")
+    )
+
+
+# --- k-anonymity audit (round 6) -------------------------------------------
+
+_KANON_K = 5
+# Sign-safe floor banding: shift cents far positive so truncating (Spark
+# div) == flooring (DuckDB //) — valid for |cents| < 1e13, far beyond
+# the acctbal domain.
+_KANON_SHIFT = 10**13
+_KANON_BAND = 100_000  # $1000 bands of acctbal cents
+
+_KANON_ORACLE = f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_SHIFT})
+                   // {_KANON_BAND} - {_KANON_SHIFT // _KANON_BAND}
+                   AS balance_band,
+               count(*) AS n_members
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey, segment,
+           CAST(balance_band AS BIGINT) AS balance_band,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_members >= {_KANON_K} AS k_anonymous
+    FROM qi
+    ORDER BY nationkey, segment, balance_band
+"""
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle=_KANON_ORACLE,
+    tags=("privacy", "quality", "A1"),
+    doc="k-anonymity audit over the quasi-identifier tuple (nation, "
+    "market segment, $1000 balance band): every equivalence class "
+    "with its member count and a k>=5 flag — the re-identification "
+    "risk report a release pipeline runs BEFORE publishing, and the "
+    "group-level complement to the row-level PII ops "
+    "(text_pii_redaction, pii_pseudonymize_consistent): those hide "
+    "direct identifiers, this measures whether the remaining "
+    "quasi-identifiers still single people out. Banding is "
+    "shift-then-divide so truncating and flooring division agree for "
+    "negative balances (engine-invariant). One groupBy on the QI "
+    "tuple — the same shape at any scale.",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        f"(cast(round(c_acctbal * 100) as bigint) + {_KANON_SHIFT}L)"
+        f" div {_KANON_BAND} - {_KANON_SHIFT // _KANON_BAND}"
+    )
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            band.cast("long").alias("balance_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .withColumn("k_anonymous", F.col("n_members") >= _KANON_K)
+        .orderBy("nationkey", "segment", "balance_band")
+    )
+
+
+# --- SCD2 point-in-time (as-of) enrichment (round 6) -----------------------
+
+_SCD2_ASOF_ORACLE = """
+    WITH probed AS (
+        SELECT p.event_id,
+               CAST(round(p.value * 100) AS BIGINT) AS cents,
+               (SELECT e.event_type FROM events e
+                WHERE e.user_id = p.user_id
+                  AND e.event_type <> 'purchase'
+                  AND (e.ts < p.ts OR (e.ts = p.ts
+                       AND e.event_id < p.event_id))
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS state
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT COALESCE(state, '__none__') AS state_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM probed
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@register(
+    "scd2_asof_enrich",
+    oracle=_SCD2_ASOF_ORACLE,
+    tags=("timeseries", "scd2", "join", "asof", "scale"),
+    doc="Point-in-time state enrichment: every purchase is joined to "
+    "the user's SCD2 state (scd2_user_state_build's intervals over "
+    "the non-purchase events) valid AT purchase time — the "
+    "temporal-join read path that makes type-2 history useful "
+    "(which state converts), and the batch form of a stream-static "
+    "join against a versioned dimension. The Spark plan is the "
+    "MERGE form of an as-of join: state changes and probes union "
+    "into one stream, one window per user carries the last-known "
+    "state forward (last_value ignore-nulls ordered by (ts, "
+    "event_id) — a purchase sees strictly-earlier changes plus "
+    "same-instant changes with a smaller id), then the rollup by "
+    "state — one shuffle on user, NO interval theta-join, no "
+    "per-probe subquery. The oracle is the declarative correlated "
+    "point-in-time lookup, proving the merge rewrite exact. "
+    "Purchases before any state event fall into '__none__'.",
+)
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-sort form is what survives 100x: both sides shuffle
+    once on the join key and the window is a single ordered pass,
+    independent of how many versions or probes a user has. Changes
+    and probes interleave on the shared (ts, event_id) total order,
+    so the lag/last semantics match the correlated oracle exactly."""
+    events = load_table(spark, sf_dir, "events")
+    changes = events.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(0).alias("tag"),
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.lit(None).cast("string").alias("state"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        changes.unionByName(probes)
+        .withColumn("state_asof", F.last("state", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+    )
+    return (
+        filled.groupBy(
+            F.coalesce("state_asof", F.lit("__none__")).alias(
+                "state_at_purchase"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("state_at_purchase")
+    )

@@ -273,3 +273,148 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "rrf_micro", "n_arms")
         .orderBy("query_id", "rank")
     )
+
+
+# --- RAKE keyword extraction -----------------------------------------------
+
+_RAKE_N_STOPWORDS = 8  # corpus top-df terms act as the stopword list
+_RAKE_TOPK = 15
+
+_RAKE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ), stopwords AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY df DESC, tok ASC) AS rnk
+            FROM df
+        ) WHERE rnk <= {_RAKE_N_STOPWORDS}
+    ), words AS (
+        SELECT doc_id, pos, tok,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM toks
+        WHERE tok <> '' AND tok NOT IN (SELECT tok FROM stopwords)
+    ), pw AS (
+        SELECT doc_id, island, pos, tok,
+               count(*) OVER (PARTITION BY doc_id, island) AS len
+        FROM words
+    ), wstats AS (
+        SELECT tok, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg,
+               CAST(sum(len) AS BIGINT) * 1000 // count(*) AS score_milli
+        FROM pw GROUP BY tok
+    ), phrases AS (
+        SELECT p.doc_id, p.island,
+               string_agg(p.tok, ' ' ORDER BY p.pos) AS phrase,
+               CAST(sum(w.score_milli) AS BIGINT) AS p_score
+        FROM pw p JOIN wstats w ON w.tok = p.tok
+        GROUP BY p.doc_id, p.island
+    ), dedup AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+               max(p_score) AS score_milli
+        FROM phrases GROUP BY phrase
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY score_milli DESC,
+                   n_occurrences DESC, phrase ASC) AS rank
+        FROM dedup
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, phrase, score_milli,
+           n_occurrences
+    FROM ranked WHERE rank <= {_RAKE_TOPK}
+    ORDER BY rank
+"""
+
+
+@register(
+    "text_rake_keywords",
+    oracle=_RAKE_ORACLE,
+    tags=("text", "retrieval", "llm"),
+    doc="RAKE keyword extraction (Rose et al.): candidate phrases are "
+    "maximal stopword-free token runs (gaps-and-islands on token "
+    "position — island = pos - row_number), each word scores "
+    "deg/freq where deg sums the lengths of every phrase containing "
+    "it (the co-occurrence-degree signal), a phrase scores the sum "
+    "of its words' scores, and identical phrases collapse with an "
+    "occurrence count — top-15 on the exact milli grid with a "
+    "totally-ordered cut. The stopword list is the corpus's own "
+    "top-8 document-frequency terms, so the operator is "
+    "self-contained at every SF. Plan: one tokenize pass feeds the "
+    "island window (shuffle on doc), word stats are one groupBy on "
+    "token, and the phrase rebuild is a broadcast of the |vocab|-"
+    "sized score relation back onto the islands — no self-joins, "
+    "nothing quadratic.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase strings are rebuilt deterministically with an ordered
+    struct sort inside each island; every division is truncating on
+    non-negatives."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+        .localCheckpoint(eager=False)
+    )
+    df = (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    wdf = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    stopwords = (
+        df.withColumn("rnk", F.row_number().over(wdf))
+        .filter(F.col("rnk") <= _RAKE_N_STOPWORDS)
+        .select("tok")
+    )
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        toks.filter(F.col("tok") != "")
+        .join(F.broadcast(stopwords), "tok", "left_anti")
+        .withColumn("island", F.col("pos") - F.row_number().over(wisl))
+    )
+    pw = words.withColumn(
+        "len", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "island"))
+    )
+    wstats = pw.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("len").cast("long").alias("deg"),
+        F.expr("cast(sum(len) as bigint) * 1000 div count(*)").alias(
+            "score_milli"
+        ),
+    )
+    phrases = (
+        pw.join(
+            F.broadcast(wstats.select("tok", F.col("score_milli").alias("ws"))),
+            "tok",
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, tok))), s -> s.tok), ' ')"
+            ).alias("phrase"),
+            F.sum("ws").cast("long").alias("p_score"),
+        )
+    )
+    dedup = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("p_score").alias("score_milli"),
+    )
+    wrank = Window.orderBy(
+        F.col("score_milli").desc(),
+        F.col("n_occurrences").desc(),
+        F.col("phrase").asc(),
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= _RAKE_TOPK)
+        .select("rank", "phrase", "score_milli", "n_occurrences")
+        .orderBy("rank")
+    )

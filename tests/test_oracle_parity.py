@@ -81,6 +81,10 @@ _MEDIUM_EXTRAS = (
     "search_rrf_hybrid",
     "events_theil_sen_trend",
     "timeseries_rolling_median_7d",
+    "sketch_kmv_intersection",
+    "privacy_k_anonymity_audit",
+    "scd2_asof_enrich",
+    "text_rake_keywords",
 )
 
 

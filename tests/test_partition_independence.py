@@ -77,6 +77,10 @@ _SWEEP_EXTRAS = (
     "search_rrf_hybrid",
     "events_theil_sen_trend",
     "timeseries_rolling_median_7d",
+    "sketch_kmv_intersection",
+    "privacy_k_anonymity_audit",
+    "scd2_asof_enrich",
+    "text_rake_keywords",
 )
 
 

@@ -3265,3 +3265,337 @@ def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_at_purchase")
     )
+
+
+# --- MAD robust anomaly detection (round 6) --------------------------------
+
+# Flag rule: |dev| > 3.5 * 1.4826 * MAD, cross-multiplied onto the
+# integer grid as 100000*|dev| > 518910*MAD (3.5*1.4826 = 5.1891) —
+# no division, no float, engine-invariant.
+_MAD_NUM = 100_000
+_MAD_THRESH = 518_910
+
+_MAD_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, cents AS median_cents
+        FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY cents ASC, day ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ), devs AS (
+        SELECT d.event_type, d.day, d.cents,
+               abs(d.cents - m.median_cents) AS dev
+        FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, dev AS mad_cents
+        FROM (
+            SELECT event_type, dev,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY dev ASC, day ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM devs
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(m.median_cents) AS BIGINT) AS median_cents,
+           CAST(max(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN {_MAD_NUM} * d.dev
+                              > {_MAD_THRESH} * a.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM devs d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=_MAD_ORACLE,
+    tags=("timeseries", "analytics", "robust", "quality"),
+    doc="Robust anomaly detection on per-type daily revenue: median / "
+    "MAD (median absolute deviation) replace mean / sigma, so "
+    "anomalous days cannot inflate the very scale used to judge "
+    "them — the breakdown-resistant complement to the Shewhart "
+    "3-sigma chart (supplier_delay_control_chart), which a few "
+    "extreme days can blind. Both medians are exact LOWER medians "
+    "over totally-ordered rankings, and the 3.5-sigma-equivalent "
+    "flag (|dev| > 3.5*1.4826*MAD) is cross-multiplied to "
+    "100000*|dev| > 518910*MAD — zero divisions, pure BIGINT. Plan: "
+    "two ranked passes over the tiny post-agg (type, day) relation "
+    "plus one rollup; all shuffles are on event_type.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    wmed = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("day").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    med = (
+        daily.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("median_cents"))
+    )
+    devs = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    wmad = Window.partitionBy("event_type").orderBy(
+        F.col("dev").asc(), F.col("day").asc()
+    )
+    mad = (
+        devs.withColumn("rn", F.row_number().over(wmad))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("median_cents").cast("long").alias("median_cents"),
+            F.max("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(
+                (
+                    F.col("dev") * _MAD_NUM
+                    > F.col("mad_cents") * _MAD_THRESH
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- open-order backlog curve via sweep-line (round 6) ---------------------
+
+_BACKLOG_ORACLE = """
+    WITH iv AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS d_open,
+               max(CAST(l.l_shipdate AS DATE)) AS d_close
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), deltas AS (
+        SELECT d_open AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT d_close + 1 AS day, -1 AS delta FROM iv
+    ), by_day AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+        FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(sum(delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_open
+    FROM by_day
+    ORDER BY day
+"""
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle=_BACKLOG_ORACLE,
+    tags=("timeseries", "analytics", "scale", "A1"),
+    doc="Open-order backlog curve: how many orders are open (placed "
+    "but not yet fully shipped) on each day the count changes — the "
+    "operational WIP series. The SWEEP-LINE form: each order's "
+    "[orderdate, last shipdate] interval becomes +1/-1 boundary "
+    "deltas, one rollup nets them per day, and the running total is "
+    "the DISTRIBUTED prefix-sum primitive (ranking.global_running_"
+    "sum: range exchange + per-partition scan + broadcast offsets — "
+    "never a single-task global window). That turns interval "
+    "stabbing from |days| x |orders| containment work into "
+    "O(|orders|) boundary events; the oracle computes the same "
+    "prefix sum with a plain single-threaded running-sum window, "
+    "proving the distributed scan exact.",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators import ranking
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d_open"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("d_close"))
+    )
+    deltas = (
+        iv.select(F.col("d_open").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            iv.select(
+                F.date_add("d_close", 1).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    return (
+        ranking.global_running_sum(
+            deltas, order_cols=["day"], value_col="delta", out_col="n_open"
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_open").cast("long").alias("n_open"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- Croston intermittent-demand forecast (round 6) ------------------------
+
+_CROSTON_DEPTH = 8  # trailing demand OCCURRENCES (not calendar days)
+_CROSTON_WTOT = (1 << _CROSTON_DEPTH) - 1
+
+
+def _croston_terms(col: str, engine: str) -> str:
+    terms = []
+    for i in range(_CROSTON_DEPTH):
+        w = 1 << (_CROSTON_DEPTH - 1 - i)
+        lag = (
+            f"coalesce(lag({col}, {i}) OVER (PARTITION BY user_id "
+            f"ORDER BY day), 0)"
+            if i
+            else col
+        )
+        terms.append(f"{lag} * {w}")
+    return " + ".join(terms)
+
+
+_CROSTON_ORACLE = f"""
+    WITH demand AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS size_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), gaps AS (
+        SELECT user_id, day, size_cents,
+               datediff('day', lag(day) OVER (
+                   PARTITION BY user_id ORDER BY day), day) AS gap_days,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY day DESC) AS rev_rn,
+               count(*) OVER (PARTITION BY user_id) AS n_demand_days
+        FROM demand
+    ), g2 AS (
+        SELECT user_id, day, size_cents,
+               COALESCE(gap_days, 0) AS gap_milli_src, n_demand_days,
+               rev_rn,
+               COALESCE(gap_days, 0) * 1000 AS gap_milli
+        FROM gaps
+    ), smoothed AS (
+        SELECT user_id, n_demand_days, rev_rn,
+               ({_croston_terms('size_cents', 'duck')})
+                   // {_CROSTON_WTOT} AS size_ewma_cents,
+               ({_croston_terms('gap_milli', 'duck')})
+                   // {_CROSTON_WTOT} AS interval_ewma_milli
+        FROM g2
+    )
+    SELECT user_id,
+           CAST(n_demand_days AS BIGINT) AS n_demand_days,
+           CAST(size_ewma_cents AS BIGINT) AS size_ewma_cents,
+           CAST(interval_ewma_milli AS BIGINT) AS interval_ewma_milli,
+           CAST(size_ewma_cents * 1000000 // interval_ewma_milli
+               AS BIGINT) AS croston_daily_millicents
+    FROM smoothed
+    WHERE rev_rn = 1 AND n_demand_days >= 2
+    ORDER BY user_id
+"""
+
+
+@register(
+    "timeseries_croston_forecast",
+    oracle=_CROSTON_ORACLE,
+    tags=("timeseries", "analytics", "forecast"),
+    doc="Croston's method for INTERMITTENT demand: per-user purchase "
+    "streams are mostly-zero series where ordinary smoothing decays "
+    "toward zero between purchases, so Croston smooths two dense "
+    "sub-series instead — demand SIZE over demand occurrences and "
+    "the INTER-DEMAND GAP — and forecasts rate = size/interval. "
+    "Both EWMAs use the house dyadic-weight trailing-8 form (bit-"
+    "shift weights over OCCURRENCE index, not calendar lags), the "
+    "zero-padded short history is part of the operator definition, "
+    "and the final rate division is truncating on non-negatives — "
+    "bit-identical cross-engine. Emitted at each user's latest "
+    "demand (the live estimate); users with one purchase have no "
+    "interval and are excluded. One shuffle on user_id; windows are "
+    "single ordered passes per user.",
+)
+def timeseries_croston_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    demand = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("size_cents")
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    wrev = Window.partitionBy("user_id").orderBy(F.col("day").desc())
+    wall = Window.partitionBy("user_id")
+    g2 = (
+        demand.withColumn(
+            "gap_milli",
+            F.coalesce(
+                F.datediff(F.col("day"), F.lag("day").over(wu)), F.lit(0)
+            )
+            * 1000,
+        )
+        .withColumn("rev_rn", F.row_number().over(wrev))
+        .withColumn("n_demand_days", F.count(F.lit(1)).over(wall))
+    )
+    smoothed = g2.selectExpr(
+        "user_id",
+        "n_demand_days",
+        "rev_rn",
+        f"({_croston_terms('size_cents', 'spark')})"
+        f" div {_CROSTON_WTOT} AS size_ewma_cents",
+        f"({_croston_terms('gap_milli', 'spark')})"
+        f" div {_CROSTON_WTOT} AS interval_ewma_milli",
+    )
+    return (
+        smoothed.filter(
+            (F.col("rev_rn") == 1) & (F.col("n_demand_days") >= 2)
+        )
+        .select(
+            "user_id",
+            F.col("n_demand_days").cast("long").alias("n_demand_days"),
+            F.col("size_ewma_cents").cast("long").alias("size_ewma_cents"),
+            F.col("interval_ewma_milli")
+            .cast("long")
+            .alias("interval_ewma_milli"),
+            F.expr(
+                "cast(size_ewma_cents * 1000000 div interval_ewma_milli"
+                " as bigint)"
+            ).alias("croston_daily_millicents"),
+        )
+        .orderBy("user_id")
+    )

@@ -85,6 +85,9 @@ _MEDIUM_EXTRAS = (
     "privacy_k_anonymity_audit",
     "scd2_asof_enrich",
     "text_rake_keywords",
+    "events_anomaly_mad",
+    "orders_open_backlog_daily",
+    "timeseries_croston_forecast",
 )
 
 

@@ -3599,3 +3599,243 @@ def timeseries_croston_forecast(
         )
         .orderBy("user_id")
     )
+
+
+# --- mergeable histogram-quantile sketch (round 6) -------------------------
+
+# Bucket rule: binary magnitude (bitlen) sub-split by the 2 bits below
+# the leading bit => relative bucket width 1/4 (max relative quantile
+# error ~25%, reported exactly in the gate). value 0 gets bucket 0.
+_HISTQ_ORACLE = """
+    WITH vals AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), bucketed AS (
+        SELECT event_type,
+               CASE WHEN cents <= 0 THEN 0
+                    ELSE length(bin(cents)) * 4
+                         + (CASE WHEN length(bin(cents)) >= 3
+                                 THEN (cents >> (length(bin(cents)) - 3)) & 3
+                                 ELSE cents & 3 END)
+               END AS bucket,
+               cents
+        FROM vals
+    ), hist AS (
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(cents) AS BIGINT) AS lo
+        FROM bucketed GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bucket, cnt, lo,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ), est AS (
+        SELECT event_type, max(n) AS n,
+               min(CASE WHEN cum * 2 >= n THEN lo END) AS p50_est,
+               min(CASE WHEN cum * 100 >= 99 * n THEN lo END) AS p99_est
+        FROM cum GROUP BY event_type
+    ), exact AS (
+        SELECT event_type,
+               CAST(min(CASE WHEN rn * 2 >= n THEN cents END) AS BIGINT)
+                   AS p50_exact,
+               CAST(min(CASE WHEN rn * 100 >= 99 * n THEN cents END)
+                   AS BIGINT) AS p99_exact
+        FROM (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY cents ASC) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM vals
+        ) GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(e.n AS BIGINT) AS n_values,
+           CAST(e.p50_est AS BIGINT) AS p50_est,
+           x.p50_exact,
+           CAST(e.p99_est AS BIGINT) AS p99_est,
+           x.p99_exact,
+           (CASE WHEN e.p50_est >= x.p50_exact THEN 1 ELSE -1 END)
+               * (abs(e.p50_est - x.p50_exact) * 1000 // x.p50_exact)
+               AS p50_err_permille
+    FROM est e JOIN exact x USING (event_type)
+    ORDER BY e.event_type
+"""
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=_HISTQ_ORACLE,
+    tags=("sketch", "agg", "A1", "scale"),
+    doc="Mergeable quantile sketch: a log-scale histogram whose bucket "
+    "rule is pure bit arithmetic — bitlen(cents) sub-split by the two "
+    "bits under the leading bit, i.e. ~1/4 relative bucket width — "
+    "so per-partition histograms ADD (counts sum, lower bounds min), "
+    "the merge law every 100 TB percentile dashboard needs: "
+    "re-aggregate tiny (scope, bucket, cnt) rows across any rollup "
+    "instead of re-scanning values (the quantile sibling of the "
+    "HLL/KMV/count-min family). p50/p99 are read off the cumulative "
+    "histogram as the first bucket's lower bound past the rank "
+    "threshold (rank logic cross-multiplied, no division), and the "
+    "exact arm plus a sign-extracted permille error sit inside the "
+    "gate so the ~25% worst-case bucket error is measured, not "
+    "assumed. Plan: one bucket rollup (map-side combinable), windows "
+    "over |scopes x ~60 buckets| rows; the exact arm is the eval "
+    "harness, not the scale path.",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    bucket = F.expr(
+        "CASE WHEN cents <= 0 THEN 0"
+        " ELSE length(bin(cents)) * 4"
+        " + (CASE WHEN length(bin(cents)) >= 3"
+        "    THEN (cents >> (length(bin(cents)) - 3)) & 3"
+        "    ELSE cents & 3 END) END"
+    )
+    hist = (
+        vals.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("cents").cast("long").alias("lo"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    est = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lo"))).alias(
+            "p50_est"
+        ),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("lo"))
+        ).alias("p99_est"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(F.col("cents").asc())
+    exact = (
+        vals.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("cents")))
+            .cast("long")
+            .alias("p50_exact"),
+            F.min(
+                F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("cents"))
+            )
+            .cast("long")
+            .alias("p99_exact"),
+        )
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_values"),
+            F.col("p50_est").cast("long").alias("p50_est"),
+            "p50_exact",
+            F.col("p99_est").cast("long").alias("p99_est"),
+            "p99_exact",
+            F.expr(
+                "(CASE WHEN p50_est >= p50_exact THEN 1 ELSE -1 END)"
+                " * (abs(p50_est - p50_exact) * 1000 div p50_exact)"
+            )
+            .cast("long")
+            .alias("p50_err_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- FK cascade delete-impact analysis (round 6) ---------------------------
+
+_CASCADE_ORACLE = """
+    WITH doomed_nations AS (
+        SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%'
+    ), doomed_cust AS (
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM doomed_nations)
+    ), doomed_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM doomed_cust)
+    )
+    SELECT 'nation' AS entity,
+           CAST((SELECT count(*) FROM doomed_nations) AS BIGINT)
+               AS n_cascaded,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_total
+    UNION ALL
+    SELECT 'customer',
+           (SELECT count(*) FROM doomed_cust),
+           (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM doomed_orders),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+           (SELECT count(*) FROM lineitem)
+    ORDER BY entity
+"""
+
+
+@register(
+    "fk_cascade_impact_analysis",
+    oracle=_CASCADE_ORACLE,
+    tags=("data-ops", "integrity", "join", "E2"),
+    doc="Cascade delete-impact analysis: BEFORE deleting a set of root "
+    "rows (nations named A*), walk the FK graph nation -> customer -> "
+    "orders -> lineitem and report how many rows each level would "
+    "cascade-delete, against its table cardinality — the blast-radius "
+    "preflight for GDPR erasure / tenant offboarding, and the "
+    "write-side twin of fk_integrity_audit (which checks the same "
+    "edges for orphans). Plan: each hop is a semi-join with the "
+    "doomed key set; key sets broadcast while small (nation, "
+    "customer) and shuffle-join when they outgrow the broadcast "
+    "threshold (orders at 100 TB) — Catalyst's choice, and counting "
+    "needs only the keys, so column pruning keeps every scan "
+    "key-only.",
+)
+def fk_cascade_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    doomed_n = nation.filter(F.col("n_name").like("A%")).select("n_nationkey")
+    doomed_c = customer.join(
+        doomed_n, customer.c_nationkey == doomed_n.n_nationkey, "left_semi"
+    ).select("c_custkey")
+    doomed_o = orders.join(
+        doomed_c, orders.o_custkey == doomed_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    doomed_l = lineitem.join(
+        doomed_o, lineitem.l_orderkey == doomed_o.o_orderkey, "left_semi"
+    )
+
+    def row(entity: str, cascaded, total):
+        return cascaded.agg(
+            F.lit(entity).alias("entity"),
+            F.count(F.lit(1)).cast("long").alias("n_cascaded"),
+        ).crossJoin(
+            total.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+
+    return (
+        row("nation", doomed_n, nation)
+        .unionByName(row("customer", doomed_c, customer))
+        .unionByName(row("orders", doomed_o, orders))
+        .unionByName(row("lineitem", doomed_l, lineitem))
+        .orderBy("entity")
+    )

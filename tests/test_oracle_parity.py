@@ -88,6 +88,8 @@ _MEDIUM_EXTRAS = (
     "events_anomaly_mad",
     "orders_open_backlog_daily",
     "timeseries_croston_forecast",
+    "sketch_histogram_quantiles",
+    "fk_cascade_impact_analysis",
 )
 
 

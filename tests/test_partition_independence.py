@@ -84,6 +84,8 @@ _SWEEP_EXTRAS = (
     "events_anomaly_mad",
     "orders_open_backlog_daily",
     "timeseries_croston_forecast",
+    "sketch_histogram_quantiles",
+    "fk_cascade_impact_analysis",
 )
 
 

@@ -418,3 +418,100 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "phrase", "score_milli", "n_occurrences")
         .orderBy("rank")
     )
+
+
+# --- tokenizer vocabulary coverage / OOV rate ------------------------------
+
+_VOCAB_SIZE = 20
+_OOV_HIGH_PERMILLE = 100
+
+_OOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS tok
+        FROM documents d
+    ), tf AS (
+        SELECT tok, count(*) AS cf FROM toks WHERE tok <> '' GROUP BY tok
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY cf DESC, tok ASC) AS rnk
+            FROM tf
+        ) WHERE rnk <= {_VOCAB_SIZE}
+    ), per_doc AS (
+        SELECT doc_id, source,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        FROM toks WHERE tok <> ''
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+           CAST(sum(n_oov) * 1000 // sum(n_tokens) AS BIGINT)
+               AS oov_permille,
+           CAST(sum(CASE WHEN n_oov * 1000 > {_OOV_HIGH_PERMILLE} * n_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_high_oov
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register(
+    "text_vocab_oov_rate",
+    oracle=_OOV_ORACLE,
+    tags=("text", "llm", "quality"),
+    doc="Tokenizer vocabulary coverage: per-source out-of-vocabulary "
+    "rate against the corpus's own top-20 frequency vocabulary — the "
+    "coverage report run before committing to a tokenizer (high OOV "
+    "=> the vocab under-serves that source and its token counts "
+    "inflate), with a per-doc high-OOV flag (>10%) cross-multiplied "
+    "so no division happens per doc. Plan: one tokenize pass, the "
+    "vocab is a broadcast of 20 rows onto the token stream, then a "
+    "per-doc rollup and a per-source rollup — both map-side "
+    "combinable; the only data-sized shuffle keys on doc_id.",
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    wv = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    vocab = (
+        tf.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= _VOCAB_SIZE)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_oov").cast("long").alias("oov_tokens"),
+            F.expr(
+                "cast(sum(n_oov) * 1000 div sum(n_tokens) as bigint)"
+            ).alias("oov_permille"),
+            F.sum(
+                (
+                    F.col("n_oov") * 1000
+                    > F.lit(_OOV_HIGH_PERMILLE) * F.col("n_tokens")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_docs_high_oov"),
+        )
+        .orderBy("source")
+    )

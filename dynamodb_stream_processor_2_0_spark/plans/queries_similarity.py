@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dynamodb_stream_processor_2_0_spark.operators import clustering as C
 from dynamodb_stream_processor_2_0_spark.operators import similarity as S
@@ -858,4 +858,192 @@ def embedding_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hn_rank") <= 3)
         .select("query_id", "neighbor_id", "cosine", "hn_rank")
         .orderBy("query_id", "hn_rank")
+    )
+
+
+# --- top principal component via power iteration (round 6) -----------------
+
+# Grid: embeddings quantize to 1e4; the mean is a sign-extracted
+# truncating division (exact, engine-invariant); the scatter matrix
+# S = sum(d_i * d_j) is exact BIGINT; each power-iteration step
+# renormalizes with an arithmetic right shift to 14 bits so the next
+# matvec stays far under the BIGINT range (|S| ~ n * 1e8, v <= 2^14,
+# 64 terms => < 6e17 at sf0.1). At vastly larger n the grid coarsens
+# or S moves to DECIMAL(38,0) — a constant change, the plan holds.
+_PCA_Q = 10_000
+_PCA_NORM_BITS = 14
+_PCA_TOPD = 5
+
+_PCA_SIGN_DIV_D = "(CASE WHEN {a} >= 0 THEN 1 ELSE -1 END) * (abs({a}) // {b})"
+_PCA_SIGN_DIV_S = "(CASE WHEN {a} >= 0 THEN 1 ELSE -1 END) * (abs({a}) div {b})"
+_PCA_SHIFT_D = (
+    "(CASE WHEN {v} >= 0 THEN 1 ELSE -1 END) * (abs({v}) >> {s})"
+)
+_PCA_SHIFT_S = (
+    "(CASE WHEN {v} >= 0 THEN 1 ELSE -1 END)"
+    " * shiftright(abs({v}), cast({s} as int))"
+)
+
+
+def _pca_oracle_sql() -> str:
+    iter_cte = """, v{k} AS (
+        SELECT s.i AS dim, CAST(sum(s.sv * v.nv) AS BIGINT) AS v
+        FROM scatter s JOIN n{p} v ON v.dim = s.j
+        GROUP BY s.i
+    ), n{k} AS (
+        SELECT dim,
+               {shift} AS nv
+        FROM v{k}, (SELECT greatest(length(bin(max(abs(v)))) - %d, 0)
+                    AS sh FROM v{k}) x
+    )""" % _PCA_NORM_BITS
+    shift_d = _PCA_SHIFT_D.format(v="v", s="x.sh")
+    ctes = ""
+    for k in (1, 2, 3):
+        ctes += iter_cte.format(k=k, p=k - 1, shift=shift_d)
+    lam = _PCA_SIGN_DIV_D.format(a="v3.v", b="n2.nv")
+    load = _PCA_SIGN_DIV_D.format(
+        a="(v3.v * 1000)", b="(SELECT max(abs(v)) FROM v3)"
+    )
+    return f"""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                        * {_PCA_Q}) AS BIGINT) AS q
+            FROM embeddings
+        ), mu AS (
+            SELECT dim,
+                   {_PCA_SIGN_DIV_D.format(a="sum(q)", b="count(*)")} AS mu
+            FROM ex GROUP BY dim
+        ), cent AS (
+            SELECT e.vec_id, e.dim, e.q - m.mu AS d
+            FROM ex e JOIN mu m USING (dim)
+        ), scatter AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(a.d * b.d) AS BIGINT) AS sv
+            FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+            GROUP BY a.dim, b.dim
+        ), n0 AS (
+            SELECT DISTINCT i AS dim, CAST(1 AS BIGINT) AS nv FROM scatter
+        ){ctes}, lam AS (
+            SELECT {lam} AS lambda_est
+            FROM v3 JOIN n2 USING (dim)
+            WHERE abs(n2.nv) = (SELECT max(abs(nv)) FROM n2)
+            ORDER BY dim LIMIT 1
+        ), ranked AS (
+            SELECT v3.dim, {load} AS loading_permille,
+                   row_number() OVER (ORDER BY abs(v3.v) DESC, v3.dim ASC)
+                       AS rank
+            FROM v3
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, CAST(dim AS BIGINT) AS dim,
+               CAST(loading_permille AS BIGINT) AS loading_permille,
+               (SELECT CAST(lambda_est AS BIGINT) FROM lam) AS lambda_est
+        FROM ranked WHERE rank <= {_PCA_TOPD}
+        ORDER BY rank
+    """
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle_sql(),
+    tags=("similarity", "llm", "stats", "iterative"),
+    doc="Top principal component of the embedding cloud by POWER "
+    "ITERATION, exactly: center on a 1e4 integer grid (sign-"
+    "extracted truncating mean), build the exact BIGINT scatter "
+    "matrix S = sum(d_i d_j), then three matvec rounds v <- S v, "
+    "each renormalized by an arithmetic right shift to 14 bits "
+    "(bitlen of the max |coordinate|) so every iterate is "
+    "bit-identical cross-engine — iterative numerical linear "
+    "algebra with zero floats and zero convergence ambiguity. "
+    "Reports the top-5 |loading| dimensions on a permille grid and "
+    "the eigenvalue estimate as the exact ratio v3/v2' at the "
+    "dominant coordinate — the PCA direction the whitening/"
+    "dim-reduction ops (embedding_covariance_stats, "
+    "embedding_random_projection) are prep for. Plan: one explode "
+    "+ pair join builds S (the only data-sized work, same shape as "
+    "the covariance op); each iteration is a 64x64-row join — "
+    "constant cost at any corpus size.",
+)
+def embedding_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "vi")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("dim"),
+        F.round(F.col("vi").cast("double") * _PCA_Q).cast("long").alias("q"),
+    )
+    mu = ex.groupBy("dim").agg(
+        F.expr(
+            _PCA_SIGN_DIV_S.format(a="sum(q)", b="count(*)")
+        ).alias("mu")
+    )
+    cent = ex.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("q") - F.col("mu")).alias("d")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    scatter = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(F.sum(F.expr("a.d * b.d")).cast("long").alias("sv"))
+        .localCheckpoint(eager=False)
+    )
+    v = scatter.select(F.col("i").alias("dim")).distinct().withColumn(
+        "nv", F.lit(1).cast("long")
+    )
+    prev_norm = None
+    cur = None
+    for _ in range(3):
+        cur = (
+            scatter.join(
+                F.broadcast(v.withColumnRenamed("dim", "jj")),
+                F.col("jj") == F.col("j"),
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.expr("sv * nv")).cast("long").alias("v"))
+        )
+        sh = cur.agg(
+            F.greatest(
+                F.length(F.bin(F.max(F.abs("v")))) - _PCA_NORM_BITS,
+                F.lit(0),
+            ).alias("sh")
+        )
+        prev_norm = v
+        v = cur.crossJoin(F.broadcast(sh)).select(
+            "dim",
+            F.expr(_PCA_SHIFT_S.format(v="v", s="sh")).alias("nv"),
+        )
+    v3 = cur
+    n2 = prev_norm
+    vmax = v3.agg(F.max(F.abs("v")).alias("vmax"))
+    n2max = n2.agg(F.max(F.abs("nv")).alias("nvmax"))
+    lam = (
+        v3.join(n2, "dim")
+        .crossJoin(F.broadcast(n2max))
+        .filter(F.abs("nv") == F.col("nvmax"))
+        .orderBy("dim")
+        .limit(1)
+        .select(
+            F.expr(_PCA_SIGN_DIV_S.format(a="v", b="nv"))
+            .cast("long")
+            .alias("lambda_est")
+        )
+    )
+    wr = Window.orderBy(F.abs("v").desc(), F.col("dim").asc())
+    return (
+        v3.crossJoin(F.broadcast(vmax))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PCA_TOPD)
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "rank",
+            F.col("dim").cast("long").alias("dim"),
+            F.expr(_PCA_SIGN_DIV_S.format(a="(v * 1000)", b="vmax"))
+            .cast("long")
+            .alias("loading_permille"),
+            "lambda_est",
+        )
+        .orderBy("rank")
     )

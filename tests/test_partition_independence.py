@@ -86,6 +86,8 @@ _SWEEP_EXTRAS = (
     "timeseries_croston_forecast",
     "sketch_histogram_quantiles",
     "fk_cascade_impact_analysis",
+    "embedding_pca_power_iteration",
+    "text_vocab_oov_rate",
 )
 
 

@@ -1047,3 +1047,207 @@ def embedding_pca_power_iteration(
         )
         .orderBy("rank")
     )
+
+
+# --- IVF nProbe sweep: recall/cost tuning curve (round 6) ------------------
+
+_NPROBE_LEVELS = (1, 2, 4)
+_NPROBE_MAX = max(_NPROBE_LEVELS)
+_NPROBE_K = 5
+
+
+def _ivf_nprobe_sweep_oracle_sql() -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+    arms = []
+    for p in _NPROBE_LEVELS:
+        arms.append(f"""
+        SELECT {p} AS nprobe,
+               (SELECT count(*) FROM scored WHERE cell_rn <= {p})
+                   AS n_candidates_scored,
+               count(*) AS n_exact,
+               CAST(count(h.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(count(h.neighbor_id) * 1000 // count(*) AS BIGINT)
+                   AS recall_permille
+        FROM exact_r e LEFT JOIN (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM scored WHERE cell_rn <= {p}
+            ) WHERE rank <= {_NPROBE_K}
+        ) h ON h.query_id = e.query_id AND h.neighbor_id = e.neighbor_id""")
+    return f"""
+        WITH longs AS (
+            SELECT label, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT label, dim,
+                   CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+                       / count(*) AS c_v
+            FROM longs GROUP BY label, dim
+        ), ql AS (
+            SELECT vec_id AS query_id, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS qv
+            FROM embeddings WHERE {_QUERY_PRED_SQL}
+        ), ip AS (
+            SELECT query_id, label,
+                   sum(CAST(CAST(qv AS DOUBLE) AS DECIMAL(12,10))
+                       * CAST(c_v AS DECIMAL(12,10))) AS ip
+            FROM ql JOIN cent USING (dim)
+            GROUP BY query_id, label
+        ), probes AS (
+            SELECT query_id, label AS probe_cell, rn AS cell_rn FROM (
+                SELECT query_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ip DESC, label) AS rn
+                FROM ip
+            ) WHERE rn <= {_NPROBE_MAX}
+        ), normed AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({dot.format(a="embedding", b="embedding")}) AS norm
+            FROM embeddings
+        ), qn AS (
+            SELECT vec_id AS query_id, embedding AS query_vec,
+                   norm AS query_norm
+            FROM normed WHERE {_QUERY_PRED_SQL}
+        ), scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id, p.cell_rn,
+                   {dot.format(a="q.query_vec", b="c.embedding")}
+                       / (q.query_norm * c.norm) AS cosine
+            FROM probes p
+            JOIN qn q USING (query_id)
+            JOIN normed c ON c.label = p.probe_cell
+                         AND c.vec_id <> p.query_id
+        ), exact_r AS (
+            {S.cosine_topk_oracle_sql(k=_NPROBE_K, query_pred=_QUERY_PRED_SQL)}
+        )
+        SELECT * FROM ({" UNION ALL ".join(arms)}) GROUP BY ALL
+        ORDER BY nprobe
+    """
+
+
+@register(
+    "embedding_ann_ivf_nprobe_sweep",
+    oracle=_ivf_nprobe_sweep_oracle_sql(),
+    tags=("similarity", "llm", "ann", "ivf", "eval"),
+    doc="IVF nProbe TUNING CURVE: recall@5 and candidates-scored for "
+    "nProbe in {1,2,4}, from ONE probe pass — cells rank per query "
+    "by exact-decimal centroid inner product, every candidate in the "
+    "top-4 cells is cosine-scored once with its cell rank attached, "
+    "and each sweep level is a rank-filtered window over the shared "
+    "scored relation (cell_rn <= p). The recall arm joins exact "
+    "brute-force ground truth; candidates-scored is the cost axis — "
+    "together they are the knob-vs-quality curve an IVF deployment "
+    "tunes before committing (the IVF sibling of ann_recall_eval's "
+    "fixed-config comparison and dedup_simhash_threshold_sweep's "
+    "threshold curve). Adding sweep levels adds window filters, not "
+    "probe passes.",
+)
+def embedding_ann_ivf_nprobe_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    longs = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = longs.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("c_v")
+    )
+    ql = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("embedding").alias("dim", "qv"),
+    )
+    ip = (
+        ql.join(F.broadcast(cent), "dim")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(
+                F.col("qv").cast("double").cast("decimal(12,10)")
+                * F.col("c_v").cast("decimal(12,10)")
+            ).alias("ip")
+        )
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.col("label")
+    )
+    probes = (
+        ip.withColumn("cell_rn", F.row_number().over(w_cell))
+        .filter(F.col("cell_rn") <= _NPROBE_MAX)
+        .select("query_id", F.col("label").alias("probe_cell"), "cell_rn")
+    )
+    qn = S.with_norm(emb.filter(F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("norm").alias("query_norm"),
+    )
+    cand = S.with_norm(emb).select(
+        F.col("vec_id").alias("cand_id"),
+        "label",
+        F.col("embedding").alias("cand_vec"),
+        F.col("norm").alias("cand_norm"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(probes.join(qn, "query_id")),
+            (F.col("label") == F.col("probe_cell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            "cell_rn",
+            (
+                S._dot_fold("query_vec", "cand_vec")
+                / (F.col("query_norm") * F.col("cand_norm"))
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=_NPROBE_K)
+    exact = exact.select("query_id", "neighbor_id")
+    arms = []
+    for p in _NPROBE_LEVELS:
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            scored.filter(F.col("cell_rn") <= p)
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= _NPROBE_K)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        n_cand = scored.filter(F.col("cell_rn") <= p).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates_scored")
+        )
+        arm = (
+            exact.join(topk, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.count("hit").cast("long").alias("n_hits"),
+                F.expr(
+                    "cast(count(hit) * 1000 div count(*) as bigint)"
+                ).alias("recall_permille"),
+            )
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                "nprobe",
+                "n_candidates_scored",
+                "n_exact",
+                "n_hits",
+                "recall_permille",
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.orderBy("nprobe")

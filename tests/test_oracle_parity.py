@@ -92,6 +92,7 @@ _MEDIUM_EXTRAS = (
     "fk_cascade_impact_analysis",
     "embedding_pca_power_iteration",
     "text_vocab_oov_rate",
+    "embedding_ann_ivf_nprobe_sweep",
 )
 
 

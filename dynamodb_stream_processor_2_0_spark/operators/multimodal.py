@@ -320,3 +320,148 @@ def pcm_window_energy_oracle_sql(window: int = 16, table: str = "documents") -> 
                COALESCE(p.peak_energy, 0) AS peak_energy
         FROM hexed h LEFT JOIN peaks p USING (doc_id)
     """
+
+
+# --- scene-cut detection (round 6) -----------------------------------------
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("first_cut_idx", T.LongType()),
+        T.StructField("mean_ham_milli", T.LongType()),
+    ]
+)
+
+_SC_FRAME_BYTES = 32
+_SC_BLOCKS = 8
+_SC_CUT_BITS = 2  # Hamming > 2 of 8 signature bits => cut
+
+
+def scene_cut_detect(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video scene-cut detection with a REAL decode (no codec library):
+    each payload splits into fixed 32-byte frames (the frame_sample
+    convention; a trailing partial frame is dropped), each frame gets
+    an 8-bit block-intensity signature — bit b set iff the 4-byte
+    block's sum exceeds the frame mean, cross-multiplied as
+    block_sum * 8 > frame_total so no division happens — and a CUT is
+    a consecutive-frame signature Hamming distance > 2. This is the
+    shot-boundary pass of a video curation pipeline (dedup within a
+    shot, sample across shots), exactly the same per-frame feature +
+    temporal-difference shape production systems run, on exact
+    integers so the SQL oracle re-derives every byte.
+
+    Arrow-batched mapInPandas; per payload one frombuffer + reshape +
+    block-sum + packbits + XOR/popcount — vectorized end to end."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        popcount8 = np.array(
+            [bin(x).count("1") for x in range(256)], dtype=np.int64
+        )
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_frames": [],
+                "n_cuts": [],
+                "first_cut_idx": [],
+                "mean_ham_milli": [],
+            }
+            for p in pdf[payload_col]:
+                raw = bytes(p)
+                n = len(raw) // _SC_FRAME_BYTES
+                if n == 0:
+                    out["n_frames"].append(0)
+                    out["n_cuts"].append(0)
+                    out["first_cut_idx"].append(-1)
+                    out["mean_ham_milli"].append(0)
+                    continue
+                arr = np.frombuffer(
+                    raw, dtype=np.uint8, count=n * _SC_FRAME_BYTES
+                ).astype(np.int64).reshape(n, _SC_FRAME_BYTES)
+                blocks = arr.reshape(
+                    n, _SC_BLOCKS, _SC_FRAME_BYTES // _SC_BLOCKS
+                ).sum(axis=2)
+                totals = arr.sum(axis=1, keepdims=True)
+                bits = (blocks * _SC_BLOCKS > totals).astype(np.int64)
+                sigs = (bits << np.arange(_SC_BLOCKS)).sum(axis=1)
+                if n == 1:
+                    out["n_frames"].append(1)
+                    out["n_cuts"].append(0)
+                    out["first_cut_idx"].append(-1)
+                    out["mean_ham_milli"].append(0)
+                    continue
+                ham = popcount8[(sigs[1:] ^ sigs[:-1]).astype(np.int64)]
+                cuts = ham > _SC_CUT_BITS
+                first = int(np.argmax(cuts)) + 1 if cuts.any() else -1
+                out["n_frames"].append(int(n))
+                out["n_cuts"].append(int(cuts.sum()))
+                out["first_cut_idx"].append(first)
+                out["mean_ham_milli"].append(
+                    int(ham.sum()) * 1000 // (n - 1)
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, SCENE_CUT_SCHEMA)
+
+
+def scene_cut_oracle_sql(table: str = "documents") -> str:
+    """Byte-exact SQL twin of scene_cut_detect via hex(encode(text))."""
+    fb, nb = _SC_FRAME_BYTES, _SC_BLOCKS
+    bpb = fb // nb
+    return f"""
+        WITH hexed AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // {fb} AS n_frames
+            FROM {table}
+        ), bytes AS (
+            SELECT doc_id, f.j AS frame, b.b AS blk,
+                   CAST(('0x' || substr(h,
+                       {2 * fb} * f.j + {2 * bpb} * b.b + 2 * k.k + 1, 2))
+                       AS BIGINT) AS byte
+            FROM hexed,
+                 LATERAL unnest(range(0, n_frames)) AS f(j),
+                 LATERAL unnest(range(0, {nb})) AS b(b),
+                 LATERAL unnest(range(0, {bpb})) AS k(k)
+        ), blocks AS (
+            SELECT doc_id, frame, blk, CAST(sum(byte) AS BIGINT) AS bsum
+            FROM bytes GROUP BY 1, 2, 3
+        ), sigs AS (
+            SELECT doc_id, frame,
+                   CAST(sum(CASE WHEN bsum * {nb} > tot THEN 1 ELSE 0 END
+                            << blk) AS BIGINT) AS sig
+            FROM (
+                SELECT doc_id, frame, blk, bsum,
+                       sum(bsum) OVER (PARTITION BY doc_id, frame) AS tot
+                FROM blocks
+            ) GROUP BY doc_id, frame
+        ), hams AS (
+            SELECT doc_id, frame,
+                   bit_count(xor(sig, lag(sig) OVER (
+                       PARTITION BY doc_id ORDER BY frame))) AS ham
+            FROM sigs
+        )
+        SELECT h.doc_id,
+               CAST(h.n_frames AS BIGINT) AS n_frames,
+               CAST(COALESCE(sum(CASE WHEN m.ham > {_SC_CUT_BITS}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_cuts,
+               CAST(COALESCE(min(CASE WHEN m.ham > {_SC_CUT_BITS}
+                                      THEN m.frame END), -1) AS BIGINT)
+                   AS first_cut_idx,
+               CAST(CASE WHEN h.n_frames >= 2
+                    THEN COALESCE(sum(m.ham), 0) * 1000 // (h.n_frames - 1)
+                    ELSE 0 END AS BIGINT) AS mean_ham_milli
+        FROM hexed h
+        LEFT JOIN hams m ON m.doc_id = h.doc_id AND m.ham IS NOT NULL
+        GROUP BY h.doc_id, h.n_frames
+        ORDER BY h.doc_id
+    """

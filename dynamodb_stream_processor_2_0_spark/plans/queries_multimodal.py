@@ -232,3 +232,28 @@ def multimodal_pcm_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an audio pipeline; integer-only outputs keep the gate exact."""
     docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return MM.pcm_window_energy(docs, window=16)
+
+
+@register(
+    "multimodal_scene_cut_detect",
+    oracle=MM.scene_cut_oracle_sql(),
+    tags=("multimodal", "llm", "video", "mapInPandas"),
+    doc="Video shot-boundary detection with a REAL decode: payloads "
+    "split into fixed 32-byte frames, each frame gets an 8-bit "
+    "block-intensity signature (bit = block sum beats the frame "
+    "mean, cross-multiplied — no division), and a cut is a "
+    "consecutive-frame Hamming distance > 2 — the scene "
+    "segmentation pass a video curation pipeline runs before "
+    "within-shot dedup and cross-shot sampling (completing the "
+    "video arm next to frame sampling and pHash near-dup). The "
+    "kernel is one vectorized frombuffer/reshape/packbits/popcount "
+    "per payload over Arrow batches; the oracle re-derives every "
+    "byte from hex(payload), so the plumbing AND the arithmetic "
+    "are hash-verified. Map-only: payload bytes cross the wire "
+    "once, narrow typed rows come out.",
+)
+def multimodal_scene_cut_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return MM.scene_cut_detect(docs).orderBy("doc_id")

@@ -89,6 +89,7 @@ _SWEEP_EXTRAS = (
     "embedding_pca_power_iteration",
     "text_vocab_oov_rate",
     "embedding_ann_ivf_nprobe_sweep",
+    "multimodal_scene_cut_detect",
 )
 
 

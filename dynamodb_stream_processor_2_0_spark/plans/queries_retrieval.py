@@ -515,3 +515,122 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- PMI collocation mining ------------------------------------------------
+
+_PMI_MIN_PAIR = 5  # min adjacent-pair count to score
+_PMI_TOPK = 20
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), clean AS (
+        SELECT doc_id, pos, tok FROM toks WHERE tok <> ''
+    ), uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM clean GROUP BY tok
+    ), n_tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+    ), pairs AS (
+        SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c_ab
+        FROM clean a JOIN clean b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+        HAVING count(*) >= {_PMI_MIN_PAIR}
+    ), scored AS (
+        SELECT p.w1, p.w2, p.c_ab,
+               CASE WHEN n.n * p.c_ab >= u1.c * u2.c
+                    THEN length(bin((n.n * p.c_ab) // (u1.c * u2.c))) - 1
+                    ELSE 1 - length(bin((u1.c * u2.c) // (n.n * p.c_ab)))
+               END AS pmi_bits
+        FROM pairs p
+        JOIN uni u1 ON u1.tok = p.w1
+        JOIN uni u2 ON u2.tok = p.w2
+        CROSS JOIN n_tot n
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY pmi_bits DESC, c_ab DESC,
+                   w1 ASC, w2 ASC) AS rank
+        FROM scored
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, w1, w2, c_ab,
+           CAST(pmi_bits AS BIGINT) AS pmi_bits
+    FROM ranked WHERE rank <= {_PMI_TOPK}
+    ORDER BY rank
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("text", "llm", "retrieval"),
+    doc="PMI collocation mining: adjacent token pairs scored by "
+    "pointwise mutual information — the phrase-discovery signal "
+    "tokenizer vocab construction and stopword-free phrase lists "
+    "are built from (word2vec's phrase pass, Mikolov et al.). PMI = "
+    "log2(N*c_ab / (c_a*c_b)) lands on the exact integer grid with "
+    "the house bitlen trick, SIGN-EXTENDED: ratios >= 1 score "
+    "floor(log2(ratio)), ratios < 1 score 1-bitlen of the inverse — "
+    "so repelled pairs rank below attracted ones without any libm. "
+    "Pairs below 5 occurrences are cut before scoring (the PMI "
+    "low-count instability guard). Plan: adjacency is a self-join "
+    "on (doc, pos+1) — at 100 TB this becomes the lag() window on "
+    "the same (doc, pos) sort, zero extra shuffles; unigram counts "
+    "and the 1-row total broadcast onto the pair relation.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side USES the lag-window form (one shuffle on doc_id
+    shared by positions and adjacency); the oracle's self-join is the
+    declarative twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=False)
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    wadj = Window.partitionBy("doc_id").orderBy("pos0")
+    pairs = (
+        toks.withColumn("w2", F.lead("tok").over(wadj))
+        .withColumn("p2", F.lead("pos0").over(wadj))
+        .filter(F.col("w2").isNotNull() & (F.col("p2") == F.col("pos0") + 1))
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "pmi_bits",
+            F.expr(
+                "CASE WHEN n * c_ab >= c1 * c2"
+                " THEN length(bin((n * c_ab) div (c1 * c2))) - 1"
+                " ELSE 1 - length(bin((c1 * c2) div (n * c_ab))) END"
+            ).cast("long"),
+        )
+    )
+    wr = Window.orderBy(
+        F.col("pmi_bits").desc(),
+        F.col("c_ab").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select("rank", "w1", "w2", "c_ab", "pmi_bits")
+        .orderBy("rank")
+    )

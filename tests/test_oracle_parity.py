@@ -94,6 +94,7 @@ _MEDIUM_EXTRAS = (
     "text_vocab_oov_rate",
     "embedding_ann_ivf_nprobe_sweep",
     "multimodal_scene_cut_detect",
+    "text_pmi_collocations",
 )
 
 

@@ -90,6 +90,7 @@ _SWEEP_EXTRAS = (
     "text_vocab_oov_rate",
     "embedding_ann_ivf_nprobe_sweep",
     "multimodal_scene_cut_detect",
+    "text_pmi_collocations",
 )
 
 

@@ -80,6 +80,16 @@ _loaded = False
 # remainder, TPC-H remainder) fills rounds 7+; after each CORRECTNESS
 # file lands, re-run `python tools/rotate_registry.py` and rotate fresh
 # greens to the back.
+#
+# Round-6 additions note for the next session: the 16 round-6 operators
+# (BM25, RRF hybrid fusion, RAKE, PMI collocations, vocab/OOV rate,
+# Theil-Sen, rolling 7d median, MAD anomaly, Croston, sweep-line
+# backlog, KMV intersection, histogram-quantile sketch, k-anonymity,
+# cascade impact, SCD2 as-of enrich, power-iteration PCA, IVF nProbe
+# sweep, scene-cut detect) register AFTER the priority list, are all in
+# tests' _MEDIUM_EXTRAS/_SWEEP_EXTRAS (sf0.01 parity + two-width sweep
+# by default) and were hostile-session verified — safe r7 rotation
+# candidates alongside the never-driver-checked remainder below.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

@@ -3839,3 +3839,133 @@ def fk_cascade_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem", doomed_l, lineitem))
         .orderBy("entity")
     )
+
+
+# --- ABC/XYZ inventory classification (round 6) ----------------------------
+
+# ABC: cumulative revenue share cuts at 80% / 95% (cross-multiplied).
+# XYZ: monthly-demand variability, VMR cuts at 0.5 / 1.0 on the exact
+# integer grid (nm*sxx - q^2 vs thresh * q*(nm-1), cross-multiplied).
+_ABC_ORACLE = """
+    WITH monthly AS (
+        SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE))
+                   AS mon,
+               CAST(sum(l_quantity) AS BIGINT) AS qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1, 2
+    ), n_months AS (
+        SELECT CAST(count(DISTINCT mon) AS BIGINT) AS nm FROM monthly
+    ), per_part AS (
+        SELECT l_partkey,
+               CAST(sum(cents) AS BIGINT) AS rev,
+               CAST(sum(qty) AS BIGINT) AS q,
+               CAST(sum(qty * qty) AS BIGINT) AS sxx
+        FROM monthly GROUP BY l_partkey
+    ), tot AS (
+        SELECT CAST(sum(rev) AS BIGINT) AS total_rev FROM per_part
+    ), cum AS (
+        SELECT p.l_partkey, p.rev, p.q, p.sxx, t.total_rev, n.nm,
+               sum(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev
+        FROM per_part p CROSS JOIN tot t CROSS JOIN n_months n
+    ), classed AS (
+        SELECT l_partkey,
+               CASE WHEN cum_rev * 100 <= 80 * total_rev THEN 'A'
+                    WHEN cum_rev * 100 <= 95 * total_rev THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN 2 * (nm * sxx - q * q) <= q * (nm - 1) THEN 'X'
+                    WHEN (nm * sxx - q * q) <= q * (nm - 1) THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rev
+        FROM cum
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents
+    FROM classed
+    GROUP BY abc, xyz
+    ORDER BY abc, xyz
+"""
+
+
+@register(
+    "lineitem_abc_xyz_classification",
+    oracle=_ABC_ORACLE,
+    tags=("analytics", "A1", "scale"),
+    doc="ABC/XYZ inventory classification — the two-axis segmentation "
+    "ops teams run on every SKU: ABC from descending cumulative "
+    "revenue share (A <= 80%, B <= 95%, cross-multiplied so no "
+    "percentage division), XYZ from monthly-demand variability "
+    "(variance-to-mean ratio on the exact integer grid, cuts at 0.5 "
+    "and 1.0 — zero-demand months included by algebra, nm*sxx - q^2 "
+    "over the full month count, no per-month zero rows needed). The "
+    "cumulative share rides the DISTRIBUTED prefix-sum primitive "
+    "(range exchange + per-partition scan + broadcast offsets — "
+    "never a single-task window), the same scan supplier_pareto_"
+    "analysis uses; output is the 9-cell class matrix with part "
+    "counts and revenue.",
+)
+def lineitem_abc_xyz_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators import ranking
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    monthly = lineitem.groupBy(
+        "l_partkey", F.date_trunc("month", F.to_date("l_shipdate")).alias("mon")
+    ).agg(
+        F.sum("l_quantity").cast("long").alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    n_months = monthly.agg(
+        F.countDistinct("mon").cast("long").alias("nm")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("rev"),
+        F.sum("qty").cast("long").alias("q"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sxx"),
+    )
+    tot = per_part.agg(F.sum("rev").cast("long").alias("total_rev"))
+    cum = ranking.global_running_sum(
+        per_part.withColumn("neg_rev", -F.col("rev")),
+        order_cols=["neg_rev", "l_partkey"],
+        value_col="rev",
+        out_col="cum_rev",
+    )
+    classed = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            F.when(
+                F.col("cum_rev") * 100 <= 80 * F.col("total_rev"), "A"
+            )
+            .when(F.col("cum_rev") * 100 <= 95 * F.col("total_rev"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(
+                2 * (F.col("nm") * F.col("sxx") - F.col("q") * F.col("q"))
+                <= F.col("q") * (F.col("nm") - 1),
+                "X",
+            )
+            .when(
+                (F.col("nm") * F.col("sxx") - F.col("q") * F.col("q"))
+                <= F.col("q") * (F.col("nm") - 1),
+                "Y",
+            )
+            .otherwise("Z")
+            .alias("xyz"),
+            "rev",
+        )
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -634,3 +634,88 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "w1", "w2", "c_ab", "pmi_bits")
         .orderBy("rank")
     )
+
+
+# --- term burstiness (variance-to-mean ratio) ------------------------------
+
+_BURST_TOP_TERMS = 20
+
+_BURST_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), n_docs AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS x
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), stats AS (
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(x) AS BIGINT) AS cf,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM tf GROUP BY tok
+    ), ranked AS (
+        SELECT s.tok, s.df, s.cf, s.sxx, n.nd,
+               row_number() OVER (ORDER BY s.cf DESC, s.tok ASC) AS rnk
+        FROM stats s CROSS JOIN n_docs n
+    )
+    SELECT tok, df, cf,
+           CAST((nd * sxx - cf * cf) * 1000 // (cf * (nd - 1)) AS BIGINT)
+               AS vmr_milli,
+           (nd * sxx - cf * cf) > cf * (nd - 1) AS is_bursty
+    FROM ranked
+    WHERE rnk <= {_BURST_TOP_TERMS}
+    ORDER BY tok
+"""
+
+
+@register(
+    "text_term_burstiness",
+    oracle=_BURST_ORACLE,
+    tags=("text", "llm", "stats"),
+    doc="Term burstiness (Church-Gale): variance-to-mean ratio of each "
+    "top-20 term's per-document count, INCLUDING zero-count docs — "
+    "VMR ~ 1 marks Poisson-like function words (the statistical "
+    "definition of a stopword, the principled upgrade to the raw-df "
+    "lists RAKE/BM25 derive), VMR >> 1 marks content words that "
+    "burst in few docs. Exact integers throughout: with zeros "
+    "included, n*Var = nd*sxx - cf^2 over the nd-doc population, so "
+    "VMR_milli = (nd*sxx - cf^2)*1000 div (cf*(nd-1)) and the "
+    "bursty flag is the cross-multiplied VMR > 1 with no division "
+    "at all. Plan: one tokenize + (doc,term) rollup, one per-term "
+    "rollup (both map-side combinable), the 1-row doc count "
+    "broadcast — zero-count docs are algebra, not rows.",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("x").cast("long").alias("cf"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    wr = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _BURST_TOP_TERMS)
+        .select(
+            "tok",
+            "df",
+            "cf",
+            F.expr(
+                "cast((nd * sxx - cf * cf) * 1000 div (cf * (nd - 1))"
+                " as bigint)"
+            ).alias("vmr_milli"),
+            ((F.col("nd") * F.col("sxx") - F.col("cf") * F.col("cf"))
+             > F.col("cf") * (F.col("nd") - 1)).alias("is_bursty"),
+        )
+        .orderBy("tok")
+    )

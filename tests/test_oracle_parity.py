@@ -95,6 +95,8 @@ _MEDIUM_EXTRAS = (
     "embedding_ann_ivf_nprobe_sweep",
     "multimodal_scene_cut_detect",
     "text_pmi_collocations",
+    "text_term_burstiness",
+    "lineitem_abc_xyz_classification",
 )
 
 

@@ -91,6 +91,8 @@ _SWEEP_EXTRAS = (
     "embedding_ann_ivf_nprobe_sweep",
     "multimodal_scene_cut_detect",
     "text_pmi_collocations",
+    "text_term_burstiness",
+    "lineitem_abc_xyz_classification",
 )
 
 

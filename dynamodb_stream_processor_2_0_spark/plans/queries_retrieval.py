@@ -719,3 +719,84 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+# --- Zipf rank-frequency fit -----------------------------------------------
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cf
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ), ranked AS (
+        SELECT tok, cf,
+               row_number() OVER (ORDER BY cf DESC, tok ASC) AS rnk
+        FROM tf
+    ), pts AS (
+        SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+               CAST(length(bin(cf)) - 1 AS BIGINT) AS y
+        FROM ranked
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+               * (abs(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+               AS zipf_slope_milli,
+           n * sxx - sx * sx > 0 AS fit_defined
+    FROM m
+"""
+
+
+@register(
+    "text_zipf_fit",
+    oracle=_ZIPF_ORACLE,
+    tags=("text", "llm", "stats"),
+    doc="Zipf rank-frequency fit: least-squares slope of log2(freq) "
+    "vs log2(rank) over the whole vocabulary, with both logs on the "
+    "exact integer grid via bitlen and the slope as a sign-extracted "
+    "scaled integer quotient (same closed form as events_trend_slope"
+    "_by_type) — natural language fits slope ~ -1, so the statistic "
+    "is a corpus-health diagnostic: a corpus that drifts from its "
+    "expected Zipf slope has a generation/boilerplate/dedup problem "
+    "upstream (the synthetic ~30-word fixture honestly reads as "
+    "strongly non-Zipf, which is exactly what the diagnostic should "
+    "say about it). Plan: one tokenize + vocab rollup; the global "
+    "rank is a WindowGroupLimit-free full ranking over |vocab| rows "
+    "(tiny post-agg relation), then a 1-row moment aggregate.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    wr = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    pts = tf.withColumn("rnk", F.row_number().over(wr)).select(
+        (F.length(F.bin("rnk")) - 1).cast("long").alias("x"),
+        (F.length(F.bin("cf")) - 1).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+        )
+        .cast("long")
+        .alias("zipf_slope_milli"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0).alias(
+            "fit_defined"
+        ),
+    )

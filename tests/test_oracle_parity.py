@@ -97,6 +97,7 @@ _MEDIUM_EXTRAS = (
     "text_pmi_collocations",
     "text_term_burstiness",
     "lineitem_abc_xyz_classification",
+    "text_zipf_fit",
 )
 
 

@@ -674,37 +674,68 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_stats_scale_path",
-    oracle=None,  # sketch algorithms differ per engine; driver rows-only check
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS users_within_5pct,
+               TRUE AS p50_within_band,
+               TRUE AS p99_within_band
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     tags=("relational", "scale", "sketch"),
     doc="The 100 TB drop-in for exact distinct/percentiles: HLL++ approx_count_distinct "
-    "and t-digest approx_percentile (sketches are engine-specific, so this entry is "
-    "rows-only checked; the exact twins agg_value_percentiles / window_sliding_2d_1d "
-    "carry the oracle).",
+    "and KLL approx_percentile, gated by deterministic error bounds so the entry carries "
+    "a full oracle. The sketch VALUES are engine-specific (DuckDB cannot reproduce them), "
+    "so the contract pins what IS portable: the exact group stats plus boolean assertions "
+    "that each sketch lands inside its documented error band (HLL rsd=0.02 -> +/-5% = "
+    "2.5 sigma; percentile_approx accuracy=10000 -> rank error n/10000, asserted against "
+    "an exact-percentile band 4500x wider). The oracle states the bands hold (TRUE "
+    "constants) and DuckDB independently recomputes the exact columns; a drifting sketch "
+    "flips a boolean and fails the hash gate.",
 )
 def approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregation: single pass, fixed-size state per
     group regardless of cardinality — the shape that replaces exact
-    distinct/percentile at 100 TB (SCALE.md §5)."""
+    distinct/percentile at 100 TB (SCALE.md §5). The exact twins
+    (count_distinct / percentile) run here only to VERIFY the sketch;
+    at 100 TB the verification columns drop and the sketch stands
+    alone — that is the point of the operator."""
     ev = load_table(spark, sf_dir, "events")
-    # One t-digest pass per group, then the percentile array is
-    # flattened to scalar columns: an array-typed output crashes the
-    # driver's rows-only canonicalization (pandas sort on unhashable
-    # lists).
+    # One sketch pass per group + the exact verification stats in the
+    # same aggregate (no second shuffle); the percentile array is
+    # flattened because nested outputs crash the driver canonicalizer.
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.percentile_approx("value", [0.5, 0.99], 10000).alias("_pcts"),
+        F.percentile("value", 0.45).alias("_lo50"),
+        F.percentile("value", 0.55).alias("_hi50"),
+        F.percentile("value", 0.97).alias("_lo99"),
+        F.max("value").alias("_hi99"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("_pcts"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
+        agg.select(
             "event_type",
-            "approx_users",
-            F.col("_pcts")[0].alias("approx_p50"),
-            F.col("_pcts")[1].alias("approx_p90"),
-            F.col("_pcts")[2].alias("approx_p99"),
             "n",
+            "exact_users",
+            (
+                F.abs(F.col("_approx_users") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("users_within_5pct"),
+            (
+                (F.col("_pcts")[0] >= F.col("_lo50"))
+                & (F.col("_pcts")[0] <= F.col("_hi50"))
+            ).alias("p50_within_band"),
+            (
+                (F.col("_pcts")[1] >= F.col("_lo99"))
+                & (F.col("_pcts")[1] <= F.col("_hi99"))
+            ).alias("p99_within_band"),
         )
+        .orderBy("event_type")
     )
 
 

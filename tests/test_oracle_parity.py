@@ -98,6 +98,7 @@ _MEDIUM_EXTRAS = (
     "text_term_burstiness",
     "lineitem_abc_xyz_classification",
     "text_zipf_fit",
+    "approx_stats_scale_path",
 )
 
 

@@ -23,6 +23,7 @@ if str(REPO_ROOT) not in sys.path:
 
 def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     sf = "/root/testdata/sf0.1"
 
     from pyspark.sql import functions as F
@@ -322,8 +323,18 @@ def main() -> None:
         ("cohort_ltv", _registered("events_cohort_ltv"), evdir1, evdir_n),
         ("pcm_window_energy", _registered("multimodal_pcm_window_energy"),
          docsdir1, docsdir_n),
+        ("graph_bfs", _registered("graph_shortest_path_bfs"),
+         graphdir1, graphdir_n),
+        ("graph_lpa", _registered("graph_label_propagation"),
+         graphdir1, graphdir_n),
+        ("graph_walks", _registered("graph_deterministic_walks"),
+         graphdir1, graphdir_n),
+        ("graph_node_jaccard", _registered("graph_node_jaccard_similarity"),
+         graphdir1, graphdir_n),
     ]
     for label, fn, d1, dn in cases:
+        if only and not any(s in label for s in only):
+            continue
         a, b = run(fn, d1), run(fn, dn)
         print(f"{label}: 1x={a:.2f}s {n_copies}x={b:.2f}s growth={b / a:.1f}x")
 

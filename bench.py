@@ -66,6 +66,7 @@ def main() -> None:
     session_width = spark.conf.get("spark.sql.shuffle.partitions")
 
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         spark.conf.set("spark.sql.shuffle.partitions", session_width)
@@ -77,6 +78,7 @@ def main() -> None:
         # and min-of-N is the standard noise-robust point estimate.
         dt = min(run_once(name), run_once(name))
         timings[name] = round(dt, 3)
+        cold_timings[name] = round(cold, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s (cold {cold:.3f}s)", file=sys.stderr)
 
@@ -107,6 +109,26 @@ def main() -> None:
     print("# full timings: " + json.dumps(timings), file=sys.stderr)
     headline_total = sum(timings[n] for n in HEADLINE if n in timings)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Persist the FULL per-query map (cold first-run AND steady min) to a
+    # committed-able artifact so non-headline regressions are diffable
+    # across rounds (stderr alone is lost once the round closes).
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT", str(REPO_ROOT / "BENCH_full_latest.json")
+    )
+    with open(full_out, "w") as fh:
+        json.dump(
+            {
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "steady_sec": timings,
+                "cold_first_run_sec": cold_timings,
+                "headline_cold_position_sec": cold_position,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"# full timing artifact: {full_out}", file=sys.stderr)
     print(
         json.dumps(
             {

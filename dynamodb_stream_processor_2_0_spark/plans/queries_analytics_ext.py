@@ -3974,3 +3974,435 @@ def lineitem_abc_xyz_classification(
         )
         .orderBy("abc", "xyz")
     )
+
+
+# --- PSI distribution-drift monitor ----------------------------------------
+
+_PSI_ORACLE = """
+    WITH ev AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT (min(d) + max(d) + 1) // 2 AS mid, max(cents) AS maxc FROM ev
+    ), banded AS (
+        SELECT event_type,
+               CASE WHEN d < (SELECT mid FROM bounds) THEN 0 ELSE 1 END
+                   AS cur,
+               least(9, greatest(0, cents) * 10
+                        // ((SELECT maxc FROM bounds) + 1)) AS band
+        FROM ev
+    ), types AS (
+        SELECT DISTINCT event_type FROM ev
+    ), grid AS (
+        SELECT t.event_type, r.range AS band
+        FROM types t CROSS JOIN range(10) r
+    ), counts AS (
+        SELECT event_type, band,
+               sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS c_ref,
+               sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS c_cur
+        FROM banded GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+        FROM counts GROUP BY 1
+    ), grid_full AS (
+        SELECT g.event_type, g.band,
+               COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur,
+               t.n_ref, t.n_cur
+        FROM grid g
+        LEFT JOIN counts c
+            ON c.event_type = g.event_type AND c.band = g.band
+        JOIN tot t ON t.event_type = g.event_type
+    ), pm AS (
+        SELECT event_type, n_ref, n_cur,
+               greatest(1, (c_ref + 1) * 1000 // (n_ref + 10)) AS p,
+               greatest(1, (c_cur + 1) * 1000 // (n_cur + 10)) AS q
+        FROM grid_full
+    ), terms AS (
+        SELECT event_type, n_ref, n_cur,
+               (p - q) * (CASE WHEN p >= q
+                               THEN length(bin(p // q)) - 1
+                               ELSE -(length(bin(q // p)) - 1) END) AS term
+        FROM pm
+    )
+    SELECT event_type,
+           CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(sum(term) AS BIGINT) AS psi_millibits,
+           sum(term) > 50 AS drift_flag
+    FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_psi_drift",
+    oracle=_PSI_ORACLE,
+    tags=("timeseries", "stats", "llm"),
+    doc="Population Stability Index drift monitor: per event type, the "
+    "value distribution of the later half of the timeline vs the "
+    "earlier half over 10 fixed value bands, PSI = sum (p-q) * "
+    "log(p/q) — THE model-ops drift metric (credit-scoring heritage), "
+    "the binned complement to the exact-CDF KS test already "
+    "registered. House integer discipline: proportions are add-one-"
+    "smoothed milli-grid integers clamped >= 1, the log is the sign-"
+    "extracted bitlen floor-log2 surrogate (documented: ratios < 2 "
+    "contribute 0, so this is a coarse-quantized PSI, deterministic "
+    "cross-engine, not the ln-based decimal), and the drift flag cuts "
+    "at 50 milli-bit-units. Plan: one scan feeds a 1-row bounds "
+    "aggregate (broadcast), banding is scan-side arithmetic, counts "
+    "are one groupBy(type, band), the 10-band grid is generated not "
+    "scanned — linear in events, output one row per type.",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = F.broadcast(
+        ev.agg(
+            F.expr("(min(d) + max(d) + 1) div 2").alias("mid"),
+            F.max("cents").alias("maxc"),
+        )
+    )
+    banded = ev.crossJoin(bounds).select(
+        "event_type",
+        F.when(F.col("d") < F.col("mid"), 0).otherwise(1).alias("cur"),
+        F.least(
+            F.lit(9),
+            F.expr("greatest(0L, cents) * 10 div (maxc + 1)"),
+        ).alias("band"),
+    )
+    counts = banded.groupBy("event_type", "band").agg(
+        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    grid = tot.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("band"),
+    )
+    full = grid.join(counts, ["event_type", "band"], "left").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+    pm = full.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr("greatest(1L, (c_ref + 1) * 1000 div (n_ref + 10))").alias("p"),
+        F.expr("greatest(1L, (c_cur + 1) * 1000 div (n_cur + 10))").alias("q"),
+    )
+    terms = pm.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "(p - q) * (CASE WHEN p >= q"
+            " THEN length(bin(p div q)) - 1"
+            " ELSE -(length(bin(q div p)) - 1) END)"
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.sum("term").cast("long").alias("psi_millibits"),
+            (F.sum("term") > 50).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- two-proportion A/B significance test ----------------------------------
+
+_AB_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS bucket,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS errored
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ), metrics AS (
+        SELECT 'purchase_conversion' AS metric, bucket, converted AS hit
+        FROM per_user
+        UNION ALL
+        SELECT 'error_incidence', bucket, errored FROM per_user
+    ), agg AS (
+        SELECT metric,
+               CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN bucket = 0 THEN hit ELSE 0 END) AS BIGINT)
+                   AS c_a,
+               CAST(sum(CASE WHEN bucket = 1 THEN hit ELSE 0 END) AS BIGINT)
+                   AS c_b
+        FROM metrics GROUP BY metric
+    )
+    SELECT metric, n_a, n_b, c_a, c_b,
+           c_a * 1000 // n_a AS rate_a_milli,
+           c_b * 1000 // n_b AS rate_b_milli,
+           c_b * 1000 // n_b - c_a * 1000 // n_a AS lift_milli,
+           10000 * CAST(c_a * n_b - c_b * n_a AS DECIMAL(38, 0))
+                 * CAST(c_a * n_b - c_b * n_a AS DECIMAL(38, 0))
+                 * CAST(n_a + n_b AS DECIMAL(38, 0))
+               > 38416 * CAST(n_a AS DECIMAL(38, 0))
+                       * CAST(n_b AS DECIMAL(38, 0))
+                       * CAST(c_a + c_b AS DECIMAL(38, 0))
+                       * CAST(n_a + n_b - c_a - c_b AS DECIMAL(38, 0))
+               AS significant
+    FROM agg ORDER BY metric
+"""
+
+
+@register(
+    "events_ab_proportion_test",
+    oracle=_AB_ORACLE,
+    tags=("stats", "experiment"),
+    doc="Two-proportion z-test for a deterministic 50/50 experiment "
+    "split (bucket = user_id % 2): per-user purchase conversion and "
+    "error incidence compared across buckets, significance at "
+    "alpha=.05 decided by the EXACT cross-multiplied form of "
+    "z^2 > 1.96^2 — z^2 = (c1*n2-c2*n1)^2 * N / (n1*n2*C*(N-C)) "
+    "cleared of all four divisions into a DECIMAL(38,0) comparison "
+    "(the KS-test treatment applied to the experimentation primitive; "
+    "10000 * lhs > 38416 * rhs encodes 3.8416 exactly). Rates are "
+    "truncating milli integers. Plan: one groupBy(user) scan rollup, "
+    "then a 2-metric unpivot and a 2-row aggregate — the per-user "
+    "rollup is the only shuffle at any scale.",
+)
+def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errored"
+        ),
+    ).withColumn("bucket", F.col("user_id") % 2)
+    metrics = per_user.select(
+        F.lit("purchase_conversion").alias("metric"),
+        "bucket",
+        F.col("converted").alias("hit"),
+    ).unionByName(
+        per_user.select(
+            F.lit("error_incidence").alias("metric"),
+            "bucket",
+            F.col("errored").alias("hit"),
+        )
+    )
+    agg = metrics.groupBy("metric").agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("hit")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    return agg.select(
+        "metric",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.expr("c_a * 1000 div n_a").alias("rate_a_milli"),
+        F.expr("c_b * 1000 div n_b").alias("rate_b_milli"),
+        F.expr("c_b * 1000 div n_b - c_a * 1000 div n_a").alias(
+            "lift_milli"
+        ),
+        F.expr(
+            "10000 * cast(c_a * n_b - c_b * n_a AS DECIMAL(38,0))"
+            " * cast(c_a * n_b - c_b * n_a AS DECIMAL(38,0))"
+            " * cast(n_a + n_b AS DECIMAL(38,0))"
+            " > 38416 * cast(n_a AS DECIMAL(38,0))"
+            " * cast(n_b AS DECIMAL(38,0))"
+            " * cast(c_a + c_b AS DECIMAL(38,0))"
+            " * cast(n_a + n_b - c_a - c_b AS DECIMAL(38,0))"
+        ).alias("significant"),
+    ).orderBy("metric")
+
+
+# --- MASE forecast backtest ------------------------------------------------
+
+_MASE_ORACLE = """
+    WITH ev AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT min(d) AS d0, max(d) AS d1 FROM ev
+    ), types AS (
+        SELECT DISTINCT event_type FROM ev
+    ), spine AS (
+        SELECT t.event_type, s.d
+        FROM types t
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS d
+                    FROM bounds) s
+    ), daily AS (
+        SELECT event_type, d, CAST(sum(cents) AS BIGINT) AS y
+        FROM ev GROUP BY 1, 2
+    ), series AS (
+        SELECT s.event_type, s.d, COALESCE(dy.y, 0) AS y,
+               lag(COALESCE(dy.y, 0), 1) OVER w AS y1,
+               lag(COALESCE(dy.y, 0), 7) OVER w AS y7
+        FROM spine s LEFT JOIN daily dy USING (event_type, d)
+        WINDOW w AS (PARTITION BY s.event_type ORDER BY s.d)
+    ), scored AS (
+        SELECT event_type, d, y, y1, y7,
+               d > (SELECT d1 FROM bounds) - 7 AS holdout
+        FROM series
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN holdout AND y1 IS NOT NULL
+                             THEN abs(y - y1) END) AS BIGINT) AS s_naive,
+               CAST(sum(CASE WHEN holdout AND y7 IS NOT NULL
+                             THEN abs(y - y7) END) AS BIGINT) AS s_snaive,
+               CAST(sum(CASE WHEN NOT holdout AND y1 IS NOT NULL
+                             THEN abs(y - y1) END) AS BIGINT) AS s_train,
+               CAST(sum(CASE WHEN NOT holdout AND y1 IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m_train
+        FROM scored GROUP BY event_type
+    )
+    SELECT event_type,
+           s_naive // 7 AS mae_naive_cents,
+           s_snaive // 7 AS mae_snaive_cents,
+           s_naive * m_train * 1000 // (7 * s_train) AS mase_naive_permille,
+           s_snaive * m_train * 1000 // (7 * s_train)
+               AS mase_snaive_permille,
+           CASE WHEN s_snaive < s_naive THEN 'seasonal_naive'
+                WHEN s_naive < s_snaive THEN 'naive'
+                ELSE 'tie' END AS better_model
+    FROM agg WHERE s_train > 0
+    ORDER BY event_type
+"""
+
+
+@register(
+    "forecast_mase_eval",
+    oracle=_MASE_ORACLE,
+    tags=("timeseries", "forecast", "stats"),
+    doc="Forecast backtest with MASE (Hyndman-Koehler mean absolute "
+    "scaled error — THE scale-free forecast accuracy metric): hold "
+    "out the final 7 days of each event type's zero-filled daily "
+    "revenue series, score the naive (yesterday) and seasonal-naive "
+    "(same weekday last week) forecasters on the holdout, and scale "
+    "both by the in-sample naive MAE — MASE < 1000 permille beats "
+    "the in-sample naive baseline. Completes the forecasting family "
+    "(EWMA / Holt / Croston) with the EVALUATION step that says "
+    "which forecaster to trust. Exact integer cents throughout; the "
+    "single cross-multiplied truncating division per (type, model) "
+    "clears both MAE denominators at once. Plan: per-type zero-fill "
+    "on the generated spine (bounds broadcast), two lag windows in "
+    "one pass, one per-type rollup — linear, one row per type.",
+)
+def forecast_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = F.broadcast(
+        ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(bounds)
+        .select(
+            "event_type",
+            "d1",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        )
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    series = (
+        spine.join(daily, ["event_type", "d"], "left")
+        .withColumn("y", F.coalesce("y", F.lit(0).cast("long")))
+        .withColumn("y1", F.lag("y", 1).over(w))
+        .withColumn("y7", F.lag("y", 7).over(w))
+        .withColumn("holdout", F.col("d") > F.col("d1") - 7)
+    )
+    agg = series.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("holdout") & F.col("y1").isNotNull(),
+                F.abs(F.col("y") - F.col("y1")),
+            )
+        )
+        .cast("long")
+        .alias("s_naive"),
+        F.sum(
+            F.when(
+                F.col("holdout") & F.col("y7").isNotNull(),
+                F.abs(F.col("y") - F.col("y7")),
+            )
+        )
+        .cast("long")
+        .alias("s_snaive"),
+        F.sum(
+            F.when(
+                ~F.col("holdout") & F.col("y1").isNotNull(),
+                F.abs(F.col("y") - F.col("y1")),
+            )
+        )
+        .cast("long")
+        .alias("s_train"),
+        F.sum(
+            F.when(~F.col("holdout") & F.col("y1").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("m_train"),
+    )
+    return (
+        agg.filter(F.col("s_train") > 0)
+        .select(
+            "event_type",
+            F.expr("s_naive div 7").alias("mae_naive_cents"),
+            F.expr("s_snaive div 7").alias("mae_snaive_cents"),
+            F.expr("s_naive * m_train * 1000 div (7 * s_train)").alias(
+                "mase_naive_permille"
+            ),
+            F.expr("s_snaive * m_train * 1000 div (7 * s_train)").alias(
+                "mase_snaive_permille"
+            ),
+            F.when(F.col("s_snaive") < F.col("s_naive"), "seasonal_naive")
+            .when(F.col("s_naive") < F.col("s_snaive"), "naive")
+            .otherwise("tie")
+            .alias("better_model"),
+        )
+        .orderBy("event_type")
+    )

@@ -3,7 +3,7 @@ extensions over ``documents``)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dynamodb_stream_processor_2_0_spark.operators import cdc, dedup
 from dynamodb_stream_processor_2_0_spark.plans.registry import register
@@ -1512,4 +1512,148 @@ def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sz") - 1).alias("n_removable"),
         )
         .orderBy("cluster_size")
+    )
+
+
+# --- content-defined chunking dedup ----------------------------------------
+
+_CDC_MOD = 8  # expected chunk length = 8 tokens (boundary prob 1/8)
+
+_CDC_CHUNK_ORACLE = f"""
+    WITH rawtoks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS gpos
+        FROM rawtoks WHERE tok <> ''
+    ), marked AS (
+        SELECT doc_id, tok, gpos,
+               CASE WHEN gpos > 1 AND
+                    CAST('0x' || substr(md5(
+                        lag(tok) OVER (PARTITION BY doc_id ORDER BY gpos)
+                        || '|' || tok), 1, 8) AS BIGINT) % {_CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS cut
+        FROM toks
+    ), numbered AS (
+        SELECT doc_id, tok, gpos,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY gpos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM marked
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY gpos) AS ctext
+        FROM numbered GROUP BY doc_id, chunk_id
+    ), hashed AS (
+        SELECT doc_id, md5(ctext) AS h, length(ctext) AS n_chars
+        FROM chunks
+    ), gdf AS (
+        SELECT h, count(*) AS df FROM hashed GROUP BY h
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT c.h) AS BIGINT) AS uniq_in_source,
+           CAST(sum(CASE WHEN g.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS global_dup_chunks,
+           CAST(sum(c.n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN g.df > 1 THEN c.n_chars ELSE 0 END) AS BIGINT)
+               AS chars_in_dup_chunks
+    FROM hashed c
+    JOIN gdf g ON g.h = c.h
+    JOIN (SELECT doc_id, source FROM documents) s ON s.doc_id = c.doc_id
+    GROUP BY s.source
+    ORDER BY s.source
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_CDC_CHUNK_ORACLE,
+    tags=("dedup", "text", "llm"),
+    doc="Content-defined chunking dedup (the rsync/LBFS/restic cut-point "
+    "technique): a chunk boundary falls BEFORE token t wherever "
+    "md5(prev_token|t) = 0 mod 8, so boundaries are a function of "
+    "LOCAL content — inserting or deleting a token reshuffles only the "
+    "chunks around the edit instead of re-striding the whole document "
+    "(the failure mode of fixed-size chunking). Expected chunk length "
+    "is 8 tokens; chunks hash to a global store and the report shows, "
+    "per source, how much chunk-level duplication a content-addressed "
+    "store would reclaim — dedup at sub-document grain, between "
+    "paragraph-exact and token-window-exact in the family. Plan: one "
+    "tokenize pass, two stacked per-doc windows (lag mark + prefix-sum "
+    "chunk ids), one (doc,chunk) rollup, one global chunk-hash df agg, "
+    "one per-source rollup — no self-joins, linear in tokens.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk text is rebuilt with an ordered struct sort inside each
+    (doc, chunk) group, so the hash is deterministic regardless of
+    partitioning; the boundary hash and its '0x'-cast oracle twin are
+    bit-identical (house md5-to-BIGINT rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("gpos", F.row_number().over(wpos))
+        .drop("pos")
+    )
+    wg = Window.partitionBy("doc_id").orderBy("gpos")
+    marked = toks.withColumn("prev", F.lag("tok").over(wg)).withColumn(
+        "cut",
+        F.when(
+            (F.col("gpos") > 1)
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "prev", "tok")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CDC_MOD
+                == 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "chunk_id",
+        F.sum("cut").over(wg.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(gpos, tok))),"
+                " s -> s.tok)"
+            ),
+            " ",
+        ).alias("ctext")
+    )
+    hashed = chunks.select(
+        "doc_id",
+        F.md5("ctext").alias("h"),
+        F.length("ctext").alias("n_chars"),
+    ).localCheckpoint(eager=False)
+    gdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.col("df") > 1
+    return (
+        hashed.join(gdf, "h")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("uniq_in_source"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias(
+                "global_dup_chunks"
+            ),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.when(dup, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_in_dup_chunks"),
+        )
+        .orderBy("source")
     )

@@ -800,3 +800,205 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fit_defined"
         ),
     )
+
+
+# --- winnowing fingerprints (MOSS) -----------------------------------------
+
+_WIN_K = 3  # token k-gram width
+_WIN_W = 4  # winnowing window (guarantee: any match >= K+W-1 tokens shares a fp)
+_WIN_DF_CAP = 50  # stop-fingerprint cap: drop fps present in > 50 docs
+_WIN_TOPK = 20
+
+_WINNOW_ORACLE = f"""
+    WITH rawtoks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS gpos
+        FROM rawtoks WHERE tok <> ''
+    ), grams0 AS (
+        SELECT doc_id, gpos,
+               tok || ' '
+                   || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY gpos)
+                   || ' '
+                   || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY gpos)
+                   AS g
+        FROM toks
+    ), grams AS (
+        SELECT * FROM grams0 WHERE g IS NOT NULL
+    ), gstats AS (
+        SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id
+    ), keyed AS (
+        SELECT doc_id, gpos,
+               substr(md5(g), 1, 10)
+                   || lpad(CAST(9999999 - gpos AS VARCHAR), 7, '0') AS k
+        FROM grams
+    ), wins AS (
+        SELECT k.doc_id, k.gpos - d.d AS s, k.k
+        FROM keyed k
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+        JOIN gstats g ON g.doc_id = k.doc_id
+        WHERE k.gpos - d.d >= 1
+          AND k.gpos - d.d <= greatest(1, g.ng - {_WIN_W - 1})
+    ), sel AS (
+        SELECT doc_id, s, min(k) AS mk FROM wins GROUP BY doc_id, s
+    ), fps AS (
+        SELECT DISTINCT doc_id, substr(mk, 1, 10) AS fp FROM sel
+    ), fpdf AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_DF_CAP}
+    ), kept AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN fpdf d ON d.fp = f.fp
+    ), nfp AS (
+        SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), ranked AS (
+        SELECT p.doc_a, p.doc_b, p.shared AS shared_fps,
+               CAST(na.n AS BIGINT) AS fp_a, CAST(nb.n AS BIGINT) AS fp_b,
+               row_number() OVER (
+                   ORDER BY p.shared DESC, p.doc_a ASC, p.doc_b ASC
+               ) AS rank
+        FROM pairs p
+        JOIN nfp na ON na.doc_id = p.doc_a
+        JOIN nfp nb ON nb.doc_id = p.doc_b
+        WHERE p.shared >= 2
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_a, doc_b, shared_fps,
+           fp_a, fp_b
+    FROM ranked WHERE rank <= {_WIN_TOPK}
+    ORDER BY rank
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("text", "dedup", "llm"),
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the "
+    "MOSS algorithm): hash every 3-token k-gram, slide a 4-gram window "
+    "and keep each window's minimum hash (rightmost on ties via a "
+    "position-descending composite key), giving the guarantee that any "
+    "shared run of >= k+w-1 = 6 tokens shares at least one selected "
+    "fingerprint at ~2/(w+1) storage density — the local-sampling "
+    "upgrade over fixed-stride doc_fingerprint. Shared-fingerprint doc "
+    "pairs (df-capped postings, >= 2 shared) rank a top-20 overlap "
+    "report. Plan: the window-min is ONE groupBy(doc, window_start) "
+    "over a w-way explode (no window-in-window), the pair join is the "
+    "inverted index on fingerprint with the standard stop-fingerprint "
+    "df cap bounding posting lists, and the final ranking sorts only "
+    "the surviving pair relation.",
+)
+def text_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composite key hex10||lpad(9999999-gpos) makes min(key) pick
+    (min hash, rightmost position) in one aggregate — both engines
+    compare the pure-ASCII key bytewise. Positions are re-numbered
+    contiguously after the empty-token filter so gram adjacency is
+    split-convention-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("gpos", F.row_number().over(wpos))
+        .drop("pos")
+    )
+    wg = Window.partitionBy("doc_id").orderBy("gpos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "gpos",
+            # concat (not concat_ws): NULL leads must propagate so the
+            # trailing k-1 positions drop, matching the oracle.
+            F.concat(
+                F.col("tok"),
+                F.lit(" "),
+                F.lead("tok", 1).over(wg),
+                F.lit(" "),
+                F.lead("tok", 2).over(wg),
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    gstats = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    keyed = grams.select(
+        "doc_id",
+        "gpos",
+        F.concat(
+            F.substring(F.md5("g"), 1, 10),
+            F.lpad((F.lit(9999999) - F.col("gpos")).cast("string"), 7, "0"),
+        ).alias("k"),
+    )
+    wins = (
+        keyed.join(gstats, "doc_id")
+        .select(
+            "doc_id",
+            "ng",
+            "k",
+            "gpos",
+            F.explode(F.sequence(F.lit(0), F.lit(_WIN_W - 1))).alias("d"),
+        )
+        .select(
+            "doc_id", "ng", "k", (F.col("gpos") - F.col("d")).alias("s")
+        )
+        .filter(
+            (F.col("s") >= 1)
+            & (F.col("s") <= F.greatest(F.lit(1), F.col("ng") - (_WIN_W - 1)))
+        )
+    )
+    sel = wins.groupBy("doc_id", "s").agg(F.min("k").alias("mk"))
+    fps = sel.select(
+        "doc_id", F.substring("mk", 1, 10).alias("fp")
+    ).distinct()
+    fpdf = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .select("fp")
+    )
+    kept = fps.join(fpdf, "fp").localCheckpoint(eager=False)
+    nfp = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+    top = (
+        pairs.join(
+            nfp.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("fp_a")),
+            "doc_a",
+        )
+        .join(
+            nfp.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("fp_b")),
+            "doc_b",
+        )
+        .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+        .limit(_WIN_TOPK)
+    )
+    wrank = Window.orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+    return (
+        top.withColumn("rank", F.row_number().over(wrank))
+        .select(
+            "rank",
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.col("fp_a").cast("long").alias("fp_a"),
+            F.col("fp_b").cast("long").alias("fp_b"),
+        )
+        .orderBy("rank")
+    )

@@ -1176,3 +1176,158 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "node_key")
     )
+
+
+# --- HITS hubs & authorities -----------------------------------------------
+
+_HITS_SCALE = 10**6
+_HITS_TOPK = 10
+
+_HITS_ORACLE = f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), a1 AS (
+        SELECT s, CAST({_HITS_SCALE} AS BIGINT) * count(*) AS v
+        FROM edges GROUP BY s
+    ), a1n AS (
+        SELECT s, v * {_HITS_SCALE} // (SELECT max(v) FROM a1) AS v FROM a1
+    ), h1 AS (
+        SELECT e.c, CAST(sum(a.v) AS BIGINT) AS v
+        FROM edges e JOIN a1n a ON a.s = e.s GROUP BY e.c
+    ), h1n AS (
+        SELECT c, v * {_HITS_SCALE} // (SELECT max(v) FROM h1) AS v FROM h1
+    ), a2 AS (
+        SELECT e.s, CAST(sum(h.v) AS BIGINT) AS v
+        FROM edges e JOIN h1n h ON h.c = e.c GROUP BY e.s
+    ), a2n AS (
+        SELECT s, v * {_HITS_SCALE} // (SELECT max(v) FROM a2) AS v FROM a2
+    ), h2 AS (
+        SELECT e.c, CAST(sum(a.v) AS BIGINT) AS v
+        FROM edges e JOIN a2n a ON a.s = e.s GROUP BY e.c
+    ), h2n AS (
+        SELECT c, v * {_HITS_SCALE} // (SELECT max(v) FROM h2) AS v FROM h2
+    ), hub_deg AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY c
+    ), auth_deg AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY s
+    ), hubs AS (
+        SELECT 'hub' AS node_type, h.c AS node_key, h.v AS score_micro,
+               d.deg AS degree,
+               row_number() OVER (ORDER BY h.v DESC, h.c ASC) AS rank
+        FROM h2n h JOIN hub_deg d ON d.c = h.c
+    ), auths AS (
+        SELECT 'authority' AS node_type, a.s AS node_key, a.v AS score_micro,
+               d.deg AS degree,
+               row_number() OVER (ORDER BY a.v DESC, a.s ASC) AS rank
+        FROM a2n a JOIN auth_deg d ON d.s = a.s
+    )
+    SELECT node_type, node_key, score_micro, degree, CAST(rank AS INTEGER)
+               AS rank
+    FROM (SELECT * FROM hubs WHERE rank <= {_HITS_TOPK}
+          UNION ALL
+          SELECT * FROM auths WHERE rank <= {_HITS_TOPK})
+    ORDER BY node_type, rank
+"""
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_HITS_ORACLE,
+    tags=("graph", "iterative", "scale"),
+    doc="HITS (Kleinberg) hubs & authorities over the bipartite "
+    "customer->supplier purchase graph: two mutual-reinforcement "
+    "rounds — authority = sum of pointing hubs' scores, hub = sum of "
+    "pointed authorities' scores — each round renormalized to a 1e6 "
+    "grid by the iteration MAX (an exact-integer stand-in for the L2 "
+    "norm that preserves the ranking, since normalization is a "
+    "positive scalar either way); broad buyers surface as hubs, "
+    "widely-bought suppliers as authorities — the second classic "
+    "eigenvector ranking next to graph_pagerank_fixpoint, and the "
+    "bipartite structure means HITS here is exactly the SALSA-style "
+    "co-purchase reinforcement recommender signal. All arithmetic is "
+    "BIGINT (scores <= 1e6 * degree, products <= 1e18), divisions "
+    "truncate on non-negatives, so iterations are bit-identical "
+    "cross-engine.",
+)
+def graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per half-iteration: ONE edges||scores join + one groupBy on the
+    receiving side (shuffles on node ids, co-partitionable by
+    pre-bucketing edges), plus a 1-row max aggregate kept IN-PLAN as a
+    broadcast cross join — no driver round-trip. The top-10 cut is
+    sort+limit (TakeOrdered, no global sort); the rank column is a
+    window over the 10 surviving rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _maxnorm(df: DataFrame, key: str) -> DataFrame:
+        mx = F.broadcast(df.agg(F.max("v").alias("mx")))
+        return df.crossJoin(mx).select(
+            key, F.expr(f"v * {_HITS_SCALE}L div mx").alias("v")
+        )
+
+    a1 = edges.groupBy("s").agg(
+        (F.count(F.lit(1)) * _HITS_SCALE).cast("long").alias("v")
+    )
+    a1n = _maxnorm(a1, "s")
+    h1 = edges.join(a1n, "s").groupBy("c").agg(
+        F.sum("v").cast("long").alias("v")
+    )
+    h1n = _maxnorm(h1, "c").localCheckpoint(eager=False)
+    a2 = edges.join(h1n, "c").groupBy("s").agg(
+        F.sum("v").cast("long").alias("v")
+    )
+    a2n = _maxnorm(a2, "s").localCheckpoint(eager=False)
+    h2 = edges.join(a2n, "s").groupBy("c").agg(
+        F.sum("v").cast("long").alias("v")
+    )
+    h2n = _maxnorm(h2, "c")
+    hub_deg = edges.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    auth_deg = edges.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    hubs = (
+        h2n.join(hub_deg, "c")
+        .orderBy(F.col("v").desc(), F.col("c").asc())
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("node_type"),
+            F.col("c").alias("node_key"),
+            F.col("v").alias("score_micro"),
+            "deg",
+        )
+    )
+    auths = (
+        a2n.join(auth_deg, "s")
+        .orderBy(F.col("v").desc(), F.col("s").asc())
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("authority").alias("node_type"),
+            F.col("s").alias("node_key"),
+            F.col("v").alias("score_micro"),
+            "deg",
+        )
+    )
+    wrank = Window.partitionBy("node_type").orderBy(
+        F.col("score_micro").desc(), F.col("node_key").asc()
+    )
+    return (
+        hubs.unionByName(auths)
+        .withColumn("rank", F.row_number().over(wrank))
+        .select(
+            "node_type",
+            "node_key",
+            "score_micro",
+            F.col("deg").alias("degree"),
+            "rank",
+        )
+        .orderBy("node_type", "rank")
+    )

@@ -99,6 +99,12 @@ _MEDIUM_EXTRAS = (
     "lineitem_abc_xyz_classification",
     "text_zipf_fit",
     "approx_stats_scale_path",
+    "text_winnowing_fingerprints",
+    "dedup_cdc_chunks",
+    "graph_hits_hubs_authorities",
+    "events_psi_drift",
+    "events_ab_proportion_test",
+    "forecast_mase_eval",
 )
 
 

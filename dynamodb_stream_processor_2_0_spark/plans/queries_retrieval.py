@@ -766,18 +766,25 @@ _ZIPF_ORACLE = """
     "expected Zipf slope has a generation/boilerplate/dedup problem "
     "upstream (the synthetic ~30-word fixture honestly reads as "
     "strongly non-Zipf, which is exactly what the diagnostic should "
-    "say about it). Plan: one tokenize + vocab rollup; the global "
-    "rank is a WindowGroupLimit-free full ranking over |vocab| rows "
-    "(tiny post-agg relation), then a 1-row moment aggregate.",
+    "say about it). Plan: one tokenize + vocab rollup; the full "
+    "vocabulary ranking runs through the distributed global_rank "
+    "primitive (range exchange + per-partition window + broadcast "
+    "offsets — no single-partition window even though the post-agg "
+    "relation is small), then a 1-row moment aggregate.",
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cf"))
-    wr = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
-    pts = tf.withColumn("rnk", F.row_number().over(wr)).select(
+    pts = global_rank(
+        tf.withColumn("negcf", -F.col("cf")), ["negcf", "tok"], "rnk"
+    ).select(
         (F.length(F.bin("rnk")) - 1).cast("long").alias("x"),
         (F.length(F.bin("cf")) - 1).cast("long").alias("y"),
     )

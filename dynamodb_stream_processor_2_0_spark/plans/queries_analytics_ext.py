@@ -4406,3 +4406,219 @@ def forecast_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- count-min join-size estimation ----------------------------------------
+
+_CMJ_W = 1024  # sketch width (buckets per depth row)
+_CMJ_D = 3  # depth (independent hash rows; estimate = min over rows)
+
+_CMJ_ORACLE = f"""
+    WITH ko AS (
+        SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ), kl AS (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ), exact AS (
+        SELECT CAST(sum(ko.c * kl.c) AS BIGINT) AS exact_size
+        FROM ko JOIN kl ON ko.k = kl.k
+    ), depths AS (
+        SELECT unnest([0, 1, 2]) AS d
+    ), cmo AS (
+        SELECT d.d,
+               CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || CAST(ko.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {_CMJ_W} AS b,
+               CAST(sum(ko.c) AS BIGINT) AS c
+        FROM ko CROSS JOIN depths d GROUP BY 1, 2
+    ), cml AS (
+        SELECT d.d,
+               CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || CAST(kl.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {_CMJ_W} AS b,
+               CAST(sum(kl.c) AS BIGINT) AS c
+        FROM kl CROSS JOIN depths d GROUP BY 1, 2
+    ), per_depth AS (
+        SELECT o.d, CAST(sum(o.c * l.c) AS BIGINT) AS est
+        FROM cmo o JOIN cml l ON l.d = o.d AND l.b = o.b
+        GROUP BY o.d
+    )
+    SELECT (SELECT exact_size FROM exact) AS exact_size,
+           CAST(min(est) AS BIGINT) AS cm_estimate,
+           CAST(min(est) * 1000 // (SELECT exact_size FROM exact) AS BIGINT)
+               AS ratio_permille,
+           min(est) >= (SELECT exact_size FROM exact) AS never_underestimates
+    FROM per_depth
+"""
+
+
+@register(
+    "sketch_cm_join_size_estimate",
+    oracle=_CMJ_ORACLE,
+    tags=("sketch", "scale", "stats"),
+    doc="Join-size estimation by count-min inner product (the AMS-"
+    "lineage estimator query optimizers use to cost a join BEFORE "
+    "running it): |orders JOIN lineitem ON orderkey| = sum_k "
+    "cO(k)*cL(k), estimated as min over 3 independent hash rows of "
+    "the bucketwise product sum of two 1024-bucket count sketches — "
+    "each table is summarized INDEPENDENTLY (the sketches are "
+    "mergeable, so 100 TB fact tables reduce to 3x1024 counters via "
+    "map-side partial aggs and never meet until the tiny sketch "
+    "join), and CM inner product never underestimates, which the "
+    "gate asserts alongside the realized permille ratio against the "
+    "exact size computed from the same per-key rollups (never the "
+    "materialized join). Completes the sketch family's query-"
+    "planning arm next to count-min point counts, KMV set algebra, "
+    "HLL distincts, and the histogram quantile sketch.",
+)
+def sketch_cm_join_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash = house md5-to-BIGINT rule, salted by depth; every count "
+    "is exact BIGINT so the estimator is bit-identical cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ko = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    kl = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = F.broadcast(
+        ko.join(kl.withColumnRenamed("c", "cl"), "k").agg(
+            F.sum(F.col("c") * F.col("cl")).cast("long").alias("exact_size")
+        )
+    )
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "k",
+                "c",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(_CMJ_D - 1))
+                ).alias("d"),
+            )
+            .select(
+                "d",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("d").cast("string"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMJ_W
+                ).alias("b"),
+                "c",
+            )
+            .groupBy("d", "b")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    cmo = _sketch(ko)
+    cml = _sketch(kl).withColumnRenamed("c", "cl")
+    per_depth = (
+        cmo.join(cml, ["d", "b"])
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("cl")).cast("long").alias("est"))
+    )
+    return per_depth.crossJoin(exact).agg(
+        F.max("exact_size").alias("exact_size"),
+        F.min("est").cast("long").alias("cm_estimate"),
+        F.expr("cast(min(est) * 1000 div max(exact_size) as bigint)").alias(
+            "ratio_permille"
+        ),
+        (F.min("est") >= F.max("exact_size")).alias("never_underestimates"),
+    )
+
+
+# --- exact rank-based AUC (Mann-Whitney) -----------------------------------
+
+_AUC_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ), ranked AS (
+        SELECT label,
+               CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC)
+                    AS BIGINT) AS rnk
+        FROM scored
+    ), agg AS (
+        SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(1 - label) AS BIGINT) AS n_neg,
+               CAST(sum(CASE WHEN label = 1 THEN rnk ELSE 0 END) AS BIGINT)
+                   AS rank_sum_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           (rank_sum_pos - n_pos * (n_pos + 1) // 2) AS u_statistic,
+           (rank_sum_pos - n_pos * (n_pos + 1) // 2) * 1000
+               // (n_pos * n_neg) AS auc_permille,
+           (rank_sum_pos - n_pos * (n_pos + 1) // 2) * 2000
+               // (n_pos * n_neg) - 1000 AS gini_milli
+    FROM agg
+"""
+
+
+@register(
+    "eval_auc_mann_whitney",
+    oracle=_AUC_ORACLE,
+    tags=("stats", "eval", "llm"),
+    doc="Exact ROC AUC via the Mann-Whitney U identity — AUC = "
+    "(rank-sum of positives - nP(nP+1)/2) / (nP*nN) — the standard "
+    "eval for any scalar quality/classifier score against a binary "
+    "label, computed WITHOUT materializing the O(nP*nN) pair "
+    "comparisons the definition implies. Here it scores doc length "
+    "(n_chars) as a predictor of lang='en' — a deliberately weak "
+    "baseline whose ~500-permille AUC is itself the honest reading "
+    "(the fixture's doc length carries no language signal; the "
+    "operator is the evaluation primitive a real classifier column "
+    "plugs into). The ranking runs through the distributed "
+    "global_rank primitive (range exchange + broadcast offsets, no "
+    "single-task window), ties broken by doc_id so the order is "
+    "total and both engines agree bit-for-bit (documented: this is "
+    "the tie-broken AUC; with a continuous score it equals the "
+    "classical one). One scan, one distributed rank, one 1-row "
+    "aggregate — linear at any scale.",
+)
+def eval_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    ranked = global_rank(scored, ["score", "doc_id"], "rnk")
+    agg = ranked.agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("rank_sum_pos"),
+    )
+    u = "(rank_sum_pos - n_pos * (n_pos + 1) div 2)"
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(u).cast("long").alias("u_statistic"),
+        F.expr(f"{u} * 1000 div (n_pos * n_neg)")
+        .cast("long")
+        .alias("auc_permille"),
+        F.expr(f"{u} * 2000 div (n_pos * n_neg) - 1000")
+        .cast("long")
+        .alias("gini_milli"),
+    )

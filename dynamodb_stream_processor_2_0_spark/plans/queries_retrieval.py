@@ -1009,3 +1009,123 @@ def text_winnowing_fingerprints(
         )
         .orderBy("rank")
     )
+
+
+# --- Heaps' law vocabulary-growth fit --------------------------------------
+
+_HEAPS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), toks2 AS (
+        SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+        FROM toks2 GROUP BY doc_id
+    ), first_occ AS (
+        SELECT tok, min(doc_id) AS fdoc FROM toks2 GROUP BY tok
+    ), new_types AS (
+        SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT) AS nv
+        FROM first_occ GROUP BY fdoc
+    ), curve AS (
+        SELECT p.doc_id,
+               sum(p.nt) OVER w AS cumtok,
+               sum(COALESCE(n.nv, 0)) OVER w AS cumvocab
+        FROM per_doc p LEFT JOIN new_types n USING (doc_id)
+        WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+    ), pts AS (
+        SELECT CAST(length(bin(cumtok)) - 1 AS BIGINT) AS x,
+               CAST(length(bin(cumvocab)) - 1 AS BIGINT) AS y
+        FROM curve
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_docs,
+           CAST((SELECT max(cumtok) FROM curve) AS BIGINT) AS total_tokens,
+           CAST((SELECT max(cumvocab) FROM curve) AS BIGINT) AS vocab_size,
+           (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+               * (abs(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+               AS heaps_beta_milli,
+           n * sxx - sx * sx > 0 AS fit_defined
+    FROM m
+"""
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    tags=("text", "llm", "stats"),
+    doc="Heaps'-law vocabulary-growth fit, the companion diagnostic to "
+    "text_zipf_fit: V(n) ~ K * n^beta, with beta estimated as the "
+    "least-squares slope of log2(cumulative vocab) vs log2(cumulative "
+    "tokens) sampled at each document boundary in doc_id order — "
+    "natural corpora fit beta ~ 0.4-0.6; a corpus whose vocabulary "
+    "growth flatlines early (like this synthetic fixture's closed "
+    "vocab) is template/boilerplate-heavy, and one that grows "
+    "linearly is noise/ID-heavy — both upstream-pipeline signals. "
+    "Both cumulative curves are DISTRIBUTED prefix sums over the "
+    "per-doc rollup (global_running_sum: range exchange + broadcast "
+    "offsets, no single-task window); the first-occurrence relation "
+    "is one min-aggregate per token; logs are exact bitlen integers "
+    "and the slope is the house sign-extracted scaled quotient.",
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    base = per_doc.join(new_types, "doc_id", "left").withColumn(
+        "nv", F.coalesce("nv", F.lit(0).cast("long"))
+    )
+    curve = global_running_sum(
+        global_running_sum(base, ["doc_id"], "nt", "cumtok"),
+        ["doc_id"],
+        "nv",
+        "cumvocab",
+    )
+    pts = curve.select(
+        "cumtok",
+        "cumvocab",
+        (F.length(F.bin("cumtok")) - 1).cast("long").alias("x"),
+        (F.length(F.bin("cumvocab")) - 1).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("cumtok").alias("total_tokens"),
+        F.max("cumvocab").alias("vocab_size"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        "total_tokens",
+        "vocab_size",
+        F.expr(
+            "(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+        )
+        .cast("long")
+        .alias("heaps_beta_milli"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0).alias(
+            "fit_defined"
+        ),
+    )

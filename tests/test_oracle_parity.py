@@ -105,6 +105,9 @@ _MEDIUM_EXTRAS = (
     "events_psi_drift",
     "events_ab_proportion_test",
     "forecast_mase_eval",
+    "sketch_cm_join_size_estimate",
+    "text_heaps_law_fit",
+    "eval_auc_mann_whitney",
 )
 
 

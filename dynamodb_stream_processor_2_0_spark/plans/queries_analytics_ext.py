@@ -4622,3 +4622,207 @@ def eval_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_milli"),
     )
+
+
+# --- binary-segmentation changepoint ---------------------------------------
+
+_CHANGEPOINT_ORACLE = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1, 2
+    ), pre AS (
+        SELECT event_type, day, y,
+               CAST(row_number() OVER w AS BIGINT) AS t,
+               CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS s_tot
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), gains0 AS (
+        SELECT event_type, day, t, n, s, s_tot,
+               s * (n - t) - (s_tot - s) * t AS num
+        FROM pre WHERE t < n
+    ), gains AS (
+        SELECT event_type, day, t, n, s, s_tot,
+               (CASE WHEN num >= 0 THEN 1 ELSE -1 END) * (abs(num) >>
+                   greatest(length(bin(max(abs(num)) OVER
+                       (PARTITION BY event_type))) - 30, 0)) AS numq
+        FROM gains0
+    ), best AS (
+        SELECT event_type, day, t, n, s, s_tot,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (numq * numq) // (t * (n - t)) DESC, day ASC
+               ) AS rnk
+        FROM gains
+    )
+    SELECT event_type,
+           CAST(day AS VARCHAR) AS split_day,
+           t AS n_before,
+           n - t AS n_after,
+           s // t AS mean_before_cents,
+           (s_tot - s) // (n - t) AS mean_after_cents,
+           (s_tot - s) // (n - t) - s // t AS shift_cents
+    FROM best WHERE rnk = 1
+    ORDER BY event_type
+"""
+
+
+@register(
+    "events_changepoint_binary_seg",
+    oracle=_CHANGEPOINT_ORACLE,
+    tags=("timeseries", "stats"),
+    doc="Level-shift changepoint by binary segmentation (one split): "
+    "per event type, the split day maximizing the between-segment "
+    "squared-mean gap weighted by segment sizes — argmax over t of "
+    "(S_t*(n-t) - (S-S_t)*t)^2 / (t*(n-t)), the CUSUM-family "
+    "LOCATOR that names WHERE the shift happened (the registered "
+    "CUSUM op only says THAT it happened). The argmax gain key is "
+    "the house shift-quantized BIGINT: the numerator (headroom "
+    "sum(cents)*days < 2^63, fine past 100 TB-scale daily grids) is "
+    "right-shifted to 30 bits by a per-type window max before "
+    "squaring, so the squared key never leaves BIGINT and both "
+    "engines pick the argmax of the IDENTICAL quantized gain (day "
+    "tiebreak; Spark decimal div wraps past 2^63, so the decimal "
+    "route is not exact and is avoided), and only integer segment "
+    "means reach the output. Plan: daily rollup, per-type prefix-sum "
+    "windows "
+    "(bounded by |days| per partition), a rank window per type — "
+    "no self-joins, no day x day pair relation.",
+)
+def events_changepoint_binary_seg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    pre = (
+        daily.withColumn("t", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "s",
+            F.sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wa).cast("long"))
+        .withColumn("s_tot", F.sum("y").over(wa))
+    )
+    gains0 = pre.filter(F.col("t") < F.col("n")).withColumn(
+        "num", F.expr("s * (n - t) - (s_tot - s) * t")
+    )
+    # Quantize |num| to <= 30 bits by a per-type arithmetic right shift
+    # (window max, same relation) so numq^2 stays inside BIGINT at any
+    # scale; the argmax is of the quantized gain, identically on both
+    # engines (Spark decimal `div` silently wraps past 2^63, so the
+    # decimal route is NOT exact — the shift route is).
+    gains = gains0.withColumn(
+        "numq",
+        F.expr(
+            "(CASE WHEN num >= 0 THEN 1 ELSE -1 END) * shiftright(abs(num),"
+            " cast(greatest(length(bin(max(abs(num)) OVER"
+            " (PARTITION BY event_type))) - 30, 0) as int))"
+        ),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.expr("(numq * numq) div (t * (n - t))").desc(), F.col("day").asc()
+    )
+    return (
+        gains.withColumn("rnk", F.row_number().over(wbest))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("split_day"),
+            F.col("t").alias("n_before"),
+            (F.col("n") - F.col("t")).alias("n_after"),
+            F.expr("s div t").alias("mean_before_cents"),
+            F.expr("(s_tot - s) div (n - t)").alias("mean_after_cents"),
+            F.expr("(s_tot - s) div (n - t) - s div t").alias("shift_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- compaction bin-packing planner ----------------------------------------
+
+_COMPACT_TARGET = 4096  # records per output file
+
+_COMPACTION_ORACLE = f"""
+    WITH files AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS records
+        FROM orders GROUP BY 1
+    ), planned AS (
+        SELECT day, records,
+               (CAST(sum(records) OVER (ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - records)
+                   // {_COMPACT_TARGET} AS bin
+        FROM files
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_input_files,
+           CAST(sum(records) AS BIGINT) AS records,
+           CAST(min(day) AS VARCHAR) AS first_day,
+           CAST(max(day) AS VARCHAR) AS last_day,
+           CAST(sum(records) AS BIGINT) * 1000 // {_COMPACT_TARGET}
+               AS fill_permille
+    FROM planned GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "storage_compaction_bin_packing",
+    oracle=_COMPACTION_ORACLE,
+    tags=("scale", "layout"),
+    doc="Small-file compaction planner (the Iceberg/Delta OPTIMIZE "
+    "preflight): treat each day's rows as one input file and assign "
+    "files to output bins of ~4096 records by EXCLUSIVE prefix sum "
+    "div target — contiguous-in-sort-order packing that preserves "
+    "day clustering (so min/max zone maps stay tight after "
+    "compaction, unlike size-sorted first-fit which shreds "
+    "locality). The plan report shows per-bin file counts, record "
+    "totals, day span, and fill ratio; the one overfull/underfull "
+    "bin at each boundary is the known cost of the streaming-safe "
+    "one-pass assignment (first-fit-decreasing would need a global "
+    "sort by size AND loses clustering). Plan: one rollup + the "
+    "prefix sum + one bin rollup. The in-query prefix sum runs in a "
+    "per-'table' window here (one partition per table being "
+    "compacted is the real deployment grain); for a single 100 TB "
+    "table the distributed global_running_sum primitive swaps in "
+    "with the same semantics (the backlog/shard-manifest ops "
+    "already run that shape).",
+)
+def storage_compaction_bin_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("records"))
+    planned = global_running_sum(files, ["day"], "records", "cum").select(
+        "day",
+        "records",
+        F.expr(f"(cum - records) div {_COMPACT_TARGET}").alias("bin"),
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input_files"),
+            F.sum("records").cast("long").alias("records"),
+            F.min("day").cast("string").alias("first_day"),
+            F.max("day").cast("string").alias("last_day"),
+            F.expr(f"sum(records) * 1000 div {_COMPACT_TARGET}").alias(
+                "fill_permille"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -1251,3 +1251,159 @@ def embedding_ann_ivf_nprobe_sweep(
     for arm in arms[1:]:
         out = out.unionByName(arm)
     return out.orderBy("nprobe")
+
+
+# --- embedding centroid drift ----------------------------------------------
+
+_DRIFT_Q = 10000  # same 1e4 quantization grid as the PCA operator
+
+_CENTROID_DRIFT_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                    * {_DRIFT_Q}) AS BIGINT) AS q
+        FROM embeddings
+    ), halves0 AS (
+        SELECT half, dim, CAST(sum(q) AS BIGINT) AS c,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+        FROM ex GROUP BY half, dim
+    ), sh AS (
+        SELECT greatest(length(bin(max(abs(c)))) - 20, 0) AS sh
+        FROM halves0
+    ), halves AS (
+        SELECT half, dim, n,
+               (CASE WHEN c >= 0 THEN 1 ELSE -1 END)
+                   * (abs(c) >> (SELECT sh FROM sh)) AS c
+        FROM halves0
+    ), joined AS (
+        SELECT a.dim, a.c AS ca, b.c AS cb
+        FROM halves a JOIN halves b
+            ON b.dim = a.dim AND a.half = 0 AND b.half = 1
+    ), moments AS (
+        SELECT CAST(sum(CAST(ca AS DECIMAL(38, 0))
+                        * CAST(cb AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                   AS dot,
+               CAST(sum(CAST(ca AS DECIMAL(38, 0))
+                        * CAST(ca AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                   AS ssa,
+               CAST(sum(CAST(cb AS DECIMAL(38, 0))
+                        * CAST(cb AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                   AS ssb,
+               CAST(count(*) AS BIGINT) AS dims
+        FROM joined
+    ), counts AS (
+        SELECT CAST(max(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_a,
+               CAST(max(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_b
+        FROM halves
+    )
+    SELECT c.n_a, c.n_b, m.dims,
+           m.dot >= 0 AS aligned,
+           CASE WHEN m.dot < 0 OR 1000 * m.dot * m.dot < 900 * m.ssa * m.ssb
+                    THEN 'drifted'
+                WHEN 1000 * m.dot * m.dot < 990 * m.ssa * m.ssb
+                    THEN 'watch'
+                WHEN 10000 * m.dot * m.dot < 9990 * m.ssa * m.ssb
+                    THEN 'stable'
+                ELSE 'identical' END AS drift_band
+    FROM moments m, counts c
+"""
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=_CENTROID_DRIFT_ORACLE,
+    tags=("similarity", "stats", "llm"),
+    doc="Embedding-space drift monitor: cosine between the centroids of "
+    "two cohorts (vec_id parity stands in for the old/new snapshot "
+    "split) — the embedding-side complement to events_psi_drift, the "
+    "check a retrained or re-embedded corpus runs before trusting "
+    "ANN indexes built on the old geometry. House exactness: "
+    "coordinates quantize to the PCA operator's 1e4 grid, centroids "
+    "stay as SUM vectors renormalized to 20 bits by a shared "
+    "arithmetic right shift (cosine is invariant under positive "
+    "scaling; the bound keeps the squared products inside "
+    "DECIMAL(38,0) at any corpus size), and cos^2 comparisons "
+    "against the 0.9/0.99/"
+    "0.999 thresholds are cleared of all divisions and square roots "
+    "into DECIMAL(38,0) cross-multiplications (1000*dot^2 vs "
+    "900*|a|^2|b|^2 etc.), with the dot sign reported separately "
+    "since squaring loses it. Plan: one explode + one groupBy(half, "
+    "dim) — 128 rows out of any corpus size — then constant-size "
+    "joins; the per-dim partial sums are map-side combinable, so "
+    "at 100 TB this is a single scan-reduce.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i0", "vi"),
+    ).select(
+        "vec_id",
+        "half",
+        (F.col("i0") + 1).alias("dim"),
+        F.round(F.col("vi").cast("double") * _DRIFT_Q)
+        .cast("long")
+        .alias("q"),
+    )
+    halves0 = ex.groupBy("half", "dim").agg(
+        F.sum("q").cast("long").alias("c"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    # Renormalize centroid sums to <= 20 bits by a shared arithmetic
+    # right shift (the PCA renorm idiom): cosine is invariant under
+    # positive scaling, and the bound keeps 1000*dot^2 inside
+    # DECIMAL(38,0) at ANY corpus size (raw sums overflow past ~1e5
+    # vectors on the 1e4 grid).
+    sh = F.broadcast(
+        halves0.agg(
+            F.greatest(
+                F.length(F.bin(F.max(F.abs("c")))) - 20, F.lit(0)
+            ).alias("sh")
+        )
+    )
+    halves = halves0.crossJoin(sh).select(
+        "half",
+        "dim",
+        "n",
+        F.expr(
+            "(CASE WHEN c >= 0 THEN 1 ELSE -1 END)"
+            " * shiftright(abs(c), cast(sh as int))"
+        ).alias("c"),
+    )
+    a = halves.filter(F.col("half") == 0).select(
+        "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = halves.filter(F.col("half") == 1).select(
+        "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    joined = a.join(b, "dim")
+    dec = "cast({} as decimal(38,0))"
+    moments = joined.agg(
+        F.sum(
+            F.expr(dec.format("ca")) * F.expr(dec.format("cb"))
+        ).alias("dot"),
+        F.sum(
+            F.expr(dec.format("ca")) * F.expr(dec.format("ca"))
+        ).alias("ssa"),
+        F.sum(
+            F.expr(dec.format("cb")) * F.expr(dec.format("cb"))
+        ).alias("ssb"),
+        F.count(F.lit(1)).cast("long").alias("dims"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return moments.select(
+        "n_a",
+        "n_b",
+        "dims",
+        (F.col("dot") >= 0).alias("aligned"),
+        F.expr(
+            "CASE WHEN dot < 0 OR 1000 * dot * dot < 900 * ssa * ssb"
+            " THEN 'drifted'"
+            " WHEN 1000 * dot * dot < 990 * ssa * ssb THEN 'watch'"
+            " WHEN 10000 * dot * dot < 9990 * ssa * ssb THEN 'stable'"
+            " ELSE 'identical' END"
+        ).alias("drift_band"),
+    )

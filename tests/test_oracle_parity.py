@@ -108,6 +108,9 @@ _MEDIUM_EXTRAS = (
     "sketch_cm_join_size_estimate",
     "text_heaps_law_fit",
     "eval_auc_mann_whitney",
+    "embedding_centroid_drift",
+    "events_changepoint_binary_seg",
+    "storage_compaction_bin_packing",
 )
 
 

@@ -204,25 +204,9 @@ def _lpa_oracle_sql(iters: int = _LPA_ITERS) -> str:
     """
 
 
-@register(
-    "graph_label_propagation",
-    oracle=_lpa_oracle_sql(),
-    tags=("graph", "iterative", "llm", "scale"),
-    doc="Synchronous mode-vote label propagation (3 rounds) over the "
-    "purchase graph: each node adopts its neighbors' most frequent "
-    "label, ties broken by smallest label — fully deterministic, "
-    "unlike classic randomized LPA. Distinct from connected components "
-    "(dedup_cluster_assign's min-label flood): mode-voting finds DENSE "
-    "communities inside one giant component — the spam-cluster / "
-    "topic-cluster triage step. Per round: one edges||labels join + "
-    "one (node,label) count + one per-node argmax window — 3 shuffles "
-    "on node id, co-partitionable by bucketing edges on src at 100 TB.",
-)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax-by-(count desc, label asc) via row_number keeps every
-    round bit-deterministic; labels stay node ids (BIGINT) so the
-    community id is itself stable cross-engine."""
-    edges = _undirected_edges(spark, sf_dir)
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """The shared 3-round mode-vote label loop (see
+    graph_label_propagation's doc for the shuffle budget)."""
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -242,6 +226,29 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
+    return labels
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle_sql(),
+    tags=("graph", "iterative", "llm", "scale"),
+    doc="Synchronous mode-vote label propagation (3 rounds) over the "
+    "purchase graph: each node adopts its neighbors' most frequent "
+    "label, ties broken by smallest label — fully deterministic, "
+    "unlike classic randomized LPA. Distinct from connected components "
+    "(dedup_cluster_assign's min-label flood): mode-voting finds DENSE "
+    "communities inside one giant component — the spam-cluster / "
+    "topic-cluster triage step. Per round: one edges||labels join + "
+    "one (node,label) count + one per-node argmax window — 3 shuffles "
+    "on node id, co-partitionable by bucketing edges on src at 100 TB.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-by-(count desc, label asc) via row_number keeps every
+    round bit-deterministic; labels stay node ids (BIGINT) so the
+    community id is itself stable cross-engine."""
+    edges = _undirected_edges(spark, sf_dir)
+    labels = _lpa_labels(edges)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -4825,4 +4832,220 @@ def storage_compaction_bin_packing(
             ),
         )
         .orderBy("bin")
+    )
+
+
+# --- modularity of the LPA partition ---------------------------------------
+
+
+def _modularity_oracle_sql() -> str:
+    lpa = _lpa_oracle_sql()
+    # Reuse the LPA oracle's CTE chain up to l3, then append the
+    # modularity algebra on top of the same labels.
+    ctes = lpa.split("SELECT CAST(label AS BIGINT)")[0].strip()
+    assert ctes.startswith("WITH") and ctes.endswith(")")
+    return f"""
+        {ctes}, deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1
+        ), twom AS (
+            SELECT CAST(count(*) AS BIGINT) AS e2 FROM edges
+        ), nl AS (
+            SELECT node, label FROM l{_LPA_ITERS}
+        ), intra AS (
+            SELECT la.label, CAST(count(*) AS BIGINT) AS e2c
+            FROM edges e
+            JOIN nl la ON la.node = e.src
+            JOIN nl lb ON lb.node = e.dst
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ), dc AS (
+            SELECT la.label, CAST(sum(d.d) AS BIGINT) AS dc
+            FROM nl la JOIN deg d ON d.node = la.node
+            GROUP BY la.label
+        ), comm AS (
+            SELECT d.label, COALESCE(i.e2c, 0) AS e2c, d.dc
+            FROM dc d LEFT JOIN intra i ON i.label = d.label
+        ), nsum AS (
+            SELECT CAST(sum((SELECT e2 FROM twom) * e2c - dc * dc)
+                        AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_comm
+            FROM comm
+        )
+        SELECT n_comm AS n_communities,
+               (SELECT e2 FROM twom) // 2 AS m_undirected,
+               (CASE WHEN n >= 0 THEN 1 ELSE -1 END)
+                   * (abs(n) * 1000000
+                      // ((SELECT e2 FROM twom) * (SELECT e2 FROM twom)))
+                   AS q_micro
+        FROM nsum
+    """
+
+
+@register(
+    "graph_modularity_score",
+    oracle=_modularity_oracle_sql(),
+    tags=("graph", "iterative", "stats"),
+    doc="Newman modularity Q of the LPA community partition — the "
+    "quality metric that says whether the communities the mode-vote "
+    "found are real structure or noise (Q ~ 0: no better than random "
+    "given the degree sequence; Q > 0.3: strong structure). Closes "
+    "the community-detection loop: graph_label_propagation finds the "
+    "partition, this op scores it. Exact rational: with the doubled "
+    "edge list (2m rows), Q = sum_c(2m * e2_c - d_c^2) / (2m)^2, "
+    "emitted as a sign-extracted 1e6-grid truncating quotient "
+    "(numerator headroom |N| <= (2m)^2 ~ 2^63 at ~2e9 directed "
+    "edges; past that, drop the micro grid to milli or right-shift N "
+    "— documented knob, same trade as the changepoint key). Plan: "
+    "the LPA rounds (3 node-id shuffles), then ONE edges||labels "
+    "join per endpoint for intra-edge counts, a degree rollup, and "
+    "1-row broadcast totals — no pair materialization beyond the "
+    "edge list itself.",
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _undirected_edges(spark, sf_dir)
+    labels = _lpa_labels(edges).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    twom = F.broadcast(edges.agg(F.count(F.lit(1)).cast("long").alias("e2")))
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e2c"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    comm = dc.join(intra, "label", "left").select(
+        "label",
+        F.coalesce("e2c", F.lit(0).cast("long")).alias("e2c"),
+        "dc",
+    )
+    nsum = comm.crossJoin(twom).agg(
+        F.sum(F.expr("e2 * e2c - dc * dc")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_comm"),
+        F.max("e2").alias("e2"),
+    )
+    return nsum.select(
+        F.col("n_comm").alias("n_communities"),
+        F.expr("e2 div 2").alias("m_undirected"),
+        F.expr(
+            "(CASE WHEN n >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(n) * 1000000 div (e2 * e2))"
+        )
+        .cast("long")
+        .alias("q_micro"),
+    )
+
+
+# --- row-pattern matching (MATCH_RECOGNIZE emulation) ----------------------
+
+_VSHAPE_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS v1,
+               lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS v2,
+               lead(CAST(round(value * 100) AS BIGINT), 3) OVER w AS v3,
+               lead(CAST(round(value * 100) AS BIGINT), 4) OVER w AS v4
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    ), hits AS (
+        SELECT user_id, event_type, v - v2 AS trough_drop
+        FROM seq
+        WHERE v1 < v AND v2 < v1 AND v3 > v2 AND v4 > v3
+    )
+    SELECT e.event_type,
+           CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(COALESCE(h.users_with_match, 0) AS BIGINT)
+               AS users_with_match,
+           CAST(COALESCE(h.max_trough_drop_cents, 0) AS BIGINT)
+               AS max_trough_drop_cents
+    FROM (SELECT DISTINCT event_type FROM events) e
+    LEFT JOIN (
+        SELECT event_type, count(*) AS n_matches,
+               count(DISTINCT user_id) AS users_with_match,
+               max(trough_drop) AS max_trough_drop_cents
+        FROM hits GROUP BY event_type
+    ) h USING (event_type)
+    ORDER BY event_type
+"""
+
+
+@register(
+    "events_pattern_vshape_match",
+    oracle=_VSHAPE_ORACLE,
+    tags=("timeseries", "pattern"),
+    doc="Row-pattern matching (the MATCH_RECOGNIZE capability Spark "
+    "lacks as syntax): detect V-shaped value trajectories — two "
+    "strictly-down steps followed by two strictly-up steps — in each "
+    "(user, event_type) event sequence ordered by (ts, event_id). "
+    "Fixed-length row patterns compile EXACTLY to a conjunction over "
+    "lead() offsets in ONE window pass (no self-joins, no UDF state "
+    "machine); variable-length (Kleene) patterns would compile to "
+    "the gaps-and-islands primitives this repo already registers "
+    "(events_streak_islands, text_rake_keywords). Reports per-type "
+    "match counts, matching-user counts, and the deepest trough on "
+    "the exact cents grid. Plan: one per-(user,type) window shuffle, "
+    "one rollup — linear in events, per-key state is 4 lead slots.",
+)
+def events_pattern_vshape_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100).cast("long")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        v.alias("v"),
+        F.lead(v, 1).over(w).alias("v1"),
+        F.lead(v, 2).over(w).alias("v2"),
+        F.lead(v, 3).over(w).alias("v3"),
+        F.lead(v, 4).over(w).alias("v4"),
+    )
+    hits = seq.filter(
+        (F.col("v1") < F.col("v"))
+        & (F.col("v2") < F.col("v1"))
+        & (F.col("v3") > F.col("v2"))
+        & (F.col("v4") > F.col("v3"))
+    ).select(
+        "user_id", "event_type", (F.col("v") - F.col("v2")).alias("drop")
+    )
+    per_type = hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.countDistinct("user_id").cast("long").alias("users_with_match"),
+        F.max("drop").cast("long").alias("max_trough_drop_cents"),
+    )
+    types = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        types.join(per_type, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            F.coalesce("users_with_match", F.lit(0).cast("long")).alias(
+                "users_with_match"
+            ),
+            F.coalesce(
+                "max_trough_drop_cents", F.lit(0).cast("long")
+            ).alias("max_trough_drop_cents"),
+        )
+        .orderBy("event_type")
     )

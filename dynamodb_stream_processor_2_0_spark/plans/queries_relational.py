@@ -574,6 +574,35 @@ def sql_api_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHARED_ANSI_SQL)
 
 
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all_dialect",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("relational", "sql-api"),
+    doc="SQL front-end: GROUP BY ALL + ORDER BY ALL (the Spark 4 / "
+    "DuckDB shared dialect extension — grouping keys inferred as "
+    "every non-aggregate select item, ordering over the full select "
+    "list) — the SAME string runs on both engines, proving the "
+    "dialect feature is semantically transparent the way the "
+    "parameterized-query and pipe-syntax entries do for theirs. "
+    "Plan: identical to the explicit GROUP BY (one partial-agg "
+    "shuffle); ALL resolution happens entirely in the analyzer.",
+)
+def sql_group_by_all_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 @register(
     "q6_forecast_revenue",
     oracle=f"""

@@ -1129,3 +1129,101 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fit_defined"
         ),
     )
+
+
+# --- cross-source quantile normalization -----------------------------------
+
+_QNORM_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+        FROM documents
+    ), per_src AS (
+        SELECT doc_id, source, score,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score ASC, doc_id ASC) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM scored
+    ), gref AS (
+        SELECT score AS gval,
+               CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC)
+                    AS BIGINT) AS g
+        FROM scored
+    ), mapped AS (
+        SELECT p.source, p.score,
+               (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_total,
+               g2.gval AS norm
+        FROM per_src p
+        JOIN gref g2
+          ON g2.g = (p.r - 1)
+                    * (SELECT CAST(count(*) AS BIGINT) FROM scored)
+                    // p.ns + 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score) AS BIGINT) AS raw_sum,
+           CAST(sum(norm) AS BIGINT) AS norm_sum,
+           CAST(min(norm) AS BIGINT) AS norm_min,
+           CAST(max(norm) AS BIGINT) AS norm_max
+    FROM mapped GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "text_quantile_normalize_sources",
+    oracle=_QNORM_ORACLE,
+    tags=("text", "llm", "stats"),
+    doc="Cross-source quantile normalization (the microarray-heritage "
+    "technique LLM pipelines use to make quality scores from "
+    "different raters/classifiers comparable before mixing): each "
+    "doc's score is replaced by the GLOBAL score at the same "
+    "quantile position — rank r of n_s in its source maps to global "
+    "sorted index (r-1)*N div n_s + 1 — so every source's "
+    "normalized distribution is a subsample of the one reference "
+    "distribution (norm_sum nearly equal across equal-sized "
+    "sources = the calibration worked; raw_sum spread shows the "
+    "pre-normalization bias). Exact integer ranks both sides, "
+    "doc_id tiebreaks everywhere. Plan: per-source ranks are "
+    "partitioned windows; the reference distribution is the "
+    "distributed global_rank; the mapping join is an equi-join on "
+    "the computed index — no quadratic quantile lookup.",
+)
+def text_quantile_normalize_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+    ).localCheckpoint(eager=False)
+    wsrc = Window.partitionBy("source").orderBy("score", "doc_id")
+    per_src = scored.withColumn(
+        "r", F.row_number().over(wsrc).cast("long")
+    ).withColumn(
+        "ns",
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long"),
+    )
+    glob = global_rank(scored, ["score", "doc_id"], "g").select(
+        F.col("g"), F.col("score").alias("gval")
+    )
+    n_total = F.broadcast(
+        scored.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    mapped = (
+        per_src.crossJoin(n_total)
+        .withColumn("g", F.expr("(r - 1) * n_total div ns + 1"))
+        .join(glob, "g")
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("raw_sum"),
+            F.sum("gval").cast("long").alias("norm_sum"),
+            F.min("gval").cast("long").alias("norm_min"),
+            F.max("gval").cast("long").alias("norm_max"),
+        )
+        .orderBy("source")
+    )

@@ -111,6 +111,10 @@ _MEDIUM_EXTRAS = (
     "embedding_centroid_drift",
     "events_changepoint_binary_seg",
     "storage_compaction_bin_packing",
+    "graph_modularity_score",
+    "events_pattern_vshape_match",
+    "sql_group_by_all_dialect",
+    "text_quantile_normalize_sources",
 )
 
 

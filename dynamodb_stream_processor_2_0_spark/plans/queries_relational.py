@@ -741,9 +741,9 @@ def approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
         F.percentile_approx("value", [0.5, 0.99], 10000).alias("_pcts"),
-        F.percentile("value", 0.45).alias("_lo50"),
-        F.percentile("value", 0.55).alias("_hi50"),
-        F.percentile("value", 0.97).alias("_lo99"),
+        F.percentile(
+            F.col("value"), F.array(F.lit(0.45), F.lit(0.55), F.lit(0.97))
+        ).alias("_bands"),
         F.max("value").alias("_hi99"),
     )
     return (
@@ -756,11 +756,11 @@ def approx_stats_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact_users")
             ).alias("users_within_5pct"),
             (
-                (F.col("_pcts")[0] >= F.col("_lo50"))
-                & (F.col("_pcts")[0] <= F.col("_hi50"))
+                (F.col("_pcts")[0] >= F.col("_bands")[0])
+                & (F.col("_pcts")[0] <= F.col("_bands")[1])
             ).alias("p50_within_band"),
             (
-                (F.col("_pcts")[1] >= F.col("_lo99"))
+                (F.col("_pcts")[1] >= F.col("_bands")[2])
                 & (F.col("_pcts")[1] <= F.col("_hi99"))
             ).alias("p99_within_band"),
         )

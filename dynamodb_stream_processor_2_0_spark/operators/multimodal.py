@@ -413,6 +413,158 @@ def scene_cut_detect(
     return df.mapInPandas(run, SCENE_CUT_SCHEMA)
 
 
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_segment", T.LongType()),
+        T.StructField("first_active", T.LongType()),
+    ]
+)
+
+
+def audio_vad_segments(
+    df: DataFrame,
+    window: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Voice-activity segmentation over the PCM energy windows: a
+    window is ACTIVE iff its energy strictly beats the payload's mean
+    window energy (cross-multiplied: energy * n_windows > total — no
+    division), and segments are maximal runs of active windows — the
+    silence-trim / utterance-split pass an audio curation pipeline
+    runs after the loudness feature pass (pcm_window_energy shares the
+    decode and windowing conventions: little-endian int16, trailing
+    odd byte dropped, trailing short window keeps partial energy).
+
+    Arrow-batched mapInPandas; per payload one frombuffer + reshape +
+    square-sum + run-length scan, vectorized."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_windows": [],
+                "n_active": [],
+                "n_segments": [],
+                "longest_segment": [],
+                "first_active": [],
+            }
+            for p in pdf[payload_col]:
+                raw = bytes(p)
+                n = len(raw) // 2
+                s = np.frombuffer(raw, dtype="<i2", count=n).astype(
+                    np.int64
+                )
+                sq = s * s
+                n_win = -(-n // window) if n else 0
+                en = np.array(
+                    [
+                        int(sq[w * window : (w + 1) * window].sum())
+                        for w in range(n_win)
+                    ],
+                    dtype=np.int64,
+                )
+                total = int(en.sum()) if n_win else 0
+                act = en * n_win > total
+                if act.any():
+                    a = act.astype(np.int64)
+                    starts = int(a[0]) + int(
+                        ((a[1:] == 1) & (a[:-1] == 0)).sum()
+                    )
+                    # longest run of 1s: split on zeros
+                    runs = np.diff(
+                        np.flatnonzero(
+                            np.concatenate(([1], np.diff(a) != 0, [1]))
+                        )
+                    )
+                    vals = a[
+                        np.flatnonzero(
+                            np.concatenate(([1], np.diff(a) != 0))
+                        )
+                    ]
+                    longest = int(runs[vals == 1].max())
+                    first = int(np.argmax(act))
+                else:
+                    starts, longest, first = 0, 0, -1
+                out["n_windows"].append(int(n_win))
+                out["n_active"].append(int(act.sum()))
+                out["n_segments"].append(starts)
+                out["longest_segment"].append(longest)
+                out["first_active"].append(first)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, VAD_SCHEMA)
+
+
+def audio_vad_oracle_sql(window: int = 16, table: str = "documents") -> str:
+    """Byte-exact SQL twin of audio_vad_segments: the pcm energy CTEs
+    plus gaps-and-islands over the strictly-above-mean windows."""
+    return f"""
+        WITH hexed AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // 2 AS n_samples
+            FROM {table}
+        ), samples AS (
+            SELECT doc_id, u.i AS idx,
+                   CAST(('0x' || substr(h, 4 * u.i + 1, 2)) AS BIGINT)
+                   + 256 * CAST(('0x' || substr(h, 4 * u.i + 3, 2))
+                                AS BIGINT) AS raw
+            FROM hexed, LATERAL unnest(range(0, n_samples)) AS u(i)
+        ), signed AS (
+            SELECT doc_id, idx,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+            FROM samples
+        ), wins AS (
+            SELECT doc_id, idx // {window} AS w,
+                   CAST(sum(s * s) AS BIGINT) AS energy
+            FROM signed GROUP BY doc_id, idx // {window}
+        ), tot AS (
+            SELECT doc_id, CAST(sum(energy) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS nw
+            FROM wins GROUP BY doc_id
+        ), act AS (
+            SELECT w.doc_id, w.w
+            FROM wins w JOIN tot t USING (doc_id)
+            WHERE w.energy * t.nw > t.total
+        ), isl AS (
+            SELECT doc_id, w,
+                   w - row_number() OVER (PARTITION BY doc_id ORDER BY w)
+                       AS g
+            FROM act
+        ), seg AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len
+            FROM isl GROUP BY doc_id, g
+        ), per_doc AS (
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(max(s.len) AS BIGINT) AS longest_segment,
+                   CAST(sum(s.len) AS BIGINT) AS n_active
+            FROM seg s GROUP BY s.doc_id
+        ), firsts AS (
+            SELECT doc_id, CAST(min(w) AS BIGINT) AS first_active
+            FROM act GROUP BY doc_id
+        )
+        SELECT hx.doc_id,
+               COALESCE(t.nw, 0) AS n_windows,
+               COALESCE(p.n_active, 0) AS n_active,
+               COALESCE(p.n_segments, 0) AS n_segments,
+               COALESCE(p.longest_segment, 0) AS longest_segment,
+               COALESCE(f.first_active, -1) AS first_active
+        FROM hexed hx
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN firsts f USING (doc_id)
+        ORDER BY hx.doc_id
+    """
+
+
 def scene_cut_oracle_sql(table: str = "documents") -> str:
     """Byte-exact SQL twin of scene_cut_detect via hex(encode(text))."""
     fb, nb = _SC_FRAME_BYTES, _SC_BLOCKS

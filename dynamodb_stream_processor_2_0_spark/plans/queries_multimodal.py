@@ -257,3 +257,29 @@ def multimodal_scene_cut_detect(
 ) -> DataFrame:
     docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return MM.scene_cut_detect(docs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=MM.audio_vad_oracle_sql(),
+    tags=("multimodal", "llm", "audio", "mapInPandas"),
+    doc="Voice-activity segmentation with a REAL decode: payloads "
+    "decode as little-endian int16 PCM (the pcm_window_energy "
+    "conventions), a window is active iff its energy strictly beats "
+    "the payload mean (cross-multiplied, no division), and maximal "
+    "active runs become segments — the silence-trim / utterance-"
+    "split pass an audio curation pipeline runs before per-utterance "
+    "dedup and transcription batching (completing the audio arm next "
+    "to the loudness feature pass). Per payload: window/active "
+    "counts, segment count, longest segment, first active index. "
+    "The kernel is one vectorized frombuffer + square-sum + run-"
+    "length scan per payload over Arrow batches; the oracle re-"
+    "derives every byte from hex(payload) and the islands algebra in "
+    "SQL, so plumbing AND arithmetic are hash-verified. Map-only: "
+    "payload bytes cross the wire once.",
+)
+def multimodal_audio_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    return MM.audio_vad_segments(docs).orderBy("doc_id")

@@ -115,6 +115,7 @@ _MEDIUM_EXTRAS = (
     "events_pattern_vshape_match",
     "sql_group_by_all_dialect",
     "text_quantile_normalize_sources",
+    "multimodal_audio_vad_segments",
 )
 
 

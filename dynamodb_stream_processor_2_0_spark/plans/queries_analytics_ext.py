@@ -3184,6 +3184,234 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- l-diversity audit -----------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nationkey,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_SHIFT})
+                   // {_KANON_BAND} - {_KANON_SHIFT // _KANON_BAND}
+                   AS balance_band,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           CAST(balance_band AS BIGINT) AS balance_band,
+           n_members, l_distinct,
+           l_distinct >= {_LDIV_L} AS l_diverse
+    FROM qi
+    ORDER BY nationkey, balance_band
+"""
+
+
+@register(
+    "privacy_l_diversity_audit",
+    oracle=_LDIV_ORACLE,
+    tags=("privacy", "quality"),
+    doc="l-diversity audit — the attack k-anonymity misses: a class "
+    "can have k >= 5 members yet leak the sensitive attribute if "
+    "they all SHARE it (homogeneity attack). Here the sensitive "
+    "attribute is the market segment, the quasi-identifier is "
+    "(nation, $1000 balance band) — k-anonymity's QI minus the "
+    "sensitive column — and each class reports its distinct-"
+    "sensitive-value count with an l >= 3 flag. Same sign-safe "
+    "shift-then-divide banding and one-groupBy shape as the "
+    "k-anonymity op; the two audits together are the standard "
+    "pre-release privacy pair.",
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        f"(cast(round(c_acctbal * 100) as bigint) + {_KANON_SHIFT}L)"
+        f" div {_KANON_BAND} - {_KANON_SHIFT // _KANON_BAND}"
+    )
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            band.cast("long").alias("balance_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .withColumn("l_diverse", F.col("l_distinct") >= _LDIV_L)
+        .orderBy("nationkey", "balance_band")
+    )
+
+
+# --- seasonal decomposition ------------------------------------------------
+
+_SEASDEC_ORACLE = """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT t.event_type, s.day, COALESCE(d.cents, 0) AS cents,
+               datediff('day', DATE '2024-01-01', s.day) % 7 AS dow
+        FROM types t CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    ), trended AS (
+        SELECT event_type, day, dow, cents,
+               cents - CAST(list_sort(list(cents) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                   [(len(list(cents) OVER (PARTITION BY event_type
+                     ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT
+                     ROW)) + 1) // 2] AS BIGINT) AS detr
+        FROM series
+    ), seasonal AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               (CASE WHEN sum(detr) >= 0 THEN 1 ELSE -1 END)
+                   * (abs(CAST(sum(detr) AS BIGINT)) // count(*))
+                   AS seasonal_cents
+        FROM trended GROUP BY 1, 2
+    ), resid AS (
+        SELECT t.event_type,
+               CAST(sum(abs(t.detr - s.seasonal_cents)) AS BIGINT)
+                   AS resid_abs,
+               CAST(sum(abs(t.detr)) AS BIGINT) AS detr_abs
+        FROM trended t
+        JOIN seasonal s
+          ON s.event_type = t.event_type AND s.dow = t.dow
+        GROUP BY t.event_type
+    )
+    SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow, s.n_days,
+           CAST(s.seasonal_cents AS BIGINT) AS seasonal_cents,
+           CAST(CASE WHEN r.detr_abs > 0
+                THEN 1000 - r.resid_abs * 1000 // r.detr_abs
+                ELSE 0 END AS BIGINT) AS explained_permille
+    FROM seasonal s JOIN resid r ON r.event_type = s.event_type
+    ORDER BY s.event_type, s.dow
+"""
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=_SEASDEC_ORACLE,
+    tags=("timeseries", "forecast", "robust"),
+    doc="Robust seasonal decomposition (STL-lite): trend = the trailing "
+    "7-day LOWER median (the registered rolling-median smoother, "
+    "outlier-immune), seasonal = per day-of-week sign-extracted "
+    "truncating mean of the detrended series, residual = what's left "
+    "— with the per-type variance-explained ratio (1000 - "
+    "sum|resid| / sum|detrended| permille) saying how much of the "
+    "non-trend movement the weekly cycle accounts for. Day-of-week "
+    "is pure arithmetic (days since 2024-01-01 mod 7), never the "
+    "engine-dependent dayofweek() convention (Spark Sunday=1, DuckDB "
+    "Sunday=0). The capstone that composes the forecasting family's "
+    "pieces — gap-fill spine, order-statistic window, sign-safe "
+    "division — into the decomposition every seasonal forecaster "
+    "starts from. Plan: spine join + one 7-row frame window + one "
+    "(type,dow) rollup + one per-type rollup, all on the (type,day) "
+    "post-agg relation.",
+)
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+            (
+                F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+                % 7
+            ).alias("dow"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    trended = series.withColumn(
+        "win", F.sort_array(F.collect_list("cents").over(w7))
+    ).select(
+        "event_type",
+        "dow",
+        F.expr(
+            "cents - cast(element_at(win,"
+            " cast((size(win) + 1) div 2 as int)) as bigint)"
+        ).alias("detr"),
+    ).localCheckpoint(eager=False)
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "(CASE WHEN sum(detr) >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(cast(sum(detr) as bigint)) div count(*))"
+        )
+        .cast("long")
+        .alias("seasonal_cents"),
+    )
+    resid = (
+        trended.join(
+            F.broadcast(
+                seasonal.select("event_type", "dow", "seasonal_cents")
+            ),
+            ["event_type", "dow"],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("detr") - F.col("seasonal_cents")))
+            .cast("long")
+            .alias("resid_abs"),
+            F.sum(F.abs("detr")).cast("long").alias("detr_abs"),
+        )
+    )
+    return (
+        seasonal.join(resid, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            "seasonal_cents",
+            F.when(
+                F.col("detr_abs") > 0,
+                F.lit(1000)
+                - F.expr("resid_abs * 1000 div detr_abs"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("explained_permille"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 # --- SCD2 point-in-time (as-of) enrichment (round 6) -----------------------
 
 _SCD2_ASOF_ORACLE = """

@@ -116,6 +116,8 @@ _MEDIUM_EXTRAS = (
     "sql_group_by_all_dialect",
     "text_quantile_normalize_sources",
     "multimodal_audio_vad_segments",
+    "privacy_l_diversity_audit",
+    "timeseries_seasonal_decompose",
 )
 
 

@@ -5117,7 +5117,12 @@ def _modularity_oracle_sql() -> str:
     doc="Newman modularity Q of the LPA community partition — the "
     "quality metric that says whether the communities the mode-vote "
     "found are real structure or noise (Q ~ 0: no better than random "
-    "given the degree sequence; Q > 0.3: strong structure). Closes "
+    "given the degree sequence; Q > 0.3: strong structure; Q = -0.5 "
+    "is the theoretical minimum, and the purchase graph HITS it at "
+    "small SF: the graph is bipartite, synchronous LPA converges to "
+    "the two sides, every edge lands inter-community — the score "
+    "honestly reporting that LPA found sides, not communities, which "
+    "is exactly the diagnosis this operator exists to make). Closes "
     "the community-detection loop: graph_label_propagation finds the "
     "partition, this op scores it. Exact rational: with the doubled "
     "edge list (2m rows), Q = sum_c(2m * e2_c - d_c^2) / (2m)^2, "

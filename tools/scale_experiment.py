@@ -331,6 +331,14 @@ def main() -> None:
          graphdir1, graphdir_n),
         ("graph_node_jaccard", _registered("graph_node_jaccard_similarity"),
          graphdir1, graphdir_n),
+        ("graph_hits", _registered("graph_hits_hubs_authorities"),
+         graphdir1, graphdir_n),
+        ("graph_modularity", _registered("graph_modularity_score"),
+         graphdir1, graphdir_n),
+        ("winnowing_fps", _registered("text_winnowing_fingerprints"),
+         docsdir1, docsdir_n),
+        ("cdc_chunks", _registered("dedup_cdc_chunks"),
+         docsdir1, docsdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

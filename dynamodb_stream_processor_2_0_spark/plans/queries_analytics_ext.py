@@ -3300,6 +3300,204 @@ _SEASDEC_ORACLE = """
 """
 
 
+# --- functional-dependency discovery ---------------------------------------
+
+# Candidate FDs: (table, lhs, rhs). Mix of true keys, true dependencies,
+# and expected failures so the report demonstrates discrimination.
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_name", "n_regionkey"),
+    ("nation", "n_regionkey", "n_name"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+)
+
+
+def _fd_oracle_sql() -> str:
+    arms = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        arms.append(f"""
+        SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+               CAST(count(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs
+        FROM {tbl}""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+        SELECT tbl, lhs, rhs, n_lhs, n_pairs,
+               n_pairs = n_lhs AS fd_holds,
+               n_pairs - n_lhs AS violating_lhs_values
+        FROM ({union})
+        ORDER BY tbl, lhs, rhs
+    """
+
+
+@register(
+    "schema_fd_discovery",
+    oracle=_fd_oracle_sql(),
+    tags=("quality", "profile"),
+    doc="Functional-dependency discovery (the constraint-mining pass "
+    "behind schema normalization, key inference, and data-contract "
+    "generation): A -> B holds iff |distinct A| = |distinct (A,B)|, "
+    "tested for a candidate battery mixing true keys "
+    "(o_orderkey -> o_custkey), true dependencies "
+    "(n_name -> n_regionkey), and expected failures "
+    "(c_nationkey -> c_mktsegment) so the report discriminates "
+    "rather than rubber-stamps; the violation count says HOW broken "
+    "a failed candidate is (one overloaded code vs systemic). Each "
+    "candidate is one distinct-aggregate over its table — map-side "
+    "partial aggregation, no joins, trivially parallel across "
+    "candidates at any scale.",
+)
+def schema_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        arm = t.agg(
+            F.countDistinct(lhs).cast("long").alias("n_lhs"),
+            F.countDistinct(lhs, rhs).cast("long").alias("n_pairs"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_lhs",
+            "n_pairs",
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.select(
+        "tbl",
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_pairs",
+        (F.col("n_pairs") == F.col("n_lhs")).alias("fd_holds"),
+        (F.col("n_pairs") - F.col("n_lhs")).alias("violating_lhs_values"),
+    ).orderBy("tbl", "lhs", "rhs")
+
+
+_LITTLE_ORACLE = """
+    WITH cyc AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS d0,
+               max(CAST(l.l_shipdate AS DATE)) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ), direct AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(datediff('day', d0, d1) + 1) AS BIGINT)
+                   AS open_days_direct,
+               CAST(min(d0) AS DATE) AS h0, CAST(max(d1) AS DATE) AS h1
+        FROM cyc
+    ), deltas AS (
+        SELECT d0 AS day, 1 AS delta FROM cyc
+        UNION ALL
+        SELECT CAST(d1 + INTERVAL 1 DAY AS DATE), -1 FROM cyc
+    ), sweep AS (
+        SELECT CAST(sum(delta * datediff('day', day,
+                   (SELECT CAST(h1 + INTERVAL 1 DAY AS DATE) FROM direct)))
+                   AS BIGINT) AS open_days_sweep
+        FROM deltas
+    )
+    SELECT d.n_orders,
+           CAST(datediff('day', d.h0, d.h1) + 1 AS BIGINT)
+               AS horizon_days,
+           d.open_days_direct,
+           s.open_days_sweep,
+           d.open_days_direct = s.open_days_sweep AS identity_exact,
+           d.open_days_direct * 1000 // d.n_orders AS w_cycle_days_milli,
+           d.n_orders * 1000 // (datediff('day', d.h0, d.h1) + 1)
+               AS lambda_per_day_milli,
+           d.open_days_direct * 1000
+               // (datediff('day', d.h0, d.h1) + 1) AS l_avg_open_milli
+    FROM direct d, sweep s
+"""
+
+
+@register(
+    "orders_littles_law_identity",
+    oracle=_LITTLE_ORACLE,
+    tags=("timeseries", "stats", "scale"),
+    doc="Little's law (L = lambda * W) verified as an EXACT integer "
+    "identity between two independent distributed computations: the "
+    "direct arm sums each order's inclusive open-day span "
+    "(orderdate .. last lineitem ship date), the sweep-line arm "
+    "integrates the +1/-1 boundary-event backlog curve BY PARTS — "
+    "integral of the prefix sum = sum of delta * (horizon_end - "
+    "event_day), collapsing the whole time integral into one "
+    "aggregate over O(orders) boundary events with NO window at all "
+    "— and total open-order-days must agree to the LAST UNIT, "
+    "asserted as a boolean in the gate: a cross-implementation "
+    "consistency proof of the boundary-event algebra as well as the "
+    "queueing identity. The L, lambda, W milli readings are what an "
+    "ops dashboard shows (avg WIP = arrival rate x cycle time). "
+    "Plan: one orders||lineitem rollup for cycle spans, one "
+    "map-side-combinable aggregate over the events, a broadcast "
+    "1-row horizon — linear, shuffle-light at any scale.",
+)
+def orders_littles_law_identity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cyc = (
+        orders.join(
+            lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("d0"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+        .localCheckpoint(eager=False)
+    )
+    direct = cyc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.datediff("d1", "d0") + 1).cast("long").alias(
+            "open_days_direct"
+        ),
+        F.min("d0").alias("h0"),
+        F.max("d1").alias("h1"),
+    )
+    deltas = cyc.select(
+        F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        cyc.select(
+            F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    # Integration by parts: sum over days of the prefix-sum backlog
+    # equals sum over boundary events of delta * (horizon_end - day) —
+    # the whole time integral is ONE map-side-combinable aggregate.
+    hend = F.broadcast(
+        direct.select(F.date_add("h1", 1).alias("hend"))
+    )
+    sweep = (
+        deltas.crossJoin(hend)
+        .agg(
+            F.sum(F.col("delta") * F.datediff("hend", "day"))
+            .cast("long")
+            .alias("open_days_sweep")
+        )
+    )
+    return direct.crossJoin(sweep).select(
+        "n_orders",
+        (F.datediff("h1", "h0") + 1).cast("long").alias("horizon_days"),
+        "open_days_direct",
+        "open_days_sweep",
+        (F.col("open_days_direct") == F.col("open_days_sweep")).alias(
+            "identity_exact"
+        ),
+        F.expr("open_days_direct * 1000 div n_orders").alias(
+            "w_cycle_days_milli"
+        ),
+        F.expr(
+            "n_orders * 1000 div (datediff(h1, h0) + 1)"
+        ).alias("lambda_per_day_milli"),
+        F.expr(
+            "open_days_direct * 1000 div (datediff(h1, h0) + 1)"
+        ).alias("l_avg_open_milli"),
+    )
+
+
 @register(
     "timeseries_seasonal_decompose",
     oracle=_SEASDEC_ORACLE,

@@ -118,6 +118,8 @@ _MEDIUM_EXTRAS = (
     "multimodal_audio_vad_segments",
     "privacy_l_diversity_audit",
     "timeseries_seasonal_decompose",
+    "orders_littles_law_identity",
+    "schema_fd_discovery",
 )
 
 

@@ -3300,6 +3300,191 @@ _SEASDEC_ORACLE = """
 """
 
 
+_KMV_DIFF_ORACLE = f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS scope, user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                   1, {_KMV_HASH_HEX}) AS BIGINT) AS h
+        FROM events
+    ), sk AS (
+        SELECT scope, h FROM (
+            SELECT scope, h, row_number() OVER (
+                PARTITION BY scope ORDER BY h ASC) AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMV_K}
+    ), scopes AS (SELECT DISTINCT scope FROM hashed),
+    pairs AS (
+        SELECT a.scope AS scope_a, b.scope AS scope_b
+        FROM scopes a JOIN scopes b ON a.scope <> b.scope
+    ), merged AS (
+        SELECT p.scope_a, p.scope_b, s.h,
+               row_number() OVER (PARTITION BY p.scope_a, p.scope_b
+                                  ORDER BY s.h ASC) AS rn
+        FROM pairs p
+        JOIN (SELECT DISTINCT scope, h FROM sk) s
+          ON s.scope IN (p.scope_a, p.scope_b)
+        GROUP BY p.scope_a, p.scope_b, s.h
+    ), usk AS (
+        SELECT scope_a, scope_b, h, rn,
+               count(*) OVER (PARTITION BY scope_a, scope_b) AS m
+        FROM merged WHERE rn <= {_KMV_K}
+    ), est AS (
+        SELECT scope_a, scope_b,
+               CASE WHEN max(m) < {_KMV_K} THEN max(m)
+                    ELSE ({_KMV_K - 1} * {_KMV_SPACE})
+                         // max(CASE WHEN rn = {_KMV_K} THEN h END)
+               END AS u_est,
+               CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM sk x
+                        WHERE x.scope = usk.scope_a AND x.h = usk.h)
+                    AND NOT EXISTS (
+                        SELECT 1 FROM sk y
+                        WHERE y.scope = usk.scope_b AND y.h = usk.h)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS rho_diff,
+               max(m) AS k_used
+        FROM usk GROUP BY scope_a, scope_b
+    ), counts AS (
+        SELECT scope, CAST(count(*) AS BIGINT) AS n FROM hashed GROUP BY 1
+    ), inter AS (
+        SELECT a.scope AS scope_a, b.scope AS scope_b,
+               CAST(count(*) AS BIGINT) AS ninter
+        FROM hashed a JOIN hashed b
+          ON a.user_id = b.user_id AND a.scope <> b.scope
+        GROUP BY 1, 2
+    )
+    SELECT e.scope_a, e.scope_b,
+           ca.n - COALESCE(i.ninter, 0) AS exact_difference,
+           CAST(e.rho_diff * e.u_est // e.k_used AS BIGINT)
+               AS est_difference
+    FROM est e
+    JOIN counts ca ON ca.scope = e.scope_a
+    LEFT JOIN inter i
+      ON i.scope_a = e.scope_a AND i.scope_b = e.scope_b
+    ORDER BY e.scope_a, e.scope_b
+"""
+
+
+@register(
+    "sketch_kmv_difference",
+    oracle=_KMV_DIFF_ORACLE,
+    tags=("sketch", "agg", "scale"),
+    doc="KMV sketch SET DIFFERENCE — the third leg completing the "
+    "sketch set algebra (union in sketch_kmv_distinct, intersection "
+    "in sketch_kmv_intersection): |A minus B| estimated from the two "
+    "bottom-64 sketches alone as rho_diff * |union|_est div k, where "
+    "rho_diff counts union-bottom-k survivors present in A's sketch "
+    "but absent from B's — the 'audience exclusive to channel A' "
+    "question answered without re-scanning raw data, for every "
+    "ORDERED scope pair (difference is asymmetric, so both "
+    "directions report). Exact arm = |A| - |A intersect B| from the "
+    "same per-scope rollups. Same 52-bit md5 grid and truncating "
+    "division as the siblings; sketch algebra touches only "
+    "|scopes|^2 x 2k sketch rows.",
+)
+def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HASH_HEX),
+        16,
+        10,
+    ).cast("long")
+    hashed = (
+        events.select(
+            F.col("event_type").alias("scope"), "user_id", h.alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wrank = Window.partitionBy("scope").orderBy(F.col("h").asc())
+    sk = (
+        hashed.select("scope", "h")
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("scope", "h")
+    )
+    scopes = hashed.select("scope").distinct()
+    pairs = (
+        scopes.alias("a")
+        .join(scopes.alias("b"), F.col("a.scope") != F.col("b.scope"))
+        .select(
+            F.col("a.scope").alias("scope_a"),
+            F.col("b.scope").alias("scope_b"),
+        )
+    )
+    ska = sk.select(
+        F.col("scope").alias("scope_a"), "h"
+    ).withColumn("in_a", F.lit(1))
+    skb = sk.select(
+        F.col("scope").alias("scope_b"), "h"
+    ).withColumn("in_b", F.lit(1))
+    merged = (
+        pairs.join(ska, "scope_a")
+        .select(
+            "scope_a", "scope_b", "h", "in_a",
+            F.lit(None).cast("int").alias("in_b"),
+        )
+        .unionByName(
+            pairs.join(skb, "scope_b").select(
+                "scope_a", "scope_b", "h",
+                F.lit(None).cast("int").alias("in_a"), "in_b",
+            )
+        )
+        .groupBy("scope_a", "scope_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("scope_a", "scope_b").orderBy(F.col("h").asc())
+    wall = Window.partitionBy("scope_a", "scope_b")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+    )
+    est = usk.groupBy("scope_a", "scope_b").agg(
+        F.expr(
+            f"CASE WHEN max(m) < {_KMV_K} THEN max(m)"
+            f" ELSE ({_KMV_K - 1} * {_KMV_SPACE}L)"
+            f" div max(CASE WHEN rn = {_KMV_K} THEN h END) END"
+        ).alias("u_est"),
+        F.sum(
+            (
+                F.col("in_a").isNotNull() & F.col("in_b").isNull()
+            ).cast("long")
+        ).alias("rho_diff"),
+        F.max("m").alias("k_used"),
+    )
+    counts = hashed.groupBy(F.col("scope").alias("scope_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    inter = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.scope") != F.col("b.scope")),
+        )
+        .groupBy(
+            F.col("a.scope").alias("scope_a"),
+            F.col("b.scope").alias("scope_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("ninter"))
+    )
+    return (
+        est.join(F.broadcast(counts), "scope_a")
+        .join(F.broadcast(inter), ["scope_a", "scope_b"], "left")
+        .select(
+            "scope_a",
+            "scope_b",
+            (
+                F.col("n_a") - F.coalesce("ninter", F.lit(0).cast("long"))
+            ).alias("exact_difference"),
+            F.expr("cast(rho_diff * u_est div k_used as bigint)").alias(
+                "est_difference"
+            ),
+        )
+        .orderBy("scope_a", "scope_b")
+    )
+
+
 # --- functional-dependency discovery ---------------------------------------
 
 # Candidate FDs: (table, lhs, rhs). Mix of true keys, true dependencies,

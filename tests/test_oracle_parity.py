@@ -120,6 +120,7 @@ _MEDIUM_EXTRAS = (
     "timeseries_seasonal_decompose",
     "orders_littles_law_identity",
     "schema_fd_discovery",
+    "sketch_kmv_difference",
 )
 
 

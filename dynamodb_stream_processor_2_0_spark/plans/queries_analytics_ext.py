@@ -3302,20 +3302,25 @@ _SEASDEC_ORACLE = """
 
 _KMV_DIFF_ORACLE = f"""
     WITH hashed AS (
-        SELECT DISTINCT event_type AS scope, user_id,
-               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                   AS scope,
+               year(CAST(o_orderdate AS DATE)) * 12
+                   + month(CAST(o_orderdate AS DATE)) AS scope_idx,
+               o_custkey AS user_id,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
                                    1, {_KMV_HASH_HEX}) AS BIGINT) AS h
-        FROM events
+        FROM orders
     ), sk AS (
         SELECT scope, h FROM (
             SELECT scope, h, row_number() OVER (
                 PARTITION BY scope ORDER BY h ASC) AS rn
             FROM hashed
         ) WHERE rn <= {_KMV_K}
-    ), scopes AS (SELECT DISTINCT scope FROM hashed),
+    ), scopes AS (SELECT DISTINCT scope, scope_idx FROM hashed),
     pairs AS (
         SELECT a.scope AS scope_a, b.scope AS scope_b
-        FROM scopes a JOIN scopes b ON a.scope <> b.scope
+        FROM scopes a JOIN scopes b
+          ON abs(a.scope_idx - b.scope_idx) = 1
     ), merged AS (
         SELECT p.scope_a, p.scope_b, s.h,
                row_number() OVER (PARTITION BY p.scope_a, p.scope_b
@@ -3373,24 +3378,35 @@ _KMV_DIFF_ORACLE = f"""
     "in sketch_kmv_intersection): |A minus B| estimated from the two "
     "bottom-64 sketches alone as rho_diff * |union|_est div k, where "
     "rho_diff counts union-bottom-k survivors present in A's sketch "
-    "but absent from B's — the 'audience exclusive to channel A' "
-    "question answered without re-scanning raw data, for every "
-    "ORDERED scope pair (difference is asymmetric, so both "
-    "directions report). Exact arm = |A| - |A intersect B| from the "
-    "same per-scope rollups. Same 52-bit md5 grid and truncating "
+    "but absent from B's. Scopes are the MONTHLY active-customer "
+    "sets of the orders table and pairs are consecutive months in "
+    "both directions, so the report reads directly as churned "
+    "(m -> m+1) and newly-acquired (m+1 -> m) audience per month — "
+    "the month-over-month retention question answered from 2 KB of "
+    "pre-aggregated sketch per month instead of re-scanning raw "
+    "orders (event-type scopes were rejected: the fixture's users "
+    "touch every type, making every difference trivially zero). "
+    "Exact arm = |A| - |A intersect B| from the same per-scope "
+    "rollups. Same 52-bit md5 grid and truncating "
     "division as the siblings; sketch algebra touches only "
     "|scopes|^2 x 2k sketch rows.",
 )
 def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
     h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HASH_HEX),
+        F.substring(
+            F.md5(F.col("o_custkey").cast("string")), 1, _KMV_HASH_HEX
+        ),
         16,
         10,
     ).cast("long")
+    d = F.col("o_orderdate").cast("date")
     hashed = (
-        events.select(
-            F.col("event_type").alias("scope"), "user_id", h.alias("h")
+        orders.select(
+            F.date_format(d, "yyyy-MM").alias("scope"),
+            (F.year(d) * 12 + F.month(d)).alias("scope_idx"),
+            F.col("o_custkey").alias("user_id"),
+            h.alias("h"),
         )
         .distinct()
         .localCheckpoint(eager=False)
@@ -3402,10 +3418,13 @@ def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KMV_K)
         .select("scope", "h")
     )
-    scopes = hashed.select("scope").distinct()
+    scopes = hashed.select("scope", "scope_idx").distinct()
     pairs = (
         scopes.alias("a")
-        .join(scopes.alias("b"), F.col("a.scope") != F.col("b.scope"))
+        .join(
+            scopes.alias("b"),
+            F.abs(F.col("a.scope_idx") - F.col("b.scope_idx")) == 1,
+        )
         .select(
             F.col("a.scope").alias("scope_a"),
             F.col("b.scope").alias("scope_b"),

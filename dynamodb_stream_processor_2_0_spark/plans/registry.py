@@ -90,6 +90,13 @@ _loaded = False
 # tests' _MEDIUM_EXTRAS/_SWEEP_EXTRAS (sf0.01 parity + two-width sweep
 # by default) and were hostile-session verified — safe r7 rotation
 # candidates alongside the never-driver-checked remainder below.
+# The round-6 CONTINUATION added 22 more (zipf/heaps fits, winnowing,
+# CDC chunking, quantile normalization, HITS, modularity, PSI, A/B
+# z-test, MASE, AUC, changepoint, seasonal decompose, Little's law,
+# CM join-size, KMV difference, centroid drift, l-diversity, V-shape
+# pattern, GROUP BY ALL, compaction packing, FD discovery, audio VAD)
+# plus the approx_stats_scale_path oracle — same treatment (medium
+# parity + sweep + hostile-session), same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

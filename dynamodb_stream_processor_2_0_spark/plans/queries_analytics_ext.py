@@ -259,6 +259,185 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- seeded Brandes betweenness --------------------------------------------
+
+_BC_DEPTH = 3
+_BC_SEED_MAX = 8  # even nodes <= 8: customers 1..4 (exist at every SF)
+_BC_TOPK = 15
+
+
+def _betweenness_oracle_sql() -> str:
+    d = _BC_DEPTH
+    ctes = [
+        _EDGES_SQL.strip(),
+        f"""seeds AS (
+            SELECT DISTINCT src AS seed FROM edges
+            WHERE src % 2 = 0 AND src <= {_BC_SEED_MAX}
+        ), lvl0 AS (
+            SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+            FROM seeds
+        ), vis0 AS (SELECT seed, node FROM lvl0)""",
+    ]
+    for k in range(1, d + 1):
+        p = k - 1
+        ctes.append(f"""lvl{k} AS (
+            SELECT p.seed, e.dst AS node, CAST(sum(p.sigma) AS BIGINT)
+                   AS sigma
+            FROM lvl{p} p JOIN edges e ON e.src = p.node
+            WHERE NOT EXISTS (SELECT 1 FROM vis{p} v
+                              WHERE v.seed = p.seed AND v.node = e.dst)
+            GROUP BY p.seed, e.dst
+        ), vis{k} AS (
+            SELECT seed, node FROM vis{p}
+            UNION ALL SELECT seed, node FROM lvl{k}
+        )""")
+    ctes.append(
+        f"dl{d} AS (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta"
+        f" FROM lvl{d})"
+    )
+    for k in range(d - 1, 0, -1):
+        s = k + 1
+        ctes.append(f"""dagg{k} AS (
+            SELECT l.seed, l.node,
+                   CAST(sum(l.sigma * (1000 + w.delta) // w.sigma)
+                        AS BIGINT) AS delta
+            FROM lvl{k} l
+            JOIN edges e ON e.src = l.node
+            JOIN dl{s} w ON w.seed = l.seed AND w.node = e.dst
+            GROUP BY l.seed, l.node
+        ), dl{k} AS (
+            SELECT l.seed, l.node, l.sigma, COALESCE(a.delta, 0) AS delta
+            FROM lvl{k} l LEFT JOIN dagg{k} a
+              ON a.seed = l.seed AND a.node = l.node
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT seed, node, delta FROM dl{k}" for k in range(1, d + 1)
+    )
+    return f"""
+        WITH {', '.join(ctes)}, alldl AS ({union}), bc AS (
+            SELECT node, CAST(sum(delta) AS BIGINT) AS betweenness_milli,
+                   CAST(count(DISTINCT seed) AS BIGINT) AS n_seeds_reaching
+            FROM alldl GROUP BY node
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                ORDER BY betweenness_milli DESC, node ASC) AS rank
+            FROM bc
+        )
+        SELECT CAST(rank AS INTEGER) AS rank,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               node // 2 AS node_key,
+               betweenness_milli, n_seeds_reaching
+        FROM ranked WHERE rank <= {_BC_TOPK}
+        ORDER BY rank
+    """
+
+
+@register(
+    "graph_betweenness_seeded",
+    oracle=_betweenness_oracle_sql(),
+    tags=("graph", "iterative", "scale"),
+    doc="Brandes betweenness centrality, seeded and depth-limited (the "
+    "standard production compromise — exact betweenness is O(V*E), "
+    "so real systems run Brandes from a pivot sample): forward BFS "
+    "from 4 fixed customer seeds accumulates shortest-path counts "
+    "(sigma) level by level to depth 3, then the dependency "
+    "back-propagation delta(v) = sum over successors w of "
+    "sigma_v * (1 + delta(w)) / sigma_w runs the levels in reverse "
+    "— the one graph centrality PageRank/HITS/k-core can't "
+    "substitute, ranking BROKERS (nodes shortest paths flow "
+    "through) rather than popular nodes. House integer discipline: "
+    "delta lives on a milli grid with per-edge truncating division "
+    "(order-independent: each (v,w) term truncates independently, "
+    "then sums), sigma is exact BIGINT path counting (headroom: "
+    "sigma * (1000+delta) < 2^63 holds past degree-2000 graphs at "
+    "depth 3; deeper/denser graphs drop the grid to centi). Plan: "
+    "per level one edges||frontier join + per-(seed,node) rollup + "
+    "anti-join vs visited (the BFS shape), backward one "
+    "edges||level join per level — all shuffles on node ids, "
+    "state is O(seeds x nodes), localCheckpoint flattens lineage.",
+)
+def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _undirected_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .filter((F.col("seed") % 2 == 0) & (F.col("seed") <= _BC_SEED_MAX))
+        .distinct()
+    )
+    lvl0 = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(1).cast("long").alias("sigma")
+    )
+    levels = [lvl0]
+    visited = lvl0.select("seed", "node")
+    for _ in range(_BC_DEPTH):
+        prev = levels[-1]
+        nxt = (
+            prev.join(edges, prev["node"] == edges["src"])
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        levels.append(nxt)
+        # visited is a union of already-checkpointed level frontiers, so
+        # its own lineage is flat — no extra checkpoint materialization.
+        visited = visited.union(nxt.select("seed", "node"))
+    dl = levels[_BC_DEPTH].withColumn("delta", F.lit(0).cast("long"))
+    alldl = [dl]
+    for k in range(_BC_DEPTH - 1, 0, -1):
+        lvl = levels[k]
+        succ = dl.select(
+            "seed",
+            F.col("node").alias("dst"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta").alias("w_delta"),
+        )
+        dagg = (
+            lvl.join(edges, lvl["node"] == edges["src"])
+            .join(succ, ["seed", "dst"])
+            .groupBy("seed", "node")
+            .agg(
+                F.sum(
+                    F.expr("sigma * (1000 + w_delta) div w_sigma")
+                )
+                .cast("long")
+                .alias("delta")
+            )
+        )
+        dl = (
+            lvl.join(dagg, ["seed", "node"], "left")
+            .withColumn("delta", F.coalesce("delta", F.lit(0).cast("long")))
+            .localCheckpoint(eager=False)
+        )
+        alldl.append(dl)
+    acc = alldl[0].select("seed", "node", "delta")
+    for part in alldl[1:]:
+        acc = acc.unionByName(part.select("seed", "node", "delta"))
+    bc = acc.groupBy("node").agg(
+        F.sum("delta").cast("long").alias("betweenness_milli"),
+        F.countDistinct("seed").cast("long").alias("n_seeds_reaching"),
+    )
+    top = bc.orderBy(
+        F.col("betweenness_milli").desc(), F.col("node").asc()
+    ).limit(_BC_TOPK)
+    wrank = Window.orderBy(
+        F.col("betweenness_milli").desc(), F.col("node").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(wrank))
+        .select(
+            "rank",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            "betweenness_milli",
+            "n_seeds_reaching",
+        )
+        .orderBy("rank")
+    )
+
+
 # --- KMV distinct sketch ---------------------------------------------------
 
 _KMV_K = 64

@@ -121,6 +121,7 @@ _MEDIUM_EXTRAS = (
     "orders_littles_law_identity",
     "schema_fd_discovery",
     "sketch_kmv_difference",
+    "graph_betweenness_seeded",
 )
 
 

@@ -259,6 +259,122 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- degree assortativity --------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+    WITH {_EDGES_SQL.strip()}, deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1
+    ), pairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM edges e
+        JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    , quant AS (
+        SELECT n, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+        FROM m
+    ), shifted AS (
+        SELECT n, num,
+               (abs(num) >> sh) AS numq, (vx >> sh) AS vxq, (vy >> sh) AS vyq
+        FROM quant,
+             (SELECT greatest(0, length(bin(greatest(abs(num), vx, vy)))
+                              - 28) AS sh FROM quant) s
+    )
+    SELECT n AS n_directed_edges,
+           (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+               * CAST((CAST(numq AS DECIMAL(38, 0)) * numq * 1000000)
+                      // (CAST(vxq AS DECIMAL(38, 0)) * vyq)
+                      AS BIGINT) AS r_squared_signed_micro,
+           num < 0 AS disassortative
+    FROM shifted
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_ASSORT_ORACLE,
+    tags=("graph", "stats"),
+    doc="Degree assortativity of the purchase graph (Newman): the "
+    "correlation between endpoint degrees across the doubled edge "
+    "list — social networks are assortative (hubs befriend hubs), "
+    "bipartite commerce graphs are typically DISASSORTATIVE (broad "
+    "customers buy from niche suppliers and vice versa), and the "
+    "sign is the structural fact a sampling or synthetic-data "
+    "pipeline must preserve. Square roots are cleared the house way: "
+    "the statistic reported is sign(cov) * r^2 on a 1e6 grid — "
+    "num^2 * 1e6 // (varx * vary) with all three moments first "
+    "right-shifted to 28 bits by a shared shift (shift-invariant "
+    "ratio, DECIMAL(38,0)-safe at any graph size — the raw square "
+    "overflows past ~1e5 edges, measured), no sqrt; |r| = sqrt of "
+    "the magnitude if a reader wants it). Plan: degree rollup + two broadcast-able "
+    "joins onto the edge list + one 1-row moment aggregate — the "
+    "agg_moment_stats shape on graph data.",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = _undirected_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    pairs = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    quant = m.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("vx"),
+        F.expr("n * syy - sy * sy").alias("vy"),
+    )
+    # Shared right-shift to 28 bits before squaring keeps the squared
+    # products inside DECIMAL(38,0) at any graph size — the ratio is
+    # shift-invariant (num^2 and vx*vy both scale by 2^-2sh), same
+    # trick as the changepoint gain key and centroid drift.
+    shifted = quant.withColumn(
+        "sh",
+        F.expr("greatest(0, length(bin(greatest(abs(num), vx, vy))) - 28)"),
+    ).selectExpr(
+        "n",
+        "num",
+        "shiftright(abs(num), cast(sh as int)) as numq",
+        "shiftright(vx, cast(sh as int)) as vxq",
+        "shiftright(vy, cast(sh as int)) as vyq",
+    )
+    return shifted.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            "(CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+            " * cast((cast(numq as decimal(38,0)) * numq * 1000000)"
+            " div (cast(vxq as decimal(38,0)) * vyq) as bigint)"
+        ).alias("r_squared_signed_micro"),
+        (F.col("num") < 0).alias("disassortative"),
+    )
+
+
 # --- seeded Brandes betweenness --------------------------------------------
 
 _BC_DEPTH = 3

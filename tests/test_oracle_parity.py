@@ -122,6 +122,7 @@ _MEDIUM_EXTRAS = (
     "schema_fd_discovery",
     "sketch_kmv_difference",
     "graph_betweenness_seeded",
+    "graph_degree_assortativity",
 )
 
 

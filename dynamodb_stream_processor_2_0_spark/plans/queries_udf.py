@@ -275,3 +275,207 @@ def grouped_pandas_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+# --- banded dynamic-time-warping similarity --------------------------------
+
+_DTW_N = 16  # weeks per series (zero-filled from the global min week)
+_DTW_BAND = 4  # Sakoe-Chiba band: |i-j| <= 4
+_DTW_BIG = 1 << 42
+
+
+def _dtw_oracle_sql() -> str:
+    n, band, big = _DTW_N, _DTW_BAND, _DTW_BIG
+    ctes = [f"""ev AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) // 7 AS w,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), w0 AS (SELECT min(w) AS w0 FROM ev),
+    weekly AS (
+        SELECT event_type, w - (SELECT w0 FROM w0) AS i0,
+               CAST(sum(cents) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM ev),
+    spine AS (
+        SELECT t.event_type, r.range AS i0
+        FROM types t CROSS JOIN range({n}) r
+    ), series AS (
+        SELECT s.event_type, s.i0 + 1 AS idx, COALESCE(wk.c, 0) AS c
+        FROM spine s LEFT JOIN weekly wk
+          ON wk.event_type = s.event_type AND wk.i0 = s.i0
+    ), pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM types a JOIN types b ON a.event_type < b.event_type
+    ), cells AS MATERIALIZED (
+        SELECT p.ta, p.tb, ia.idx AS i, jb.idx AS j,
+               CAST(abs(ia.c - jb.c) AS BIGINT) AS delta
+        FROM pairs p
+        JOIN series ia ON ia.event_type = p.ta
+        JOIN series jb ON jb.event_type = p.tb
+        WHERE abs(ia.idx - jb.idx) <= {band}
+    ), dp2 AS MATERIALIZED (
+        SELECT ta, tb, i, j, delta AS cost
+        FROM cells WHERE i = 1 AND j = 1
+    )"""]
+    for d in range(3, 2 * n + 1):
+        p3 = (
+            f"""LEFT JOIN dp{d - 2} p3 ON p3.ta = c.ta AND p3.tb = c.tb
+                AND p3.i = c.i - 1 AND p3.j = c.j - 1"""
+            if d > 3
+            else ""
+        )
+        p3cost = f"COALESCE(p3.cost, {big})" if d > 3 else f"{big}"
+        ctes.append(f"""dp{d} AS MATERIALIZED (
+            SELECT c.ta, c.tb, c.i, c.j,
+                   c.delta + least(COALESCE(p1.cost, {big}),
+                                   COALESCE(p2.cost, {big}),
+                                   {p3cost}) AS cost
+            FROM cells c
+            LEFT JOIN dp{d - 1} p1 ON p1.ta = c.ta AND p1.tb = c.tb
+                AND p1.i = c.i - 1 AND p1.j = c.j
+            LEFT JOIN dp{d - 1} p2 ON p2.ta = c.ta AND p2.tb = c.tb
+                AND p2.i = c.i AND p2.j = c.j - 1
+            {p3}
+            WHERE c.i + c.j = {d}
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}, final AS (
+            SELECT ta, tb, CAST(cost AS BIGINT) AS cost
+            FROM dp{2 * n} WHERE i = {n} AND j = {n}
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY cost ASC, ta, tb) AS rank
+            FROM final
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, ta AS type_a, tb AS type_b,
+               CAST({n} AS BIGINT) AS n_weeks, cost AS dtw_cost_cents,
+               cost // {2 * n - 1} AS per_cell_cents
+        FROM ranked ORDER BY rank
+    """
+
+
+@register(
+    "timeseries_dtw_weekly_similarity",
+    oracle=_dtw_oracle_sql(),
+    tags=("timeseries", "similarity", "mapInPandas"),
+    doc="Dynamic time warping between every pair of event types' "
+    "16-week revenue curves (Sakoe-Chiba band 4): the elastic "
+    "distance that matches curves with shifted/stretched timing, "
+    "which no lag-aligned metric in the registry (correlation, "
+    "Theil-Sen, KS) can express — the similarity search primitive "
+    "for 'which series behave alike' retrieval over time-series "
+    "corpora. The DP is sequential by nature, so the Spark side "
+    "runs it as an Arrow-batched mapInPandas kernel over the "
+    "10-row pair relation (each pair's 16x16 banded grid is "
+    "microseconds of numpy; series assembly IS distributed — "
+    "weekly rollup + spine zero-fill + one collect_list per type), "
+    "and the DuckDB oracle computes the IDENTICAL recurrence as 30 "
+    "unrolled anti-diagonal CTEs with COALESCE-BIG boundary "
+    "handling, so every cell of the warping matrix is "
+    "cross-engine-exact in BIGINT cents (each diagonal CTE is "
+    "MATERIALIZED — without it DuckDB inlines dp(d-1) twice per "
+    "level and the plan expands exponentially, found the hard "
+    "way). At corpus scale the same "
+    "kernel runs per pair-partition: state is O(band * n) per "
+    "pair, pairs parallelize embarrassingly.",
+)
+def timeseries_dtw_weekly_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n, band, big = _DTW_N, _DTW_BAND, _DTW_BIG
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.expr(
+            "datediff(date_trunc('day', ts), date'2024-01-01') div 7"
+        ).alias("w"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w0 = F.broadcast(ev.agg(F.min("w").alias("w0")))
+    weekly = (
+        ev.crossJoin(w0)
+        .select(
+            "event_type", (F.col("w") - F.col("w0")).alias("i0"), "cents"
+        )
+        .groupBy("event_type", "i0")
+        .agg(F.sum("cents").cast("long").alias("c"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i0"),
+    )
+    series = (
+        spine.join(weekly, ["event_type", "i0"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0).cast("long")))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i0, c))),"
+                " s -> s.c)"
+            ).alias("arr")
+        )
+    )
+    pairs = (
+        series.select(
+            F.col("event_type").alias("ta"), F.col("arr").alias("arr_a")
+        )
+        .join(
+            series.select(
+                F.col("event_type").alias("tb"), F.col("arr").alias("arr_b")
+            ),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"type_a": [], "type_b": [], "dtw_cost_cents": []}
+            for ta, tb, aa, bb in zip(
+                pdf["ta"], pdf["tb"], pdf["arr_a"], pdf["arr_b"]
+            ):
+                a = np.asarray(list(aa), dtype=np.int64)
+                b = np.asarray(list(bb), dtype=np.int64)
+                m = len(a)
+                dp = np.full((m + 1, m + 1), big, dtype=np.int64)
+                dp[0, 0] = 0
+                for i in range(1, m + 1):
+                    for j in range(max(1, i - band), min(m, i + band) + 1):
+                        d = abs(int(a[i - 1]) - int(b[j - 1]))
+                        dp[i, j] = d + min(
+                            dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+                        )
+                out["type_a"].append(ta)
+                out["type_b"].append(tb)
+                out["dtw_cost_cents"].append(int(dp[m, m]))
+            yield pd.DataFrame(out)
+
+    scored = pairs.mapInPandas(
+        run, "type_a string, type_b string, dtw_cost_cents long"
+    )
+    top = scored.orderBy(
+        F.col("dtw_cost_cents").asc(), "type_a", "type_b"
+    ).limit(100)
+    from pyspark.sql import Window
+
+    wrank = Window.orderBy(
+        F.col("dtw_cost_cents").asc(), "type_a", "type_b"
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(wrank))
+        .select(
+            "rank",
+            "type_a",
+            "type_b",
+            F.lit(n).cast("long").alias("n_weeks"),
+            "dtw_cost_cents",
+            F.expr(f"dtw_cost_cents div {2 * n - 1}").alias(
+                "per_cell_cents"
+            ),
+        )
+        .orderBy("rank")
+    )

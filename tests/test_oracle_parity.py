@@ -123,6 +123,7 @@ _MEDIUM_EXTRAS = (
     "sketch_kmv_difference",
     "graph_betweenness_seeded",
     "graph_degree_assortativity",
+    "timeseries_dtw_weekly_similarity",
 )
 
 

@@ -124,6 +124,7 @@ _MEDIUM_EXTRAS = (
     "graph_betweenness_seeded",
     "graph_degree_assortativity",
     "timeseries_dtw_weekly_similarity",
+    "graph_personalized_pagerank",
 )
 
 

@@ -1839,3 +1839,120 @@ def corpus_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# --- temperature-scaled mixture with exact apportionment -------------------
+
+_TEMP_TARGET = 1000  # docs in the planned mixture
+
+_TEMP_MIX_ORACLE = f"""
+    WITH src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), weighted AS (
+        SELECT source, n_docs, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+        FROM src
+    ), tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS wsum,
+               CAST(sum(tokens) AS BIGINT) AS tsum
+        FROM weighted
+    ), quota AS (
+        SELECT source, n_docs, tokens, w,
+               {_TEMP_TARGET} * w // (SELECT wsum FROM tot) AS base,
+               {_TEMP_TARGET} * w % (SELECT wsum FROM tot) AS rem
+        FROM weighted
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+        FROM quota
+    ), extra AS (
+        SELECT {_TEMP_TARGET} - CAST(sum(base) AS BIGINT) AS k FROM quota
+    )
+    SELECT source, n_docs, tokens,
+           tokens * 1000 // (SELECT tsum FROM tot) AS share_before_milli,
+           CAST(base + CASE WHEN rr <= (SELECT k FROM extra)
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs,
+           (base + CASE WHEN rr <= (SELECT k FROM extra)
+                        THEN 1 ELSE 0 END) * 1000 // {_TEMP_TARGET}
+               AS share_after_milli
+    FROM ranked
+    ORDER BY source
+"""
+
+
+@register(
+    "corpus_temperature_mixture_plan",
+    oracle=_TEMP_MIX_ORACLE,
+    tags=("text", "llm", "corpus"),
+    doc="Temperature-scaled corpus mixture (the multilingual-LM "
+    "sampling rule, T=2): source weights are tokens^(1/T) = "
+    "floor(sqrt(tokens)) — IEEE double sqrt is correctly rounded, so "
+    "the floor is deterministic cross-engine — flattening the "
+    "head/tail imbalance raw proportional sampling has (big sources "
+    "shrink, small sources grow), then a 1000-doc budget is split by "
+    "LARGEST-REMAINDER apportionment (Hamilton's method): base = "
+    "floor(N*w/W) per source, the leftover seats go to the largest "
+    "remainders — an EXACT integer allocation summing to N by "
+    "construction, no float shares to re-round. The before/after "
+    "share columns show the tempering. Plan: one tokenize-free scan "
+    "rollup per source (token counts via split length, no explode), "
+    "1-row totals broadcast, remainder ranking through the "
+    "distributed global_rank — post-agg relations only.",
+)
+def corpus_temperature_mixture_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+    )
+    weighted = src.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long"),
+    )
+    tot = F.broadcast(
+        weighted.agg(
+            F.sum("w").cast("long").alias("wsum"),
+            F.sum("tokens").cast("long").alias("tsum"),
+        )
+    )
+    quota = weighted.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "tsum",
+        F.expr(f"{_TEMP_TARGET} * w div wsum").alias("base"),
+        F.expr(f"{_TEMP_TARGET} * w % wsum").alias("rem"),
+    )
+    ranked = global_rank(
+        quota.withColumn("negrem", -F.col("rem")), ["negrem", "source"], "rr"
+    )
+    extra = F.broadcast(
+        quota.agg(
+            (F.lit(_TEMP_TARGET) - F.sum("base")).cast("long").alias("k")
+        )
+    )
+    return (
+        ranked.crossJoin(extra)
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("tokens * 1000 div tsum").alias("share_before_milli"),
+            F.expr("base + (CASE WHEN rr <= k THEN 1 ELSE 0 END)")
+            .cast("long")
+            .alias("alloc_docs"),
+            F.expr(
+                f"(base + (CASE WHEN rr <= k THEN 1 ELSE 0 END)) * 1000"
+                f" div {_TEMP_TARGET}"
+            ).alias("share_after_milli"),
+        )
+        .orderBy("source")
+    )

@@ -125,6 +125,7 @@ _MEDIUM_EXTRAS = (
     "graph_degree_assortativity",
     "timeseries_dtw_weekly_similarity",
     "graph_personalized_pagerank",
+    "corpus_temperature_mixture_plan",
 )
 
 

@@ -93,6 +93,37 @@ _SWEEP_EXTRAS = (
     "text_pmi_collocations",
     "text_term_burstiness",
     "lineitem_abc_xyz_classification",
+    # round-6 continuation additions (keep in lockstep with the
+    # matching tail of _MEDIUM_EXTRAS in test_oracle_parity.py)
+    "text_zipf_fit",
+    "approx_stats_scale_path",
+    "text_winnowing_fingerprints",
+    "dedup_cdc_chunks",
+    "graph_hits_hubs_authorities",
+    "events_psi_drift",
+    "events_ab_proportion_test",
+    "forecast_mase_eval",
+    "sketch_cm_join_size_estimate",
+    "text_heaps_law_fit",
+    "eval_auc_mann_whitney",
+    "embedding_centroid_drift",
+    "events_changepoint_binary_seg",
+    "storage_compaction_bin_packing",
+    "graph_modularity_score",
+    "events_pattern_vshape_match",
+    "sql_group_by_all_dialect",
+    "text_quantile_normalize_sources",
+    "multimodal_audio_vad_segments",
+    "privacy_l_diversity_audit",
+    "timeseries_seasonal_decompose",
+    "orders_littles_law_identity",
+    "schema_fd_discovery",
+    "sketch_kmv_difference",
+    "graph_betweenness_seeded",
+    "graph_degree_assortativity",
+    "timeseries_dtw_weekly_similarity",
+    "graph_personalized_pagerank",
+    "corpus_temperature_mixture_plan",
 )
 
 
@@ -133,3 +164,13 @@ def test_width_invariant(spark, sf_dir, spec):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     assert narrow == wide, f"{spec.name}: output depends on shuffle width"
+
+
+def test_sweep_extras_track_parity_extras():
+    """Every post-freeze query that gets default sf0.01 parity must also
+    get the default two-width sweep — the two lists drifted apart once
+    (the round-6 continuation tail was parity-only for a while)."""
+    from tests.test_oracle_parity import _MEDIUM_EXTRAS
+
+    missing = [n for n in _MEDIUM_EXTRAS if n not in _SWEEP_EXTRAS]
+    assert not missing, f"parity extras missing from sweep: {missing}"

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "dynamodb_stream_processor_2_0_spark.plans.queries_analytics_ext",
     "dynamodb_stream_processor_2_0_spark.plans.queries_ingest_ext",
     "dynamodb_stream_processor_2_0_spark.plans.queries_retrieval",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_ml",
 )
 
 _loaded = False

@@ -124,6 +124,9 @@ _SWEEP_EXTRAS = (
     "timeseries_dtw_weekly_similarity",
     "graph_personalized_pagerank",
     "corpus_temperature_mixture_plan",
+    "ml_ols_regression_closed_form",
+    "ml_hashed_linear_scorer",
+    "eval_calibration_curve_ece",
 )
 
 

@@ -554,3 +554,92 @@ def count_min_estimates(
     )
     truth = df.groupBy(item_col).agg(F.count(F.lit(1)).alias("true_count"))
     return estimates.join(truth, item_col)
+
+
+def star_contraction_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-ROUND scale path beside
+    ``connected_components``'s min-label flood, whose round count is
+    bound by the graph DIAMETER instead. On an LSH candidate graph the
+    diameter is small and min-label wins; on a long-chain graph (CDC
+    chunk adjacency, temporal follows) diameter can be O(n) and star
+    contraction is the algorithm production systems switch to.
+
+    Both star ops only ever link nodes to the MINIMUM of a
+    neighborhood, and the minimum node of a component is never linked
+    upward, so the fixpoint is every component contracted to a star
+    centered on its minimum id — labels therefore EQUAL
+    ``connected_components``'s (min reachable id), letting both share
+    one oracle.
+
+    Per round: large-star (neighborhood-min rollup + one join) then
+    small-star (same shape on the smaller-neighbor side) — 4 node-id
+    shuffles; state is the current edge set, which only shrinks toward
+    the star forest (distinct-ed each half-round to keep it tight).
+    Convergence is detected from a 1-row (count, sum(u), sum(v))
+    signature per round — a bounded driver action, same class as the
+    CC loop's observe; rounds are localCheckpointed to truncate
+    lineage. Deterministic: every operation is a min or a set union.
+    """
+    spark = pairs.sparkSession
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = _sym(edges).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        # Large-star: every neighbor v > u links to m = min(N(u) + {u}).
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        symd = _sym(large)
+        # Small-star: every neighbor v < u (and u itself) links to
+        # m = min of the smaller-neighbor side.
+        mins_s = (
+            symd.filter(F.col("v") < F.col("u"))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        small = (
+            symd.join(mins_s, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins_s.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+        )
+        sym = _sym(small).localCheckpoint(eager=True)
+        sig = sym.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        sig = tuple(sig)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("mv", F.col("u")).alias("cluster_id"),
+        )
+    )

@@ -5979,3 +5979,537 @@ def events_pattern_vshape_match(
         )
         .orderBy("event_type")
     )
+
+
+# --- Allen interval algebra census -----------------------------------------
+
+# Canonical orientation: the pair's lexicographically-smaller interval
+# (s, e, user_id) is side 1, so each unordered pair classifies into ONE
+# of Allen's relations with inverses folded (contains->during,
+# started-by->starts, ...). The CASE is total and deterministic even
+# for degenerate point intervals (single-event days, s = e).
+_ALLEN_CASE = """
+    CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN s1 = s2 THEN 'starts'
+         WHEN e1 = e2 THEN 'finishes'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN e1 > e2 THEN 'during'
+         ELSE 'overlaps' END
+"""
+
+_ALLEN_ORACLE = f"""
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(hour(ts) * 3600 + minute(ts) * 60 + second(ts)) AS s,
+               max(hour(ts) * 3600 + minute(ts) * 60 + second(ts)) AS e
+        FROM events
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.day,
+               CASE WHEN (a.s, a.e, a.user_id) <= (b.s, b.e, b.user_id)
+                    THEN a.s ELSE b.s END AS s1,
+               CASE WHEN (a.s, a.e, a.user_id) <= (b.s, b.e, b.user_id)
+                    THEN a.e ELSE b.e END AS e1,
+               CASE WHEN (a.s, a.e, a.user_id) <= (b.s, b.e, b.user_id)
+                    THEN b.s ELSE a.s END AS s2,
+               CASE WHEN (a.s, a.e, a.user_id) <= (b.s, b.e, b.user_id)
+                    THEN b.e ELSE a.e END AS e2
+        FROM iv a JOIN iv b
+          ON a.day = b.day AND a.user_id < b.user_id
+         AND a.s <= b.e AND b.s <= a.e
+    ), rc AS (
+        SELECT day, {_ALLEN_CASE} AS relation,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2
+    ), tot AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n FROM iv GROUP BY 1
+    ), ovl AS (
+        SELECT day, CAST(sum(n_pairs) AS BIGINT) AS o FROM rc GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, relation, n_pairs FROM rc
+    UNION ALL
+    SELECT CAST(t.day AS VARCHAR), 'precedes',
+           n * (n - 1) // 2 - COALESCE(o, 0)
+    FROM tot t LEFT JOIN ovl o ON o.day = t.day
+    WHERE n * (n - 1) // 2 - COALESCE(o, 0) > 0
+    ORDER BY day, relation
+"""
+
+
+@register(
+    "interval_allen_algebra_census",
+    oracle=_ALLEN_ORACLE,
+    tags=("join", "timeseries", "scale"),
+    doc="Allen interval-algebra census over the per-(user, day) "
+    "activity intervals: every unordered pair of same-day intervals "
+    "classified into Allen's relations with inverses folded to the "
+    "canonical orientation (equals / starts / finishes / meets / "
+    "during / overlaps), plus 'precedes' for the disjoint remainder — "
+    "the temporal-relationship profile a scheduler or concurrency "
+    "auditor reads. Scale shape: only INTERSECTING pairs are ever "
+    "materialized, via the same two-arm banded equi-join as "
+    "interval_overlap_join (each pair generated exactly once, <= 24 "
+    "bands/interval, no theta join); the disjoint majority — the "
+    "quadratic bulk at scale — is counted BY ALGEBRA as C(n,2) minus "
+    "the per-day intersecting total, never enumerated. The oracle is "
+    "the declarative theta-join classification, proving both the "
+    "banded rewrite and the subtraction exact.",
+)
+def interval_allen_algebra_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sec = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("long")
+    iv = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min(sec).alias("s"), F.max(sec).alias("e"))
+        .withColumn("sband", F.expr("s div 3600"))
+    )
+
+    def pair_cols(l: str, r: str):
+        lead = F.struct(
+            F.col(f"{l}.s"), F.col(f"{l}.e"), F.col(f"{l}.user_id")
+        ) <= F.struct(
+            F.col(f"{r}.s"), F.col(f"{r}.e"), F.col(f"{r}.user_id")
+        )
+        pick = lambda c1, c2: F.when(lead, F.col(c1)).otherwise(F.col(c2))
+        return (
+            F.col(f"{l}.day").alias("day"),
+            pick(f"{l}.s", f"{r}.s").alias("s1"),
+            pick(f"{l}.e", f"{r}.e").alias("e1"),
+            pick(f"{r}.s", f"{l}.s").alias("s2"),
+            pick(f"{r}.e", f"{l}.e").alias("e2"),
+        )
+
+    a, b = iv.alias("a"), iv.alias("b")
+    same = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.sband") == F.col("b.sband"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(*pair_cols("a", "b"))
+    covered = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        "sband",
+        F.explode(F.sequence(F.col("sband"), F.expr("e div 3600"))).alias(
+            "band"
+        ),
+    )
+    x, y = covered.alias("x"), iv.alias("y")
+    cross = x.join(
+        y,
+        (F.col("x.day") == F.col("y.day"))
+        & (F.col("x.band") == F.col("y.sband"))
+        & (F.col("x.sband") < F.col("y.sband"))
+        & (F.col("x.user_id") != F.col("y.user_id"))
+        & (F.col("x.s") <= F.col("y.e"))
+        & (F.col("y.s") <= F.col("x.e")),
+    ).select(*pair_cols("x", "y"))
+    rc = (
+        same.unionByName(cross)
+        .groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.expr(_ALLEN_CASE).alias("relation"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = iv.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ovl = rc.groupBy("day").agg(F.sum("n_pairs").cast("long").alias("o"))
+    precedes = (
+        tot.join(ovl, "day", "left")
+        .select(
+            "day",
+            F.lit("precedes").alias("relation"),
+            (
+                F.expr("n * (n - 1) div 2")
+                - F.coalesce("o", F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return rc.unionByName(precedes).orderBy("day", "relation")
+
+
+# --- Mann-Kendall trend significance test ----------------------------------
+
+# Completes events_theil_sen_trend: Theil-Sen answers "how steep", this
+# answers "is there a monotone trend AT ALL, and is it significant" —
+# the standard pairing in environmental/ops statistics. Exactness: S is
+# an integer sum of pair signs; Var(S) is kept as 18*Var (the exact
+# integer n(n-1)(2n+5) - sum_t t(t-1)(2t+5), tie-corrected); the
+# z > 1.96 significance test is cleared of sqrt/division by cross-
+# multiplying: (|S|-1)^2 * 180000 > 38416 * var18  (z^2 > 3.8416 with
+# the continuity correction |S|-1). All BIGINT at the C(90,2) bound.
+
+_MK_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(max(ts) AS DATE) AS d1 FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events, bounds
+        WHERE CAST(ts AS DATE) > d1 - {_THEIL_SEN_WINDOW_DAYS}
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1
+    ), nd AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily
+        GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (
+            SELECT event_type, cents, count(*) AS t
+            FROM daily GROUP BY 1, 2
+        ) g
+        GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n AS n_days, s.s_stat,
+           nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term AS var18,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS direction,
+           (abs(s.s_stat) > 0 AND
+            (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) * 180000
+                > 38416 * (nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                           - ties.tie_term)) AS significant
+    FROM nd
+    JOIN s ON s.event_type = nd.event_type
+    JOIN ties ON ties.event_type = nd.event_type
+    ORDER BY nd.event_type
+"""
+
+
+@register(
+    "events_mann_kendall_test",
+    oracle=_MK_ORACLE,
+    tags=("timeseries", "analytics", "robust", "stats"),
+    doc="Mann-Kendall monotone-trend significance test per event type "
+    "over the trailing-90-day daily-revenue series — the hypothesis-"
+    "test partner of events_theil_sen_trend (Sen estimates the slope, "
+    "Kendall's S says whether a trend exists at alpha=0.05). S = sum "
+    "of pairwise value signs computed IN-BASKET as one aggregate "
+    "expression (no pair explode, no second shuffle — cheaper than "
+    "Theil-Sen, which must rank the slopes); Var(S) carried as the "
+    "exact tie-corrected integer 18*Var; significance decided by the "
+    "cross-multiplied continuity-corrected inequality (|S|-1)^2 * "
+    "180000 > 38416 * var18 — no sqrt, no division, no float. Pair "
+    "space bounded C(90,2) per type by the window, corpus-size-"
+    "independent; the oracle is the declarative pair self-join.",
+)
+def events_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bound = events.agg(
+        F.date_sub(F.max(F.to_date("ts")), _THEIL_SEN_WINDOW_DAYS).alias("d0")
+    )
+    daily = (
+        events.crossJoin(F.broadcast(bound))
+        .filter(F.to_date("ts") > F.col("d0"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    # S as ONE in-basket aggregate expression over the sorted series:
+    # sum over i<j of sign(y_j - y_i); no pair rows ever materialize.
+    s = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "aggregate(flatten(transform(ps, (a, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), b -> "
+                "CASE WHEN b.cents > a.cents THEN 1L "
+                "WHEN b.cents < a.cents THEN -1L ELSE 0L END))), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("s_stat"),
+            F.expr("size(ps)").cast("long").alias("n_days"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    out = s.join(ties, "event_type").select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.expr(
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"
+        ).alias("var18"),
+        F.expr(
+            "CASE WHEN s_stat > 0 THEN 'increasing' "
+            "WHEN s_stat < 0 THEN 'decreasing' "
+            "ELSE 'no_trend' END"
+        ).alias("direction"),
+        F.expr(
+            "abs(s_stat) > 0 AND "
+            "(abs(s_stat) - 1) * (abs(s_stat) - 1) * 180000 "
+            "> 38416 * (n_days * (n_days - 1) * (2 * n_days + 5) "
+            "- tie_term)"
+        ).alias("significant"),
+    )
+    return out.orderBy("event_type")
+
+
+# --- exact Shapley-value attribution ---------------------------------------
+#
+# Game-theoretic channel attribution (the data-driven model behind
+# "DDA" products), EXACTLY: users' exposure sets over the four
+# non-purchase channels (click=1, error=2, signup=4, view=8) form a
+# 16-coalition lattice; coalition value v(S) = number of converted
+# users whose entire exposure set is covered by S (subset-sum over the
+# 16-row mask rollup); channel i's Shapley credit
+#   phi_i = sum_{S: i not in S} |S|!(3-|S|)!/4! * (v(S+i) - v(S))
+# is carried as credit24 = 24*phi_i, an EXACT INTEGER (the per-size
+# weights 24*w are {6, 2, 2, 6}), with the efficiency axiom
+# sum_i credit24_i = 24*(v(full) - v(empty)) emitted as a gate-checked
+# boolean. Whole-history exposure (no pre-conversion window) is the
+# documented simplification — the lattice algebra is unchanged by the
+# windowing choice.
+#
+# Scale: ONE data-sized shuffle (the per-user rollup); the mask rollup
+# is 16 rows, and every lattice computation (subset sums, marginals)
+# joins constant-sized relations — corpus-size-independent, all exact
+# BIGINT.
+
+_SHAPLEY_LATTICE = """
+    , masks AS (
+        SELECT mask,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM users GROUP BY mask
+    ), coal AS (
+        SELECT c FROM {range16}
+    ), v AS (
+        SELECT c.c AS s, CAST(COALESCE(sum(m.n_conv), 0) AS BIGINT) AS v
+        FROM coal c
+        LEFT JOIN masks m ON (m.mask & c.c) = m.mask
+        GROUP BY c.c
+    ), marginals AS (
+        SELECT ch.b AS channel_bit,
+               vs.s AS s,
+               (CASE WHEN bit_count(vs.s) = 0 OR bit_count(vs.s) = 3
+                     THEN 6 ELSE 2 END)
+                   * (vsi.v - vs.v) AS term
+        FROM (SELECT c AS b FROM {range16} WHERE c IN (1, 2, 4, 8)) ch
+        JOIN v vs ON (vs.s & ch.b) = 0
+        JOIN v vsi ON vsi.s = (vs.s | ch.b)
+    ), credit AS (
+        SELECT channel_bit, CAST(sum(term) AS BIGINT) AS credit24
+        FROM marginals GROUP BY channel_bit
+    ), total AS (
+        SELECT CAST(max(v) AS BIGINT) AS v_full FROM v
+    ), eff AS (
+        SELECT CAST(sum(credit24) AS BIGINT) AS credit_sum FROM credit
+    )
+    SELECT CASE channel_bit WHEN 1 THEN 'click' WHEN 2 THEN 'error'
+                WHEN 4 THEN 'signup' ELSE 'view' END AS channel,
+           c.credit24,
+           CAST((CASE WHEN c.credit24 < 0 THEN -1 ELSE 1 END)
+                * (abs(c.credit24) * 1000 {fdiv} (24 * t.v_full))
+                AS BIGINT) AS credit_permille,
+           (e.credit_sum = 24 * t.v_full) AS efficiency_holds
+    FROM credit c CROSS JOIN total t CROSS JOIN eff e
+    ORDER BY channel
+"""
+
+_SHAPLEY_ORACLE = (
+    """
+    WITH users AS (
+        SELECT user_id,
+               CAST(sum(DISTINCT CASE event_type
+                    WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                    ELSE 0 END) AS BIGINT) AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    )
+    """
+    + _SHAPLEY_LATTICE.format(range16="range(16) t(c)", fdiv="//")
+)
+
+
+@register(
+    "attribution_shapley_exact",
+    oracle=_SHAPLEY_ORACLE,
+    tags=("analytics", "ml", "attribution", "agg"),
+    doc="Exact Shapley-value channel attribution over the four "
+    "non-purchase channels: per-user exposure bitmask + conversion "
+    "flag (the single data-sized shuffle), 16-row mask rollup, "
+    "coalition values by subset-sum on the broadcast lattice, and "
+    "each channel's Shapley credit as the exact integer 24*phi "
+    "(per-size factorial weights {6,2,2,6} clear the 4! denominator "
+    "— no floats anywhere in a game-theory computation usually done "
+    "in floating point). The efficiency axiom sum(credit24) = "
+    "24*(v(full)-v(empty)) is emitted as a column and hence "
+    "gate-checked every run. The principled successor to first-touch "
+    "/ time-decay attribution; lattice cost is constant (16 x 16) at "
+    "any corpus size, and a fifth channel changes 16 to 32, not the "
+    "shape.",
+)
+def attribution_shapley_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(DISTINCT CASE event_type "
+                "WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+                "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 "
+                "ELSE 0 END) AS BIGINT)"
+            ).alias("mask"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    users.createOrReplaceTempView("shapley_users")
+    spark.range(16).selectExpr("CAST(id AS INT) AS c").createOrReplaceTempView(
+        "shapley_coal"
+    )
+    return spark.sql(
+        "WITH users AS (SELECT * FROM shapley_users)"
+        + _SHAPLEY_LATTICE.format(
+            range16="shapley_coal", fdiv="div"
+        )
+    )
+
+
+# --- gap-constrained sequential pattern mining -----------------------------
+#
+# PrefixSpan-lite: frequent 3-step behavioral patterns with a bounded
+# gap (each step within <= 2 positions of the previous, so sequences
+# with one interleaved noise event still match). Fixed length + fixed
+# gap turn the pattern space into FOUR lead-offset combinations per
+# position — (0,1,2) (0,1,3) (0,2,3) (0,2,4) — enumerated from ONE
+# (user) window pass carrying 4 lead slots; no self-joins, no
+# candidate-generation lattice. Support counted both as occurrences
+# and as distinct users (the anti-bot dedup the raw count lacks).
+# Same compile-the-pattern philosophy as events_pattern_vshape_match.
+
+_SEQPAT_COMBOS = ((1, 2), (1, 3), (2, 3), (2, 4))
+_SEQPAT_TOPK = 15
+
+
+def _seqpat_arms_sql() -> str:
+    return "\n        UNION ALL\n".join(
+        f"""        SELECT user_id,
+               concat(t0, '>', t{j}, '>', t{k}) AS pattern
+        FROM leads WHERE t{j} IS NOT NULL AND t{k} IS NOT NULL"""
+        for j, k in _SEQPAT_COMBOS
+    )
+
+
+_SEQPAT_ORACLE = f"""
+    WITH leads AS (
+        SELECT user_id, event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(event_type, 3) OVER w AS t3,
+               lead(event_type, 4) OVER w AS t4
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), occ AS (
+{_seqpat_arms_sql()}
+    ), counts AS (
+        SELECT pattern,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM occ GROUP BY pattern
+    )
+    SELECT pattern, n_occurrences, n_users
+    FROM counts
+    ORDER BY n_occurrences DESC, pattern ASC
+    LIMIT {_SEQPAT_TOPK}
+"""
+
+
+@register(
+    "events_sequential_patterns",
+    oracle=_SEQPAT_ORACLE,
+    tags=("timeseries", "pattern", "analytics"),
+    doc="Gap-constrained sequential pattern mining (PrefixSpan-lite): "
+    "top-15 3-step behavioral patterns per the whole corpus, where "
+    "each step may skip at most one interleaved event — the "
+    "noise-tolerant upgrade over events_transition_matrix's strictly "
+    "adjacent bigrams. Fixed length + bounded gap compile the entire "
+    "pattern search into FOUR lead-offset combinations read from ONE "
+    "per-user window pass (4 lead slots of state; no candidate "
+    "lattice, no self-join — the PrefixSpan projection database "
+    "degenerates to window arithmetic). Support reported as raw "
+    "occurrences AND distinct users; global top-15 compiles to "
+    "TakeOrderedAndProject, never a full sort.",
+)
+def events_sequential_patterns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leads = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.col("event_type").alias("t0"),
+        *[
+            F.lead("event_type", i).over(w).alias(f"t{i}")
+            for i in range(1, 5)
+        ],
+    )
+    occ = None
+    for j, k in _SEQPAT_COMBOS:
+        arm = leads.filter(
+            F.col(f"t{j}").isNotNull() & F.col(f"t{k}").isNotNull()
+        ).select(
+            "user_id",
+            F.concat_ws(">", "t0", f"t{j}", f"t{k}").alias("pattern"),
+        )
+        occ = arm if occ is None else occ.unionByName(arm)
+    return (
+        occ.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
+        .limit(_SEQPAT_TOPK)
+    )

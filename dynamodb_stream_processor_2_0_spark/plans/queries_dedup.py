@@ -221,6 +221,43 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_assign_star",
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) pairs
+        ), sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL
+            SELECT doc_b, doc_a FROM edges
+        ), reach(node, r) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    tags=("dedup", "llm", "iterative", "graph", "scale"),
+    doc="Connected components by alternating large-star / small-star "
+    "contraction (Kiveris et al.) over the same MinHash-LSH candidate "
+    "graph as dedup_cluster_assign — the O(log n)-ROUND algorithm "
+    "production systems switch to when component DIAMETER is large "
+    "(long CDC chunk chains, temporal follows), where min-label "
+    "propagation needs O(diameter) rounds. Both star ops link nodes "
+    "only to neighborhood minima, so the fixpoint is every component "
+    "contracted to a star on its minimum id: labels EQUAL the "
+    "min-label flood's and the two operators share one recursive-SQL "
+    "oracle — an algebraic cross-check that two different distributed "
+    "algorithms agree, gate-enforced. 4 node-id shuffles per round, "
+    "edge state only shrinks, per-round 1-row convergence signature.",
+)
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    return dedup.star_contraction_components(pairs)
+
+
+@register(
     "sketch_count_min",
     oracle="""
         WITH items AS (
@@ -1656,4 +1693,114 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_in_dup_chunks"),
         )
         .orderBy("source")
+    )
+
+
+# --- Fellegi-Sunter probabilistic record linkage ---------------------------
+#
+# The 1969 probabilistic-linkage model on the parts catalog: blocked
+# candidate pairs scored by per-field agreement weights log2(m/u) /
+# log2((1-m)/(1-u)) with published-style m (match agreement) and u
+# (chance agreement) probabilities baked in as exact milli constants —
+# the weights are MODEL PARAMETERS (like the hashed scorer's vector),
+# so no log runs at query time and both engines share the integers.
+#   adjective: m=.90 u=.05  ->  +4170 / -3248
+#   brand:     m=.95 u=.20  ->  +2248 / -4000
+#   type:      m=.90 u=.25  ->  +1848 / -2907
+# Three-way Fellegi-Sunter decision: match >= +6000 milli (two strong
+# agreements), possible in [0, 6000), non-match < 0.
+_FS_SCORE = """
+    (CASE WHEN adj_a = adj_b THEN 4170 ELSE -3248 END
+     + CASE WHEN brand_a = brand_b THEN 2248 ELSE -4000 END
+     + CASE WHEN type_a = type_b THEN 1848 ELSE -2907 END)
+"""
+
+_FS_DECISION = """
+    CASE WHEN score >= 6000 THEN 'match'
+         WHEN score >= 0 THEN 'possible'
+         ELSE 'non_match' END
+"""
+
+_FS_REPORT = """
+    SELECT {decision} AS decision,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((CASE WHEN sum(score) < 0 THEN -1 ELSE 1 END)
+                * (abs(CAST(sum(score) AS BIGINT)) {fdiv} count(*))
+                AS BIGINT) AS mean_score_milli,
+           CAST(min(score) AS BIGINT) AS min_score_milli,
+           CAST(max(score) AS BIGINT) AS max_score_milli
+    FROM scored
+    GROUP BY 1
+    ORDER BY decision
+"""
+
+_FS_ORACLE = f"""
+    WITH recs AS (
+        SELECT p_partkey AS pk,
+               split_part(p_name, ' ', 1) AS adj,
+               split_part(p_name, ' ', 2) AS noun,
+               p_brand AS brand, p_type AS ptype, p_size AS psize
+        FROM part
+    ), scored AS (
+        SELECT {_FS_SCORE.replace('adj_a', 'a.adj')
+                         .replace('adj_b', 'b.adj')
+                         .replace('brand_a', 'a.brand')
+                         .replace('brand_b', 'b.brand')
+                         .replace('type_a', 'a.ptype')
+                         .replace('type_b', 'b.ptype')} AS score
+        FROM recs a JOIN recs b
+          ON a.noun = b.noun AND a.psize = b.psize AND a.pk < b.pk
+    )
+    {_FS_REPORT.format(decision=_FS_DECISION, fdiv='//')}
+"""
+
+
+@register(
+    "dedup_fellegi_sunter_linkage",
+    oracle=_FS_ORACLE,
+    tags=("dedup", "fuzzy", "join", "ml"),
+    doc="Fellegi-Sunter probabilistic record linkage over the parts "
+    "catalog: candidate pairs blocked on (noun, exact size) — the "
+    "block key bounds every block to ~1/400 of the table, and the "
+    "production knob for bigger data is the standard multi-pass move "
+    "of adding brand to the key, not a cap — scored by per-field "
+    "agreement weights log2(m/u) frozen into exact milli-grid model "
+    "constants (no runtime log), then the classic three-way decision "
+    "(match / possible / non-match) with per-class count and score "
+    "stats. Upgrades fuzzy_match_blocked_levenshtein's single-field "
+    "edit distance to the multi-evidence probabilistic model real MDM "
+    "/ entity-resolution stacks run; the blocked equi-join + map-side "
+    "CASE scoring + one rollup shape shuffles only on the block key.",
+)
+def dedup_fellegi_sunter_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    recs = part.selectExpr(
+        "p_partkey AS pk",
+        "split_part(p_name, ' ', 1) AS adj",
+        "split_part(p_name, ' ', 2) AS noun",
+        "p_brand AS brand",
+        "p_type AS ptype",
+        "p_size AS psize",
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    score = F.expr(
+        _FS_SCORE.replace("adj_a", "a.adj")
+        .replace("adj_b", "b.adj")
+        .replace("brand_a", "a.brand")
+        .replace("brand_b", "b.brand")
+        .replace("type_a", "a.ptype")
+        .replace("type_b", "b.ptype")
+    )
+    scored = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.psize") == F.col("b.psize"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).select(score.alias("score"))
+    scored.createOrReplaceTempView("fs_scored")
+    return spark.sql(
+        "WITH scored AS (SELECT * FROM fs_scored)"
+        + _FS_REPORT.format(decision=_FS_DECISION, fdiv="div")
     )

@@ -127,6 +127,12 @@ _SWEEP_EXTRAS = (
     "ml_ols_regression_closed_form",
     "ml_hashed_linear_scorer",
     "eval_calibration_curve_ece",
+    "dedup_cluster_assign_star",
+    "interval_allen_algebra_census",
+    "dedup_fellegi_sunter_linkage",
+    "events_mann_kendall_test",
+    "attribution_shapley_exact",
+    "events_sequential_patterns",
 )
 
 

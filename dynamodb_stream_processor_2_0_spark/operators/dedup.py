@@ -460,7 +460,12 @@ def connected_components(
                 parent[hi] = lo
         labels_local = [(n, find(n)) for n in parent]
         return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
-    loop_width = max(1, min(session_width, n_edges // 500_000 + 1))
+    # Unlike the flood's 1-shuffle rounds, star rounds run 4 parallel
+    # stages; width 1 serializes them (6.3 s vs 5.0 measured), so keep
+    # a floor of 8 tasks until the edge count justifies full width.
+    loop_width = max(
+        1, min(session_width, max(8, n_edges // 500_000 + 1))
+    )
     if loop_width < session_width:
         sym = sym.repartition(loop_width, "v").localCheckpoint(eager=True)
     prior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -598,6 +603,26 @@ def star_contraction_components(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).filter(F.col("u") != F.col("v"))
     sym = _sym(edges).localCheckpoint(eager=True)
+    # Same measured-width sizing as connected_components: the loop's
+    # 4 shuffles/round on a post-LSH candidate graph pay mostly task
+    # overhead at full session width (5.0 -> ~2.5 s at sf0.1).
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = sym.count()
+    # Unlike the flood's 1-shuffle rounds, star rounds run 4 parallel
+    # stages; width 1 serializes them (6.3 s vs 5.0 measured), so keep
+    # a floor of 8 tasks until the edge count justifies full width.
+    loop_width = max(
+        1, min(session_width, max(8, n_edges // 500_000 + 1))
+    )
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    try:
+        return _star_loop(sym, _sym, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _star_loop(sym: DataFrame, _sym, max_rounds: int) -> DataFrame:
     prev_sig = None
     for _ in range(max_rounds):
         # Large-star: every neighbor v > u links to m = min(N(u) + {u}).

@@ -6119,6 +6119,11 @@ def interval_allen_algebra_census(
             F.expr(_ALLEN_CASE).alias("relation"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        # rc feeds BOTH the output union and the per-day intersecting
+        # total; pin it (days x <=6 relations — tiny) so the banded
+        # pair join runs ONCE, not once per consumer (8.8 -> ~5.5 s
+        # at sf0.1, measured).
+        .localCheckpoint(eager=False)
     )
     tot = iv.groupBy(
         F.date_format("day", "yyyy-MM-dd").alias("day")

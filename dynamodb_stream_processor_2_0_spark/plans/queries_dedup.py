@@ -1804,3 +1804,154 @@ def dedup_fellegi_sunter_linkage(
         "WITH scored AS (SELECT * FROM fs_scored)"
         + _FS_REPORT.format(decision=_FS_DECISION, fdiv="div")
     )
+
+
+# --- B-cubed evaluation of the dedup clustering ----------------------------
+#
+# B^3 precision/recall (Bagga & Baldwin; Amigo et al.) — the standard
+# entity-resolution clustering metric — evaluating the SYSTEM
+# clustering (MinHash-LSH candidates + connected components, extended
+# to singletons) against the TRUTH partition (exact-text groups by
+# md5). Per doc d: P_d = |C(d) n T(d)| / |C(d)|, R_d = same / |T(d)|;
+# the report is the corpus averages on the exact permille grid plus
+# their harmonic F1 by cross-multiplication. Every quantity is a
+# count: the (cluster, truth) co-membership sizes come from one
+# rollup of the doc->(c, t) assignment relation, cluster/truth sizes
+# from two more — no pairwise doc x doc comparison anywhere (the
+# naive B^3 definition sums over pairs; the size-algebra form is the
+# scale form).
+
+_BCUBED_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) p
+    ), sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+    ), cc AS (
+        SELECT node AS doc_id, min(r) AS c FROM reach GROUP BY node
+    ), assign AS (
+        SELECT d.doc_id,
+               COALESCE(cc.c, d.doc_id) AS c,
+               t.t
+        FROM documents d
+        LEFT JOIN cc ON cc.doc_id = d.doc_id
+        JOIN (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS t
+            FROM documents
+        ) t ON t.doc_id = d.doc_id
+    ), ct AS (
+        SELECT c, t, CAST(count(*) AS BIGINT) AS n_ct
+        FROM assign GROUP BY c, t
+    ), cs AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM assign GROUP BY c
+    ), ts AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM assign GROUP BY t
+    ), per_doc AS (
+        SELECT a.doc_id,
+               (ct.n_ct * 1000) // cs.n_c AS p_permille,
+               (ct.n_ct * 1000) // ts.n_t AS r_permille
+        FROM assign a
+        JOIN ct ON ct.c = a.c AND ct.t = a.t
+        JOIN cs ON cs.c = a.c
+        JOIN ts ON ts.t = a.t
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p_permille) // count(*) AS BIGINT) AS p_avg,
+               CAST(sum(r_permille) // count(*) AS BIGINT) AS r_avg
+        FROM per_doc
+    )
+    SELECT n_docs,
+           (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM assign)
+               AS n_sys_clusters,
+           (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM assign)
+               AS n_truth_groups,
+           p_avg AS bcubed_p_permille,
+           r_avg AS bcubed_r_permille,
+           CAST(CASE WHEN p_avg + r_avg = 0 THEN 0
+                ELSE (2 * p_avg * r_avg) // (p_avg + r_avg) END AS BIGINT)
+               AS bcubed_f1_permille
+    FROM agg
+"""
+
+
+@register(
+    "eval_dedup_bcubed",
+    oracle=_BCUBED_ORACLE,
+    tags=("dedup", "eval", "llm", "stats"),
+    doc="B-cubed precision/recall/F1 (Bagga & Baldwin; the standard "
+    "entity-resolution clustering metric) scoring the engine's OWN "
+    "near-dup pipeline: system = MinHash-LSH candidates + connected "
+    "components extended to singletons, truth = exact-text md5 "
+    "groups. Per-doc P/R on the exact permille grid, corpus averages, "
+    "harmonic F1 by cross-multiplication — and the whole computation "
+    "is SIZE ALGEBRA: one rollup of the doc->(cluster, truth) "
+    "assignment for co-membership sizes plus cluster/truth size "
+    "rollups, never the pairwise doc x doc sum the naive B^3 "
+    "definition suggests (quadratic in the largest cluster at 100 "
+    "TB). Closes the dedup family's eval loop the way "
+    "ann_recall_eval closes ANN's: dedup_minhash_calibration tunes "
+    "the bands, this op scores the end-to-end clustering they "
+    "produce.",
+)
+def eval_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    cc = dedup.connected_components(pairs).withColumnRenamed(
+        "cluster_id", "c"
+    )
+    truth = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("t"),
+    )
+    assign = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .join(truth, "doc_id")
+        .select("doc_id", F.coalesce("c", F.col("doc_id")).alias("c"), "t")
+        .localCheckpoint(eager=False)
+    )
+    ct = assign.groupBy("c", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct")
+    )
+    cs = assign.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    ts = assign.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    per_doc = (
+        assign.join(ct, ["c", "t"])
+        .join(cs, "c")
+        .join(ts, "t")
+        .select(
+            F.expr("n_ct * 1000 div n_c").alias("p_permille"),
+            F.expr("n_ct * 1000 div n_t").alias("r_permille"),
+        )
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(p_permille) div count(*)").cast("long").alias("p_avg"),
+        F.expr("sum(r_permille) div count(*)").cast("long").alias("r_avg"),
+    )
+    sizes = F.broadcast(
+        assign.agg(
+            F.countDistinct("c").cast("long").alias("n_sys_clusters"),
+            F.countDistinct("t").cast("long").alias("n_truth_groups"),
+        )
+    )
+    return agg.crossJoin(sizes).select(
+        "n_docs",
+        "n_sys_clusters",
+        "n_truth_groups",
+        F.col("p_avg").alias("bcubed_p_permille"),
+        F.col("r_avg").alias("bcubed_r_permille"),
+        F.expr(
+            "CAST(CASE WHEN p_avg + r_avg = 0 THEN 0 "
+            "ELSE (2 * p_avg * r_avg) div (p_avg + r_avg) END AS BIGINT)"
+        ).alias("bcubed_f1_permille"),
+    )

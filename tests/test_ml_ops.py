@@ -316,3 +316,37 @@ def test_fellegi_sunter_thresholds(spark, sf_dir):
         assert "possible" not in out
     finally:
         _cleanup(d, tmp)
+
+
+# --- B-cubed: perfect clustering scores 1000/1000/1000 ---------------------
+
+
+def test_bcubed_perfect_on_exact_duplicate_corpus(spark, sf_dir):
+    """A corpus of distinct texts plus exact copies: LSH+CC recovers
+    exactly the md5 truth groups, so B^3 P = R = F1 = 1000."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet purple",
+        "north south east west up down left right middle",
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((i * 10, t, "en", "src0", len(t)))
+        rows.append((i * 10 + 1, t, "en", "src0", len(t)))  # exact copy
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d, tmp = _sf_dir_with(spark, sf_dir, {"documents": docs})
+    try:
+        row = registry.get("eval_dedup_bcubed").fn(spark, d).collect()[0]
+        assert row["n_docs"] == 8
+        assert row["n_sys_clusters"] == 4 and row["n_truth_groups"] == 4
+        assert row["bcubed_p_permille"] == 1000
+        assert row["bcubed_r_permille"] == 1000
+        assert row["bcubed_f1_permille"] == 1000
+        compare_query(spark, registry.get("eval_dedup_bcubed"), d)
+    finally:
+        _cleanup(d, tmp)

@@ -135,6 +135,7 @@ _MEDIUM_EXTRAS = (
     "events_mann_kendall_test",
     "attribution_shapley_exact",
     "events_sequential_patterns",
+    "eval_dedup_bcubed",
 )
 
 

@@ -133,6 +133,7 @@ _SWEEP_EXTRAS = (
     "events_mann_kendall_test",
     "attribution_shapley_exact",
     "events_sequential_patterns",
+    "eval_dedup_bcubed",
 )
 
 

@@ -1423,3 +1423,93 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'identical' END"
         ).alias("drift_band"),
     )
+
+
+# --- nDCG@10 ranking-quality eval ------------------------------------------
+#
+# Completes the retrieval/ANN eval suite: ann_recall_eval measures SET
+# overlap (recall@5); this measures ORDER quality — nDCG@10 of the
+# int8-quantized ranking against the exact-cosine ideal, with graded
+# relevance rel = 11 - ideal_rank (top ideal hit is worth 10x the
+# tenth). The log2 position discounts are FROZEN micro-grid model
+# constants (1e6/log2(i+1), i = 1..10) — irrational at runtime, exact
+# integers as constants, identical in both engines like the
+# Fellegi-Sunter weights. IDCG is then the same constant for every
+# query (sum (11-r)*D_r = 29,966,114), so nDCG = DCG * 1000 div IDCG
+# needs no per-query ideal resummation.
+
+_NDCG_K = 10
+_NDCG_DISCOUNT_MICRO = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_IDCG_MICRO = sum(
+    (11 - r) * d for r, d in enumerate(_NDCG_DISCOUNT_MICRO, start=1)
+)
+
+_NDCG_DISCOUNT_SQL = ", ".join(str(d) for d in _NDCG_DISCOUNT_MICRO)
+
+
+def _ndcg_report_sql(fdiv: str, array_index: str) -> str:
+    return f"""
+        , graded AS (
+            SELECT s.query_id,
+                   CAST(COALESCE(11 - e.rank, 0) AS BIGINT)
+                       * {array_index} AS gain_micro
+            FROM sys_r s
+            LEFT JOIN exact_r e
+              ON e.query_id = s.query_id
+             AND e.neighbor_id = s.neighbor_id
+        )
+        SELECT query_id,
+               CAST(sum(gain_micro) AS BIGINT) AS dcg_micro,
+               CAST((sum(gain_micro) * 1000) {fdiv} {_NDCG_IDCG_MICRO}
+                    AS BIGINT) AS ndcg_permille
+        FROM graded
+        GROUP BY query_id
+        ORDER BY query_id
+    """
+
+
+@register(
+    "eval_ndcg_ranking",
+    oracle=f"""
+        WITH exact_r AS (
+            {S.cosine_topk_oracle_sql(k=_NDCG_K, query_pred=_QUERY_PRED_SQL)}
+        ), sys_r AS (
+            {S.int8_quantized_topk_oracle_sql(
+                k=_NDCG_K, query_pred=_QUERY_PRED_SQL)}
+        )
+        {_ndcg_report_sql('//', f'[{_NDCG_DISCOUNT_SQL}][s.rank]')}
+    """,
+    tags=("similarity", "llm", "ann", "eval"),
+    doc="nDCG@10 of the int8-quantized ranking against the exact-"
+    "cosine ideal — ORDER quality, completing ann_recall_eval's SET "
+    "overlap: recall@k treats a top-1-vs-top-10 swap as free, nDCG "
+    "charges it by the graded gain (rel = 11 - ideal_rank) times the "
+    "frozen micro-grid log2 position discounts (irrational at "
+    "runtime, exact integer model constants here, the Fellegi-Sunter "
+    "move). IDCG collapses to one shared constant, so the whole eval "
+    "is the two production top-k operators plus ONE left join and a "
+    "per-query rollup — both arms reuse what ships, and the metric "
+    "measures the deployed ranker, not a reimplementation.",
+)
+def eval_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact_r = S.cosine_topk(emb, queries, k=_NDCG_K).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    sys_r = S.int8_quantized_topk(emb, queries, k=_NDCG_K).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    exact_r.createOrReplaceTempView("ndcg_exact_r")
+    sys_r.createOrReplaceTempView("ndcg_sys_r")
+    return spark.sql(
+        "WITH exact_r AS (SELECT * FROM ndcg_exact_r),"
+        " sys_r AS (SELECT * FROM ndcg_sys_r)"
+        + _ndcg_report_sql(
+            "div",
+            f"element_at(array({_NDCG_DISCOUNT_SQL}), CAST(s.rank AS INT))",
+        )
+    )

@@ -136,6 +136,7 @@ _MEDIUM_EXTRAS = (
     "attribution_shapley_exact",
     "events_sequential_patterns",
     "eval_dedup_bcubed",
+    "eval_ndcg_ranking",
 )
 
 

@@ -134,6 +134,7 @@ _SWEEP_EXTRAS = (
     "attribution_shapley_exact",
     "events_sequential_patterns",
     "eval_dedup_bcubed",
+    "eval_ndcg_ranking",
 )
 
 

@@ -6518,3 +6518,111 @@ def events_sequential_patterns(
         .orderBy(F.col("n_occurrences").desc(), F.col("pattern").asc())
         .limit(_SEQPAT_TOPK)
     )
+
+
+# --- t-closeness audit -----------------------------------------------------
+#
+# Completes the canonical release-audit trio: k-anonymity (class size),
+# l-diversity (distinct sensitive values), t-closeness (Li et al.) —
+# the skewness attack l-diversity misses: a class can hold 3 distinct
+# segments yet be 95% BUILDING while the population is 20%, leaking
+# probabilistic information. For the categorical sensitive attribute
+# the distance is total variation: t_c = 1/2 sum_s |p_c(s) - q(s)|,
+# computed EXACTLY by clearing both denominators —
+#   sum_s |n_cs * N - n_s * n_c| * 500 div (n_c * N)  (permille)
+# with the cross products in the engine's wide-int type (DECIMAL(38,0)
+# / HUGEINT) so n_cs * N survives any table size. Zero-count segments
+# enter through the class x segment grid (their |0 - n_s * n_c| term
+# is what detects skew), built from two broadcast-scale rollups.
+
+_TCLOSE_T_PERMILLE = 200  # flag classes farther than t = 0.2
+
+
+def _tclose_sql(fdiv: str, big: str) -> str:
+    return f"""
+        , cs AS (
+            SELECT nationkey, balance_band, segment,
+                   CAST(count(*) AS BIGINT) AS n_cs
+            FROM qi GROUP BY 1, 2, 3
+        ), cls AS (
+            SELECT nationkey, balance_band,
+                   CAST(sum(n_cs) AS BIGINT) AS n_c
+            FROM cs GROUP BY 1, 2
+        ), seg AS (
+            SELECT segment, CAST(sum(n_cs) AS BIGINT) AS n_s FROM cs
+            GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_s) AS BIGINT) AS n FROM seg
+        ), grid AS (
+            SELECT c.nationkey, c.balance_band, c.n_c, s.segment, s.n_s,
+                   COALESCE(x.n_cs, 0) AS n_cs
+            FROM cls c
+            CROSS JOIN seg s
+            LEFT JOIN cs x
+              ON x.nationkey = c.nationkey
+             AND x.balance_band = c.balance_band
+             AND x.segment = s.segment
+        ), dist AS (
+            SELECT nationkey, balance_band, n_c,
+                   CAST(sum(abs(CAST(n_cs AS {big}) * t.n
+                                - CAST(n_s AS {big}) * n_c)) * 500
+                        {fdiv} (CAST(max(n_c) AS {big}) * max(t.n))
+                        AS BIGINT) AS tvd_permille
+            FROM grid CROSS JOIN tot t
+            GROUP BY nationkey, balance_band, n_c
+        )
+        SELECT CAST(nationkey AS BIGINT) AS nationkey,
+               CAST(balance_band AS BIGINT) AS balance_band,
+               n_c AS n_members, tvd_permille,
+               tvd_permille <= {_TCLOSE_T_PERMILLE} AS t_close
+        FROM dist
+        ORDER BY nationkey, balance_band
+    """
+
+
+_TCLOSE_ORACLE = f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nationkey,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + {_KANON_SHIFT})
+                   // {_KANON_BAND} - {_KANON_SHIFT // _KANON_BAND}
+                   AS balance_band,
+               c_mktsegment AS segment
+        FROM customer
+    )
+    {_tclose_sql('//', 'HUGEINT')}
+"""
+
+
+@register(
+    "privacy_t_closeness_audit",
+    oracle=_TCLOSE_ORACLE,
+    tags=("privacy", "quality", "stats"),
+    doc="t-closeness audit (Li et al.) — the skewness attack "
+    "l-diversity misses: a class with 3 distinct segments that is "
+    "95% one segment against a 20% population rate still leaks. "
+    "Per (nation, $1000 balance band) class: exact total-variation "
+    "distance between the class's segment distribution and the "
+    "global one, all denominators cleared by cross-multiplication "
+    "(|n_cs*N - n_s*n_c| * 500 div n_c*N on the permille grid, wide-"
+    "int products so any table size fits), zero-count segments "
+    "included via the class x segment grid — they carry the skew "
+    "signal. Flags classes farther than t = 0.2. With k-anonymity "
+    "and l-diversity this completes the canonical pre-release "
+    "privacy trio; one (class, segment) rollup plus broadcast-scale "
+    "segment/total relations.",
+)
+def privacy_t_closeness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    customer.selectExpr(
+        "CAST(c_nationkey AS BIGINT) AS nationkey",
+        f"(cast(round(c_acctbal * 100) as bigint) + {_KANON_SHIFT}L)"
+        f" div {_KANON_BAND} - {_KANON_SHIFT // _KANON_BAND}"
+        " AS balance_band",
+        "c_mktsegment AS segment",
+    ).createOrReplaceTempView("tclose_qi")
+    return spark.sql(
+        "WITH qi AS (SELECT * FROM tclose_qi)"
+        + _tclose_sql("div", "DECIMAL(38,0)")
+    )

@@ -137,6 +137,7 @@ _MEDIUM_EXTRAS = (
     "events_sequential_patterns",
     "eval_dedup_bcubed",
     "eval_ndcg_ranking",
+    "privacy_t_closeness_audit",
 )
 
 

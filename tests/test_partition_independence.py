@@ -135,6 +135,7 @@ _SWEEP_EXTRAS = (
     "events_sequential_patterns",
     "eval_dedup_bcubed",
     "eval_ndcg_ranking",
+    "privacy_t_closeness_audit",
 )
 
 

@@ -1513,3 +1513,169 @@ def eval_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"element_at(array({_NDCG_DISCOUNT_SQL}), CAST(s.rank AS INT))",
         )
     )
+
+
+# --- Calinski-Harabasz clustering-quality index ----------------------------
+#
+# The eval leg for the k-means family: CH = [SSB/(k-1)] / [SSW/(n-k)]
+# over the deterministic k=8 / one-Lloyd-round assignment, computed
+# EXACTLY on the round(x*512) integer grid via the scatter identity
+#   W_c = n_c * sum_c ||x||^2 - ||sum_c x||^2   (= n_c^2 * within-var)
+# so SSW = sum_c W_c / n_c and SST = T / n need one division each —
+# taken on a shared milli grid (truncating, engine-invariant), with
+# every product in the wide-int type (||sum x||^2 passes 2^63 at
+# ~60k vectors/cluster, measured). SSB = SST - SSW on that grid; the
+# final CH ratio is one more cross-multiplied division. Higher = more
+# separated clusters; the number that says whether k was right.
+
+_CH_K = 8
+_CH_SCALE = 512
+
+
+def _ch_report_sql(fdiv: str, big: str) -> str:
+    return f"""
+        , expl AS (
+            SELECT cluster, dim, v FROM exploded
+        ), percd AS (
+            SELECT cluster, dim,
+                   CAST(sum(v) AS BIGINT) AS sv
+            FROM expl GROUP BY cluster, dim
+        ), perc AS (
+            SELECT e.cluster,
+                   CAST(count(*) AS BIGINT) AS nv,
+                   CAST(sum(v * v) AS BIGINT) AS ssq
+            FROM expl e GROUP BY e.cluster
+        ), wc AS (
+            SELECT p.cluster,
+                   p.nv {fdiv} {64} AS n_c,
+                   CAST(p.nv {fdiv} {64} AS {big}) * p.ssq
+                       - (SELECT CAST(sum(CAST(d.sv AS {big}) * d.sv)
+                                      AS {big})
+                          FROM percd d WHERE d.cluster = p.cluster) AS w
+            FROM perc p
+        ), gstat AS (
+            SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                   CAST(sum((w * 1000) {fdiv} n_c) AS {big}) AS ssw_milli
+            FROM wc
+        ), gd AS (
+            SELECT dim, CAST(sum(sv) AS BIGINT) AS gv FROM percd
+            GROUP BY dim
+        ), tot AS (
+            SELECT g.n,
+                   ((CAST(g.n AS {big})
+                         * (SELECT sum(ssq) FROM perc)
+                     - (SELECT CAST(sum(CAST(gv AS {big}) * gv) AS {big})
+                        FROM gd)) * 1000) {fdiv} g.n AS sst_milli,
+                   g.ssw_milli
+            FROM gstat g
+        )
+        SELECT n AS n_points,
+               CAST({_CH_K} AS BIGINT) AS k,
+               CAST(sst_milli AS BIGINT) AS sst_milli,
+               CAST(ssw_milli AS BIGINT) AS ssw_milli,
+               CAST(sst_milli - ssw_milli AS BIGINT) AS ssb_milli,
+               CAST(((sst_milli - ssw_milli) * (n - {_CH_K}))
+                    {fdiv} (ssw_milli * ({_CH_K} - 1)) AS BIGINT)
+                   AS ch_index
+        FROM tot
+    """
+
+
+def _ch_oracle_sql() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_CH_SCALE}.0)
+                                 AS BIGINT)) AS qvec,
+                   md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM embeddings
+        ), seeds AS (
+            SELECT qvec AS cvec,
+                   ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+            FROM q QUALIFY cluster < {_CH_K}
+        ), a1 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, s.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {dist.format(a="v.qvec", b="s.cvec")},
+                                    s.cluster
+                       ) AS rn
+                FROM q v CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ), c1 AS (
+            SELECT cluster, dim,
+                   CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS cv
+            FROM (
+                SELECT a1.cluster, generate_subscripts(q.qvec, 1) AS dim,
+                       unnest(q.qvec) AS v
+                FROM a1 JOIN q USING (vec_id)
+            ) GROUP BY cluster, dim
+        ), c1v AS (
+            SELECT cluster, list(cv ORDER BY dim) AS cvec FROM c1
+            GROUP BY cluster
+        ), a2 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, s.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {dist.format(a="v.qvec", b="s.cvec")},
+                                    s.cluster
+                       ) AS rn
+                FROM q v CROSS JOIN c1v s
+            ) WHERE rn = 1
+        ), exploded AS (
+            SELECT a2.cluster, generate_subscripts(q.qvec, 1) AS dim,
+                   unnest(q.qvec) AS v
+            FROM a2 JOIN q USING (vec_id)
+        )
+        {_ch_report_sql('//', 'HUGEINT')}
+    """
+
+
+@register(
+    "eval_clustering_calinski_harabasz",
+    oracle=_ch_oracle_sql(),
+    tags=("similarity", "clustering", "eval", "stats"),
+    doc="Calinski-Harabasz index of the deterministic k=8 k-means "
+    "assignment — the clustering-quality eval leg beside "
+    "ann_recall_eval (ANN), eval_dedup_bcubed (dedup) and "
+    "eval_ndcg_ranking (retrieval): variance-ratio SSB/(k-1) over "
+    "SSW/(n-k), higher = tighter and better-separated clusters, the "
+    "number that validates the k knob semantic_dedup_kmeans exposes. "
+    "Exact on the round(x*512) grid via the scatter identity "
+    "W_c = n_c * ssq_c - ||sum_c x||^2 (wide-int products — the "
+    "squared sums pass 2^63 at ~60k vectors/cluster), one truncating "
+    "milli-grid division per cluster and a final cross-multiplied "
+    "ratio. Plan: the production assignment pass (broadcast k x dim "
+    "centroid literals, map-only) + one (cluster, dim) rollup and "
+    "one (cluster) rollup — both map-side combinable; everything "
+    "downstream is k x dim sized.",
+)
+def eval_clustering_calinski_harabasz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = C.kmeans_assignments(
+        emb, k=_CH_K, scale=_CH_SCALE, lloyd_rounds=1
+    )
+    q = C.with_quant_vec(
+        assigned.select("vec_id", "embedding", "cluster"),
+        _CH_SCALE,
+        "embedding",
+    )
+    q.select(
+        "cluster", F.posexplode("qvec").alias("dim0", "v")
+    ).select(
+        "cluster", (F.col("dim0") + 1).alias("dim"), "v"
+    ).createOrReplaceTempView("ch_exploded")
+    return spark.sql(
+        "WITH exploded AS (SELECT * FROM ch_exploded)"
+        + _ch_report_sql("div", "DECIMAL(38,0)")
+    )

@@ -138,6 +138,7 @@ _MEDIUM_EXTRAS = (
     "eval_dedup_bcubed",
     "eval_ndcg_ranking",
     "privacy_t_closeness_audit",
+    "eval_clustering_calinski_harabasz",
 )
 
 

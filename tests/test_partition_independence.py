@@ -136,6 +136,7 @@ _SWEEP_EXTRAS = (
     "eval_dedup_bcubed",
     "eval_ndcg_ranking",
     "privacy_t_closeness_audit",
+    "eval_clustering_calinski_harabasz",
 )
 
 

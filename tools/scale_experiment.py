@@ -279,6 +279,28 @@ def main() -> None:
     evdir1 = _stage_events(ev1)
     evdir_n = _stage_events(ev_n)
 
+    def _stage_one(df, table):
+        d = _tf.mkdtemp(prefix=f"scale_{table}_")
+        df.write.mode("overwrite").parquet(f"{d}/{table}.parquet")
+        return d
+
+    lidir1 = _stage_one(scaled(load_table(spark, sf, "lineitem"),
+                               {"l_orderkey": 10**9}, 1, 8), "lineitem")
+    lidir_n = _stage_one(scaled(load_table(spark, sf, "lineitem"),
+                                {"l_orderkey": 10**9}, n_copies, 32),
+                         "lineitem")
+    partdir1 = _stage_one(scaled(load_table(spark, sf, "part"),
+                                 {"p_partkey": 10**7}, 1, 8), "part")
+    partdir_n = _stage_one(scaled(load_table(spark, sf, "part"),
+                                  {"p_partkey": 10**7}, n_copies, 32), "part")
+    custdir1 = _stage_one(scaled(load_table(spark, sf, "customer"),
+                                 {"c_custkey": 10**8}, 1, 8), "customer")
+    custdir_n = _stage_one(scaled(load_table(spark, sf, "customer"),
+                                  {"c_custkey": 10**8}, n_copies, 32),
+                           "customer")
+    embdir1 = _stage_one(emb1, "embeddings")
+    embdir_n = _stage_one(emb_n, "embeddings")
+
     def semantic_dedup_op(emb):
         from dynamodb_stream_processor_2_0_spark.operators import clustering as C
         return C.semantic_dedup(emb)
@@ -339,6 +361,29 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("cdc_chunks", _registered("dedup_cdc_chunks"),
          docsdir1, docsdir_n),
+        # round-6 second continuation (ml / eval / privacy / patterns)
+        ("ols_sufficient_stats", _registered("ml_ols_regression_closed_form"),
+         lidir1, lidir_n),
+        ("hashed_linear_scorer", _registered("ml_hashed_linear_scorer"),
+         docsdir1, docsdir_n),
+        ("calibration_ece", _registered("eval_calibration_curve_ece"),
+         docsdir1, docsdir_n),
+        ("bcubed_dedup_eval", _registered("eval_dedup_bcubed"),
+         docsdir1, docsdir_n),
+        ("cc_star_contraction", _registered("dedup_cluster_assign_star"),
+         docsdir1, docsdir_n),
+        ("shapley_attribution", _registered("attribution_shapley_exact"),
+         evdir1, evdir_n),
+        ("mann_kendall", _registered("events_mann_kendall_test"),
+         evdir1, evdir_n),
+        ("sequential_patterns", _registered("events_sequential_patterns"),
+         evdir1, evdir_n),
+        ("fellegi_sunter", _registered("dedup_fellegi_sunter_linkage"),
+         partdir1, partdir_n),
+        ("t_closeness", _registered("privacy_t_closeness_audit"),
+         custdir1, custdir_n),
+        ("ndcg_ranking", _registered("eval_ndcg_ranking"),
+         embdir1, embdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

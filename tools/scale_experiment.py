@@ -384,6 +384,8 @@ def main() -> None:
          custdir1, custdir_n),
         ("ndcg_ranking", _registered("eval_ndcg_ranking"),
          embdir1, embdir_n),
+        ("calinski_harabasz", _registered(
+            "eval_clustering_calinski_harabasz"), embdir1, embdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -6626,3 +6626,234 @@ def privacy_t_closeness_audit(
         "WITH qi AS (SELECT * FROM tclose_qi)"
         + _tclose_sql("div", "DECIMAL(38,0)")
     )
+
+
+# --- Kaplan-Meier product-limit survival (right-censored) ------------------
+#
+# Upgrades customer_gap_survival_curve's uncensored empirical curve to
+# the actual product-limit estimator: between-order gaps are EVENTS
+# (repurchase observed), the open interval from each customer's last
+# order to the dataset horizon is a CENSORED duration (still at risk,
+# no event) — dropping those, as the naive curve does, biases churn
+# optimistic. S(t) = prod over event times t_i <= t of (1 - d_i/n_i)
+# with risk sets n_i counting BOTH event and censored durations still
+# >= t_i. The running product lives on a 1e5 grid with one truncating
+# division per event time — sequential by definition, but over the
+# DISTINCT-GAP-DAYS relation (a few hundred rows after rollup, any
+# corpus size), folded in-plan per horizon via aggregate() on the
+# sorted steps array; the oracle walks the identical truncation
+# sequence with a recursive CTE, so both engines agree bit-for-bit.
+
+_KM_HORIZONS = (7, 14, 30, 60, 90)
+_KM_GRID = 100_000
+
+
+def _km_steps_sql() -> str:
+    # durs: one row per duration; evt = 1 event (gap), 0 censored tail.
+    return """
+        durs AS (
+            SELECT evt, dur FROM (
+                SELECT o_custkey,
+                       datediff(d, lag_d) AS dur,
+                       1 AS evt
+                FROM lagged WHERE lag_d IS NOT NULL
+                UNION ALL
+                SELECT o_custkey,
+                       datediff(horizon_d, max_d) AS dur,
+                       0 AS evt
+                FROM last_order
+            ) u
+        ), steps AS (
+            SELECT dur,
+                   CAST(sum(evt) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM durs GROUP BY dur
+        )
+    """
+
+
+_KM_ORACLE = f"""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(max(o_orderdate) AS DATE) AS horizon_d FROM orders
+    ), lagged AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS lag_d
+        FROM orders
+    ), last_order AS (
+        SELECT l.o_custkey, max(l.d) AS max_d, b.horizon_d
+        FROM lagged l CROSS JOIN bounds b
+        GROUP BY l.o_custkey, b.horizon_d
+    ), {_km_steps_sql().replace(
+        "datediff(d, lag_d)", "datediff('day', lag_d, d)").replace(
+        "datediff(horizon_d, max_d)", "datediff('day', max_d, horizon_d)")},
+    ordered AS (
+        SELECT dur, d, m,
+               row_number() OVER (ORDER BY dur) AS rn,
+               (SELECT count(*) FROM durs)
+                   - COALESCE(sum(m) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n
+        FROM steps
+    ), km(rn, s) AS (
+        SELECT 0, CAST({_KM_GRID} AS BIGINT)
+        UNION ALL
+        SELECT o.rn,
+               CASE WHEN o.d > 0 THEN (km.s * (o.n - o.d)) // o.n
+                    ELSE km.s END
+        FROM ordered o JOIN km ON o.rn = km.rn + 1
+    ), horizons AS (
+        SELECT unnest([{", ".join(str(h) for h in _KM_HORIZONS)}])
+            AS horizon_days
+    ), at_h AS (
+        SELECT h.horizon_days,
+               COALESCE((SELECT km.s FROM km JOIN ordered o ON o.rn = km.rn
+                         WHERE o.dur <= h.horizon_days
+                         ORDER BY km.rn DESC LIMIT 1),
+                        {_KM_GRID}) AS s_km_1e5
+        FROM horizons h
+    ), naive AS (
+        SELECT h.horizon_days,
+               CAST((SELECT count(*) FROM durs
+                     WHERE evt = 1 AND dur > h.horizon_days) * {_KM_GRID}
+                    // (SELECT count(*) FROM durs WHERE evt = 1)
+                    AS BIGINT) AS s_naive_1e5
+        FROM horizons h
+    )
+    SELECT a.horizon_days,
+           CAST(a.s_km_1e5 AS BIGINT) AS s_km_1e5,
+           n.s_naive_1e5,
+           CAST(a.s_km_1e5 - n.s_naive_1e5 AS BIGINT)
+               AS censoring_lift_1e5
+    FROM at_h a JOIN naive n ON n.horizon_days = a.horizon_days
+    ORDER BY a.horizon_days
+"""
+
+
+@register(
+    "customer_kaplan_meier_survival",
+    oracle=_KM_ORACLE,
+    tags=("timeseries", "stats", "robust"),
+    doc="Kaplan-Meier product-limit repurchase survival with RIGHT "
+    "CENSORING: between-order gaps are events, each customer's open "
+    "interval from last order to the dataset horizon is a censored "
+    "duration that stays in the risk sets — the correction the naive "
+    "gap curve (customer_gap_survival_curve, which documents itself "
+    "as the uncensored form) lacks; the censoring_lift column "
+    "quantifies exactly how optimistic the naive curve is at each "
+    "horizon. Exactness: risk sets by a cumulative count over the "
+    "distinct-gap-days rollup, the KM product folded on a 1e5 grid "
+    "with one truncating division per event time — the fold runs "
+    "in-plan via aggregate() over the sorted steps array (a few "
+    "hundred rows after rollup at ANY corpus size; the data-sized "
+    "stages are one lag window and one rollup), and the oracle "
+    "replays the identical truncation sequence with a recursive CTE.",
+)
+def customer_kaplan_meier_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lagged = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("lag_d"),
+    )
+    bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("horizon_d"))
+    gaps = lagged.filter(F.col("lag_d").isNotNull()).select(
+        F.datediff("d", "lag_d").cast("long").alias("dur"),
+        F.lit(1).alias("evt"),
+    )
+    tails = (
+        lagged.groupBy("o_custkey")
+        .agg(F.max("d").alias("max_d"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff("horizon_d", "max_d").cast("long").alias("dur"),
+            F.lit(0).alias("evt"),
+        )
+    )
+    durs = gaps.unionByName(tails)
+    steps = durs.groupBy("dur").agg(
+        F.sum("evt").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    total = F.broadcast(
+        durs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("evt").cast("long").alias("n_events"),
+        )
+    )
+    # Cumulative risk-set counts ride the distributed prefix-sum
+    # primitive (no single-partition window, even though the steps
+    # relation is post-agg tiny — house lint rule); exclusive prefix =
+    # inclusive running sum minus the row's own m.
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    ordered = (
+        global_running_sum(steps, ["dur"], "m", out_col="cum_m")
+        .crossJoin(total)
+        .withColumn(
+            "n",
+            F.col("n_total") - (F.col("cum_m") - F.col("m")).cast("long"),
+        )
+        .select("dur", "d", "n", "n_total", "n_events")
+    )
+    arr = ordered.groupBy("n_total", "n_events").agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "d", "n"))
+        ).alias("steps")
+    )
+    naive_gt = durs.filter(F.col("evt") == 1).groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("g")
+    )
+    horizons = ", ".join(str(h) for h in _KM_HORIZONS)
+    out = arr.select(
+        "n_events",
+        "steps",
+        F.explode(F.expr(f"array({horizons})")).alias("horizon_days"),
+    ).select(
+        F.col("horizon_days").cast("long").alias("horizon_days"),
+        F.expr(
+            f"aggregate(filter(steps, x -> x.dur <= horizon_days"
+            f" AND x.d > 0), CAST({_KM_GRID} AS BIGINT),"
+            " (acc, x) -> (acc * (x.n - x.d)) div x.n)"
+        ).alias("s_km_1e5"),
+        "n_events",
+    )
+    ngt = (
+        out.select("horizon_days", "n_events")
+        .join(
+            naive_gt.crossJoin(
+                out.select("horizon_days").distinct()
+            ).filter(F.col("dur") > F.col("horizon_days"))
+            .groupBy("horizon_days")
+            .agg(F.sum("g").cast("long").alias("n_gt")),
+            "horizon_days",
+            "left",
+        )
+        .select(
+            "horizon_days",
+            F.coalesce("n_gt", F.lit(0).cast("long")).alias("n_gt"),
+            "n_events",
+        )
+    )
+    return (
+        out.join(ngt, ["horizon_days", "n_events"])
+        .select(
+            "horizon_days",
+            "s_km_1e5",
+            F.expr(f"n_gt * {_KM_GRID} div n_events")
+            .cast("long")
+            .alias("s_naive_1e5"),
+        )
+        .withColumn(
+            "censoring_lift_1e5",
+            (F.col("s_km_1e5") - F.col("s_naive_1e5")).cast("long"),
+        )
+        .orderBy("horizon_days")
+    )

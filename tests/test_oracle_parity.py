@@ -139,6 +139,7 @@ _MEDIUM_EXTRAS = (
     "eval_ndcg_ranking",
     "privacy_t_closeness_audit",
     "eval_clustering_calinski_harabasz",
+    "customer_kaplan_meier_survival",
 )
 
 

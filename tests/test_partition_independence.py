@@ -137,6 +137,7 @@ _SWEEP_EXTRAS = (
     "eval_ndcg_ranking",
     "privacy_t_closeness_audit",
     "eval_clustering_calinski_harabasz",
+    "customer_kaplan_meier_survival",
 )
 
 

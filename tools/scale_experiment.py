@@ -386,6 +386,8 @@ def main() -> None:
          embdir1, embdir_n),
         ("calinski_harabasz", _registered(
             "eval_clustering_calinski_harabasz"), embdir1, embdir_n),
+        ("kaplan_meier", _registered("customer_kaplan_meier_survival"),
+         ordfull1, ordfull_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

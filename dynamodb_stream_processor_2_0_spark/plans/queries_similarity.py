@@ -1679,3 +1679,143 @@ def eval_clustering_calinski_harabasz(
         "WITH exploded AS (SELECT * FROM ch_exploded)"
         + _ch_report_sql("div", "DECIMAL(38,0)")
     )
+
+
+# --- text <-> embedding alignment audit ------------------------------------
+#
+# Cross-modal consistency check for a multimodal corpus where vec_id
+# aligns 1:1 with doc_id: pairs the TEXT says are near-duplicates
+# (the production MinHash-LSH candidate generator) should also be
+# close in EMBEDDING space — a pair that passes lexical near-dup but
+# fails cosine >= 0.7 is the signature of stale or misaligned
+# embeddings (re-embedded subset, wrong row alignment, version skew),
+# the silent corruption a text+vector training pipeline must catch
+# before training. Exact arithmetic: embeddings on the round(x*1e4)
+# grid, per-pair integer dot products, and the cosine threshold
+# cleared of sqrt/division by the house cross-multiplication
+# (dot >= 0 AND 100*dot^2 >= 49*|a|^2*|b|^2, wide-int products — the
+# squares pass 2^63).
+
+_ALIGN_COS_NUM = 49  # cos^2 threshold 0.49 <=> cos 0.7
+_ALIGN_COS_DEN = 100
+_ALIGN_SCALE = 10_000
+
+
+def _align_report_sql(fdiv: str, big: str) -> str:
+    return f"""
+        , scored AS (
+            SELECT p.doc_a, p.doc_b,
+                   d.dot, d.na, d.nb,
+                   (d.dot >= 0 AND
+                    CAST(d.dot AS {big}) * d.dot * {_ALIGN_COS_DEN}
+                        >= CAST(d.na AS {big}) * d.nb * {_ALIGN_COS_NUM}
+                   ) AS aligned
+            FROM pairs p JOIN dots d
+              ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+               CAST(sum(CASE WHEN aligned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_aligned,
+               CAST(sum(CASE WHEN aligned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_misaligned,
+               CAST(sum(CASE WHEN aligned THEN 0 ELSE 1 END) * 1000
+                    {fdiv} count(*) AS BIGINT) AS misaligned_permille
+        FROM scored
+    """
+
+
+def _align_oracle_sql() -> str:
+    from dynamodb_stream_processor_2_0_spark.operators import dedup
+
+    quant = (
+        "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {_ALIGN_SCALE}.0) AS BIGINT))"
+    )
+    idot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) p
+        ), q AS (
+            SELECT vec_id, {quant.format(v='embedding')} AS qv
+            FROM embeddings
+        ), dots AS (
+            SELECT p.doc_a, p.doc_b,
+                   {idot.format(a='qa.qv', b='qb.qv')} AS dot,
+                   {idot.format(a='qa.qv', b='qa.qv')} AS na,
+                   {idot.format(a='qb.qv', b='qb.qv')} AS nb
+            FROM pairs p
+            JOIN q qa ON qa.vec_id = p.doc_a
+            JOIN q qb ON qb.vec_id = p.doc_b
+        )
+        {_align_report_sql('//', 'HUGEINT')}
+    """
+
+
+@register(
+    "quality_text_embedding_alignment",
+    oracle=_align_oracle_sql(),
+    tags=("similarity", "multimodal", "quality", "llm"),
+    doc="Cross-modal consistency audit for the aligned text+vector "
+    "corpus (vec_id = doc_id): every MinHash-LSH near-duplicate TEXT "
+    "pair is checked for EMBEDDING agreement at cosine >= 0.7 — "
+    "lexical-dup pairs whose vectors disagree are the signature of "
+    "stale, version-skewed, or row-misaligned embeddings, the silent "
+    "corruption a text+vector training pipeline must catch before "
+    "training on the pair (and before trusting semantic dedup to "
+    "stand in for lexical dedup). Reuses the production candidate "
+    "generator; per-pair integer dots on the round(x*1e4) grid; the "
+    "cosine threshold is cleared of sqrt/division by wide-int "
+    "cross-multiplication (100*dot^2 >= 49*|a|^2*|b|^2). Plan: the "
+    "banded LSH shuffle + two (vec_id = doc_id) equi-joins + one "
+    "1-row rollup — candidate-pair-bounded, never all-pairs. On the "
+    "driver corpus the audit reads 1000 permille misaligned — the "
+    "CORRECT verdict, because the synthetic embeddings are drawn "
+    "independently of the text; on a real corpus the number is the "
+    "embedding-staleness rate.",
+)
+def quality_text_embedding_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {_ALIGN_SCALE}.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    idot = (
+        "CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v) AS BIGINT)"
+    )
+    dots = (
+        pairs.join(
+            q.select(F.col("vec_id").alias("doc_a"), F.col("qv").alias("qa")),
+            "doc_a",
+        )
+        .join(
+            q.select(F.col("vec_id").alias("doc_b"), F.col("qv").alias("qb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(idot.format(a="qa", b="qb")).alias("dot"),
+            F.expr(idot.format(a="qa", b="qa")).alias("na"),
+            F.expr(idot.format(a="qb", b="qb")).alias("nb"),
+        )
+    )
+    pairs.createOrReplaceTempView("align_pairs")
+    dots.createOrReplaceTempView("align_dots")
+    return spark.sql(
+        "WITH pairs AS (SELECT * FROM align_pairs),"
+        " dots AS (SELECT * FROM align_dots)"
+        + _align_report_sql("div", "DECIMAL(38,0)")
+    )

@@ -140,6 +140,7 @@ _MEDIUM_EXTRAS = (
     "privacy_t_closeness_audit",
     "eval_clustering_calinski_harabasz",
     "customer_kaplan_meier_survival",
+    "quality_text_embedding_alignment",
 )
 
 

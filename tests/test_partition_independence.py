@@ -138,6 +138,7 @@ _SWEEP_EXTRAS = (
     "privacy_t_closeness_audit",
     "eval_clustering_calinski_harabasz",
     "customer_kaplan_meier_survival",
+    "quality_text_embedding_alignment",
 )
 
 

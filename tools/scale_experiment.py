@@ -301,6 +301,15 @@ def main() -> None:
     embdir1 = _stage_one(emb1, "embeddings")
     embdir_n = _stage_one(emb_n, "embeddings")
 
+    def _stage_docs_emb(docs, emb):
+        d = _tf.mkdtemp(prefix="scale_docemb_")
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        emb.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        return d
+
+    alidir1 = _stage_docs_emb(docs1, emb1)
+    alidir_n = _stage_docs_emb(docs_n, emb_n)
+
     def semantic_dedup_op(emb):
         from dynamodb_stream_processor_2_0_spark.operators import clustering as C
         return C.semantic_dedup(emb)
@@ -388,6 +397,8 @@ def main() -> None:
             "eval_clustering_calinski_harabasz"), embdir1, embdir_n),
         ("kaplan_meier", _registered("customer_kaplan_meier_survival"),
          ordfull1, ordfull_n),
+        ("text_embedding_alignment", _registered(
+            "quality_text_embedding_alignment"), alidir1, alidir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -98,13 +98,15 @@ _loaded = False
 # pattern, GROUP BY ALL, compaction packing, FD discovery, audio VAD)
 # plus the approx_stats_scale_path oracle — same treatment (medium
 # parity + sweep + hostile-session), same r7 rotation status.
-# The round-6 SECOND continuation added 11 more (closed-form OLS,
+# The round-6 SECOND continuation added 15 more (closed-form OLS,
 # hashed linear scorer, calibration/ECE, star-contraction CC, Allen
 # interval census, Fellegi-Sunter linkage, Mann-Kendall, exact
 # Shapley attribution, sequential patterns, B-cubed dedup eval,
-# nDCG ranking eval) — all medium-parity + swept + hostile-session
-# verified + behavior-tested (tests/test_ml_ops.py); same r7
-# rotation status.
+# nDCG ranking eval, t-closeness, Calinski-Harabasz eval,
+# right-censored Kaplan-Meier, text-embedding alignment audit) —
+# all medium-parity + swept + hostile-session verified +
+# behavior-tested where a guarantee exists (tests/test_ml_ops.py);
+# same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

@@ -6857,3 +6857,695 @@ def customer_kaplan_meier_survival(
         )
         .orderBy("horizon_days")
     )
+
+
+# --- Lindley queue delay (recurrence -> window prefix algebra) -------------
+#
+# Single-server FIFO queue per supplier: jobs are lineitems in shipdate
+# order, service time a deterministic function of quantity. The waiting
+# time follows the Lindley recurrence W_{n+1} = max(0, W_n + S_n - A_n)
+# — superficially sequential, but the closed form
+#     C_n = S_n + max_{j<=n} (a_j - S_{j-1}),   W_n = C_n - s_n - a_n
+# (S = running service-time sum, a = arrival day) turns it into TWO
+# per-key window scans: a running sum and a running max. That is the
+# distributed-recurrence pattern this engine uses everywhere (cf. the
+# KM fold): what looks like an order-N dependency chain is a prefix
+# scan in disguise. Partitions key on l_suppkey, whose cardinality
+# grows linearly with the corpus while jobs-per-supplier stays ~flat
+# (TPC-H keeps lineitems/supplier constant across SF), so no partition
+# outgrows an executor at 100 TB.
+
+_LINDLEY_ORACLE = """
+    WITH jobs AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+               CAST(datediff('day', DATE '1990-01-01',
+                             CAST(l_shipdate AS DATE)) AS BIGINT) AS a,
+               CAST(l_quantity AS BIGINT) // 8 + 1 AS s,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), scanned AS (
+        SELECT suppkey, a, s, l_orderkey, l_linenumber,
+               CAST(sum(s) OVER w - s AS BIGINT) AS s_excl
+        FROM jobs
+        WINDOW w AS (PARTITION BY suppkey
+                     ORDER BY a, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), waited AS (
+        SELECT suppkey, a, s, s_excl,
+               s_excl + max(a - s_excl) OVER w - a AS wait_days
+        FROM scanned
+        WINDOW w AS (PARTITION BY suppkey
+                     ORDER BY a, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT suppkey,
+           CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(sum(wait_days) AS BIGINT) AS total_wait_days,
+           CAST(max(wait_days) AS BIGINT) AS max_wait_days,
+           CAST(sum(s) * 1000
+                // (max(a + wait_days + s) - min(a)) AS BIGINT)
+               AS util_permille
+    FROM waited
+    GROUP BY suppkey
+    ORDER BY total_wait_days DESC, suppkey
+    LIMIT 15
+"""
+
+
+@register(
+    "supplier_queue_delay_lindley",
+    oracle=_LINDLEY_ORACLE,
+    tags=("timeseries", "window", "queueing"),
+    doc="Per-supplier single-server FIFO queue simulation via the "
+    "Lindley recurrence W_{n+1} = max(0, W_n + S_n - A_n): lineitems "
+    "are jobs arriving on their shipdate, service days = quantity "
+    "div 8 + 1, and the per-job waiting time — a sequential "
+    "recurrence on its face — is computed distributed through the "
+    "closed form C_n = S_n + max_{j<=n}(a_j - S_{j-1}), i.e. ONE "
+    "running sum plus ONE running max per supplier partition (the "
+    "same recurrence->prefix-scan move as the KM fold). All-integer "
+    "day arithmetic, utilization on the permille grid with a "
+    "truncating division over positive operands only. Supplier "
+    "cardinality scales linearly with the corpus while jobs/supplier "
+    "stays flat, so the windows never concentrate; the top-15 tail "
+    "is TakeOrderedAndProject. The queueing lens (per-job transient "
+    "waits under load) complements orders_littles_law_identity's "
+    "steady-state identity with the transient per-job answer.",
+)
+def supplier_queue_delay_lindley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    jobs = li.select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("a"),
+        F.expr("CAST(l_quantity AS BIGINT) div 8 + 1").alias("s"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("a", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = jobs.withColumn(
+        "s_excl", (F.sum("s").over(w) - F.col("s")).cast("long")
+    )
+    waited = scanned.withColumn(
+        "wait_days",
+        F.col("s_excl")
+        + F.max(F.col("a") - F.col("s_excl")).over(w)
+        - F.col("a"),
+    )
+    return (
+        waited.groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_jobs"),
+            F.sum("wait_days").cast("long").alias("total_wait_days"),
+            F.max("wait_days").cast("long").alias("max_wait_days"),
+            F.expr(
+                "CAST(sum(s) * 1000"
+                " div (max(a + wait_days + s) - min(a)) AS BIGINT)"
+            ).alias("util_permille"),
+        )
+        .orderBy(F.col("total_wait_days").desc(), "suppkey")
+        .limit(15)
+    )
+
+
+# --- Running-balance maximum drawdown --------------------------------------
+#
+# The financial-risk scan: per user, a signed ledger (purchases credit,
+# errors debit), its running balance, the running peak, and the MAXIMUM
+# DRAWDOWN = max over time of (peak - balance) — the largest
+# peak-to-trough loss a monitor watching the balance would have seen.
+# Two per-user window scans (running sum, running max), the same
+# prefix-algebra shape as the Lindley queue; user cardinality scales
+# with the corpus, rows-per-user stays bounded.
+
+_DRAWDOWN_ORACLE = """
+    WITH ledger AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ), bal AS (
+        SELECT user_id, ts, event_id, delta,
+               CAST(sum(delta) OVER w AS BIGINT) AS balance
+        FROM ledger
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), dd AS (
+        SELECT user_id, delta, balance,
+               max(balance) OVER w - balance AS drawdown
+        FROM bal
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_moves,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(balance) AS BIGINT) AS peak_cents,
+           CAST(sum(delta) AS BIGINT) AS final_cents
+    FROM dd
+    GROUP BY user_id
+    ORDER BY max_drawdown_cents DESC, user_id
+    LIMIT 20
+"""
+
+
+@register(
+    "events_value_drawdown",
+    oracle=_DRAWDOWN_ORACLE,
+    tags=("timeseries", "window", "finance"),
+    doc="Maximum drawdown of each user's running value balance "
+    "(purchases credit, errors debit): running sum -> running max -> "
+    "peak-minus-balance, all exact cents BIGINT, windows partitioned "
+    "by user_id ordered by (ts, event_id) — a total order, so the "
+    "scan is deterministic. The risk-monitoring twin of the Lindley "
+    "queue scan: both turn an apparently sequential state recurrence "
+    "into composable per-key prefix windows. Wait-free at scale: "
+    "user count grows with the corpus, per-user history is bounded, "
+    "and the top-20 tail is TakeOrderedAndProject; the type filter "
+    "is pushed to the parquet scan.",
+)
+def events_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ledger = ev.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+        )
+        .otherwise(F.expr("-CAST(round(value * 100) AS BIGINT)"))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = ledger.withColumn(
+        "balance", F.sum("delta").over(w).cast("long")
+    )
+    dd = bal.withColumn(
+        "drawdown", F.max("balance").over(w) - F.col("balance")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_moves"),
+            F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+            F.max("balance").cast("long").alias("peak_cents"),
+            F.sum("delta").cast("long").alias("final_cents"),
+        )
+        .orderBy(F.col("max_drawdown_cents").desc(), "user_id")
+        .limit(20)
+    )
+
+
+# --- Poisson bootstrap confidence intervals --------------------------------
+#
+# THE distributed bootstrap: classical resampling draws n rows with
+# replacement — impossible without global coordination — but the
+# multinomial resample count of each row converges to Poisson(1), so
+# giving every row an INDEPENDENT deterministic Poisson(1) weight per
+# replicate reproduces the bootstrap distribution with one map-side
+# pass (Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", the estimator production map-reduce stacks use). Weights
+# come from the md5 hash on the 1e6 grid through the frozen Poisson(1)
+# inverse-CDF thresholds, so Spark and DuckDB draw the SAME replicate
+# worlds bit-for-bit. B=32 replicates explode rows x32 BEFORE partial
+# aggregation collapses them to (type, b) cells — the shuffle carries
+# ~32*n_types rows per task, not 32x the data.
+
+_POISSON_CDF_1E6 = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _boot_weight_sql(u: str) -> str:
+    c = _POISSON_CDF_1E6
+    return (
+        f"CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1 "
+        f"WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3 "
+        f"WHEN {u} < {c[4]} THEN 4 WHEN {u} < {c[5]} THEN 5 ELSE 6 END"
+    )
+
+
+_BOOTSTRAP_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), reps AS (
+        SELECT event_type, b, cents,
+               {_boot_weight_sql(
+                   "CAST(('0x' || substr(md5('boot:' "
+                   "|| CAST(event_id AS VARCHAR) || ':' "
+                   "|| CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+               )} AS w
+        FROM ev CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+    ), cells AS (
+        SELECT event_type, b,
+               CAST(sum(w * cents) AS BIGINT) AS sw,
+               CAST(sum(w) AS BIGINT) AS wn
+        FROM reps GROUP BY event_type, b
+    ), means AS (
+        SELECT event_type, sw // wn AS m
+        FROM cells WHERE wn > 0
+    ), ci AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_replicates,
+               CAST(list(m ORDER BY m)[2] AS BIGINT) AS ci_lo_cents,
+               CAST(list(m ORDER BY m)[31] AS BIGINT) AS ci_hi_cents
+        FROM means GROUP BY event_type
+    ), pt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        FROM ev GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events, p.mean_cents,
+           c.ci_lo_cents, c.ci_hi_cents, c.n_replicates
+    FROM pt p JOIN ci c ON p.event_type = c.event_type
+    ORDER BY p.event_type
+"""
+
+
+@register(
+    "events_poisson_bootstrap_ci",
+    oracle=_BOOTSTRAP_ORACLE,
+    tags=("stats", "sampling", "robust"),
+    doc="Distributed bootstrap CI for the per-type mean value: the "
+    "Poisson bootstrap (multinomial resample counts -> independent "
+    "Poisson(1) weights per replicate, the only bootstrap that works "
+    "without global coordination — Chamandy et al.), with B=32 "
+    "deterministic replicate worlds drawn from md5 on the 1e6 grid "
+    "through frozen Poisson(1) inverse-CDF thresholds so both engines "
+    "see identical resamples. The ~94% CI is the (2nd, 31st) order "
+    "statistic of the replicate means — exact selection over a "
+    "32-element sorted array per type, never a percentile estimate. "
+    "Replicate cells partial-aggregate map-side: the x32 explode "
+    "collapses to 32 x n_types rows before the shuffle, so the "
+    "network cost at 100 TB is the cell count, not 32x the corpus. "
+    "All-integer cents arithmetic; truncating division only on "
+    "non-negative sums.",
+)
+def events_poisson_bootstrap_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    u = (
+        "CAST(conv(substr(md5(concat('boot:', CAST(event_id AS STRING), "
+        "':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+    )
+    reps = ev.select(
+        "event_type",
+        "cents",
+        F.explode(F.expr("sequence(0, 31)")).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "cents",
+        "b",
+        F.expr(_boot_weight_sql(u)).alias("w"),
+    )
+    cells = reps.groupBy("event_type", "b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sw"),
+        F.sum("w").cast("long").alias("wn"),
+    )
+    means = cells.filter(F.col("wn") > 0).select(
+        "event_type", F.expr("sw div wn").alias("m")
+    )
+    ci = means.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(m)), 2) AS BIGINT)"
+        ).alias("ci_lo_cents"),
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(m)), 31) AS BIGINT)"
+        ).alias("ci_hi_cents"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+            "n_replicates",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Difference-in-differences estimator -----------------------------------
+#
+# The workhorse causal design: ATT = (treated post - treated pre) -
+# (control post - control pre), which nets out both the group baseline
+# difference and the common time trend. Assignment is a deterministic
+# md5 coin per user (so on this synthetic data the true effect is zero
+# and the estimate is a calibration audit of the estimator itself); the
+# period split is the data midpoint so the operator is SF-agnostic. A
+# PLACEBO arm re-runs the same contrast entirely inside the pre period
+# — the standard falsification: a non-zero placebo flags a violated
+# parallel-trends assumption, not a treatment effect. ONE conditional
+# aggregation over (type, cells); the two epoch bounds ride a broadcast
+# one-row aggregate.
+
+_DID_ORACLE = """
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tmid,
+               (3 * epoch_us(min(ts)) + epoch_us(max(ts))) // 4 AS tq
+        FROM events
+    ), tagged AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5('did:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 50 AS treated,
+               epoch_us(ts) >= b.tmid AS post,
+               epoch_us(ts) < b.tmid AND epoch_us(ts) >= b.tq
+                   AS placebo_post
+        FROM events CROSS JOIN bounds b
+    ), cells AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (treated AND post) AS BIGINT)
+                   AS n_tp,
+               CAST(count(*) FILTER (treated AND NOT post) AS BIGINT)
+                   AS n_tr,
+               CAST(count(*) FILTER (NOT treated AND post) AS BIGINT)
+                   AS n_cp,
+               CAST(count(*) FILTER (NOT treated AND NOT post)
+                    AS BIGINT) AS n_cr,
+               1000 * sum(cents) FILTER (treated AND post)
+                   // count(*) FILTER (treated AND post) AS m_tp,
+               1000 * sum(cents) FILTER (treated AND NOT post)
+                   // count(*) FILTER (treated AND NOT post) AS m_tr,
+               1000 * sum(cents) FILTER (NOT treated AND post)
+                   // count(*) FILTER (NOT treated AND post) AS m_cp,
+               1000 * sum(cents) FILTER (NOT treated AND NOT post)
+                   // count(*) FILTER (NOT treated AND NOT post)
+                   AS m_cr,
+               1000 * sum(cents) FILTER (treated AND placebo_post)
+                   // count(*) FILTER (treated AND placebo_post)
+                   AS pm_tp,
+               1000 * sum(cents)
+                   FILTER (treated AND NOT post AND NOT placebo_post)
+                   // count(*)
+                   FILTER (treated AND NOT post AND NOT placebo_post)
+                   AS pm_tr,
+               1000 * sum(cents) FILTER (NOT treated AND placebo_post)
+                   // count(*) FILTER (NOT treated AND placebo_post)
+                   AS pm_cp,
+               1000 * sum(cents)
+                   FILTER (NOT treated AND NOT post
+                           AND NOT placebo_post)
+                   // count(*)
+                   FILTER (NOT treated AND NOT post
+                           AND NOT placebo_post) AS pm_cr
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type, n_tp, n_tr, n_cp, n_cr,
+           CAST((m_tp - m_tr) - (m_cp - m_cr) AS BIGINT)
+               AS did_millicents,
+           CAST((pm_tp - pm_tr) - (pm_cp - pm_cr) AS BIGINT)
+               AS placebo_did_millicents
+    FROM cells
+    ORDER BY event_type
+"""
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=_DID_ORACLE,
+    tags=("stats", "causal"),
+    doc="Difference-in-differences treatment-effect estimator per "
+    "event type: deterministic md5 coin assigns users to treatment, "
+    "the data-midpoint timestamp splits pre/post (SF-agnostic), and "
+    "ATT = (treated post-pre) - (control post-pre) nets out group "
+    "baselines and the common time trend. Includes the standard "
+    "PLACEBO falsification — the same contrast run entirely inside "
+    "the pre period (quarter-point split), where any non-zero "
+    "reading indicts parallel trends rather than measuring an "
+    "effect. On this synthetic corpus the true effect is zero by "
+    "construction, so the output is a calibration audit of the "
+    "estimator; the cell means are exact milli-cents with "
+    "truncating division over non-negative sums only, and the "
+    "subtractions of already-truncated means replicate bit-for-bit "
+    "in the oracle. ONE conditional aggregation (map-side "
+    "combinable) + a broadcast one-row epoch-bounds aggregate; "
+    "O(types) output at any corpus size.",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(CAST(min(ts) AS TIMESTAMP)) + unix_micros(CAST(max(ts) AS TIMESTAMP))) div 2"
+        ).alias("tmid"),
+        F.expr(
+            "(3 * unix_micros(CAST(min(ts) AS TIMESTAMP)) + unix_micros(CAST(max(ts) AS TIMESTAMP))) div 4"
+        ).alias("tq"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('did:', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100 < 50"
+        ).alias("treated"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) >= tmid").alias("post"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) < tmid AND unix_micros(CAST(ts AS TIMESTAMP)) >= tq"
+        ).alias("placebo_post"),
+    )
+
+    def _cell(cond: str) -> tuple[F.Column, F.Column]:
+        n = F.expr(f"CAST(count_if({cond}) AS BIGINT)")
+        m = F.expr(
+            f"1000 * sum(CASE WHEN {cond} THEN cents END)"
+            f" div count_if({cond})"
+        )
+        return n, m
+
+    n_tp, m_tp = _cell("treated AND post")
+    n_tr, m_tr = _cell("treated AND NOT post")
+    n_cp, m_cp = _cell("NOT treated AND post")
+    n_cr, m_cr = _cell("NOT treated AND NOT post")
+    _, pm_tp = _cell("treated AND placebo_post")
+    _, pm_tr = _cell("treated AND NOT post AND NOT placebo_post")
+    _, pm_cp = _cell("NOT treated AND placebo_post")
+    _, pm_cr = _cell("NOT treated AND NOT post AND NOT placebo_post")
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            n_tp.alias("n_tp"),
+            n_tr.alias("n_tr"),
+            n_cp.alias("n_cp"),
+            n_cr.alias("n_cr"),
+            ((m_tp - m_tr) - (m_cp - m_cr))
+            .cast("long")
+            .alias("did_millicents"),
+            ((pm_tp - pm_tr) - (pm_cp - pm_cr))
+            .cast("long")
+            .alias("placebo_did_millicents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Sign-flip permutation test + Benjamini-Hochberg FDR -------------------
+#
+# Exact finite-sample inference with NO distributional assumption and
+# NO transcendental functions: per event type, each user's paired
+# (post - pre) cents difference d_u is sign-flipped by 64 deterministic
+# md5 coins; under H0 (symmetric null) every flip pattern is equally
+# likely, so p = (1 + #{perm : |T_perm| >= |T_obs|}) / 65 is an exact
+# integer-valued p-value. The per-type p-values then pass through
+# Benjamini-Hochberg step-up at q = 0.10 with every comparison
+# cross-multiplied (10*m*c <= 65*k), so the whole multiple-testing
+# pipeline is integer arithmetic end to end. The x64 explode
+# partial-aggregates to (type, perm) cells before the shuffle; the
+# rank over the m-row p-value relation uses the broadcast triangular
+# join (no single-partition window).
+
+_FDR_ORACLE = """
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tmid
+        FROM events
+    ), diffs AS (
+        SELECT event_type, user_id,
+               CAST(sum(CASE WHEN epoch_us(ts) >= b.tmid
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE -CAST(round(value * 100) AS BIGINT)
+                        END) AS BIGINT) AS d
+        FROM events CROSS JOIN bounds b
+        GROUP BY event_type, user_id
+    ), obs AS (
+        SELECT event_type, abs(CAST(sum(d) AS BIGINT)) AS t_obs
+        FROM diffs GROUP BY event_type
+    ), flips AS (
+        SELECT event_type, p,
+               abs(CAST(sum(CASE WHEN
+                   CAST(('0x' || substr(md5('flip:' || event_type
+                        || ':' || CAST(user_id AS VARCHAR) || ':'
+                        || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2 = 0
+                   THEN d ELSE -d END) AS BIGINT)) AS t_perm
+        FROM diffs CROSS JOIN (SELECT unnest(range(1, 65)) AS p)
+        GROUP BY event_type, p
+    ), pvals AS (
+        SELECT o.event_type, o.t_obs,
+               CAST(1 + count(*) FILTER (f.t_perm >= o.t_obs)
+                    AS BIGINT) AS c_of_65
+        FROM obs o JOIN flips f ON f.event_type = o.event_type
+        GROUP BY o.event_type, o.t_obs
+    ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pvals),
+    ranked AS (
+        SELECT a.event_type, a.t_obs, a.c_of_65, m.m,
+               CAST(1 + (SELECT count(*) FROM pvals b
+                         WHERE b.c_of_65 < a.c_of_65
+                            OR (b.c_of_65 = a.c_of_65
+                                AND b.event_type < a.event_type))
+                    AS BIGINT) AS k
+        FROM pvals a CROSS JOIN m
+    ), kmax AS (
+        SELECT max(CASE WHEN 10 * m * c_of_65 <= 65 * k THEN k END)
+            AS k_max
+        FROM ranked
+    )
+    SELECT r.event_type, r.t_obs AS t_obs_cents, r.c_of_65, r.k,
+           COALESCE(r.k <= km.k_max, FALSE) AS rejected
+    FROM ranked r CROSS JOIN kmax km
+    ORDER BY r.event_type
+"""
+
+
+@register(
+    "events_signflip_fdr",
+    oracle=_FDR_ORACLE,
+    tags=("stats", "robust"),
+    doc="Exact sign-flip permutation test per event type + "
+    "Benjamini-Hochberg FDR across types, fully integer: each user's "
+    "paired post-minus-pre cents difference is sign-flipped through "
+    "64 deterministic md5 coins, giving the exact finite-sample "
+    "p-value p = (1 + #{|T_perm| >= |T_obs|})/65 with no normality "
+    "assumption and no libm — the permutation-test partner of "
+    "events_ab_proportion_test's parametric z. BH step-up at q=0.10 "
+    "runs entirely cross-multiplied (10*m*c <= 65*k), the rank over "
+    "the m-row p-value relation via the broadcast triangular join "
+    "(house rule: no single-partition window even on tiny "
+    "relations). Scale: the x64 flip explode partial-aggregates to "
+    "(type, perm) cells map-side, the (type, user) paired rollup is "
+    "the only data-sized shuffle, and everything downstream is "
+    "O(types) rows.",
+)
+def events_signflip_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(CAST(min(ts) AS TIMESTAMP)) + unix_micros(CAST(max(ts) AS TIMESTAMP))) div 2"
+        ).alias("tmid")
+    )
+    diffs = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) >= tmid"
+                " THEN CAST(round(value * 100) AS BIGINT)"
+                " ELSE -CAST(round(value * 100) AS BIGINT) END)"
+                " AS BIGINT)"
+            ).alias("d")
+        )
+    )
+    obs = diffs.groupBy("event_type").agg(
+        F.expr("abs(CAST(sum(d) AS BIGINT))").alias("t_obs")
+    )
+    flips = (
+        diffs.select(
+            "event_type",
+            "d",
+            "user_id",
+            F.explode(F.expr("sequence(1, 64)")).alias("p"),
+        )
+        .select(
+            "event_type",
+            "p",
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(concat('flip:', "
+                "event_type, ':', CAST(user_id AS STRING), ':', "
+                "CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % 2 = 0 THEN d ELSE -d END"
+            ).alias("sd"),
+        )
+        .groupBy("event_type", "p")
+        .agg(F.expr("abs(CAST(sum(sd) AS BIGINT))").alias("t_perm"))
+    )
+    pvals = (
+        obs.join(flips, "event_type")
+        .groupBy("event_type", "t_obs")
+        .agg(
+            F.expr(
+                "CAST(1 + count_if(t_perm >= t_obs) AS BIGINT)"
+            ).alias("c_of_65")
+        )
+    )
+    m = pvals.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    a, b = pvals.alias("a"), pvals.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.c_of_65") < F.col("a.c_of_65"))
+            | (
+                (F.col("b.c_of_65") == F.col("a.c_of_65"))
+                & (F.col("b.event_type") < F.col("a.event_type"))
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.t_obs").alias("t_obs"),
+            F.col("a.c_of_65").alias("c_of_65"),
+        )
+        .agg(
+            (1 + F.count(F.col("b.event_type"))).cast("long").alias("k")
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    kmax = ranked.agg(
+        F.expr(
+            "max(CASE WHEN 10 * m * c_of_65 <= 65 * k THEN k END)"
+        ).alias("k_max")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.col("t_obs").alias("t_obs_cents"),
+            "c_of_65",
+            "k",
+            F.coalesce(
+                F.col("k") <= F.col("k_max"), F.lit(False)
+            ).alias("rejected"),
+        )
+        .orderBy("event_type")
+    )

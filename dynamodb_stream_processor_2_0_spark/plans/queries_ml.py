@@ -448,3 +448,215 @@ def eval_calibration_curve_ece(
         "WITH ranked AS (SELECT y, r, n FROM ml_calib_ranked)"
         + _calib_report_sql("div")
     )
+
+
+# --- split-conformal prediction intervals (model GUARANTEE) ----------------
+#
+# The fourth leg of the train/apply/evaluate loop: a distribution-free
+# COVERAGE GUARANTEE. Split conformal (Vovk; Lei et al.): fit on the
+# train split, take the ceil(0.9*(n_cal+1))-th smallest absolute
+# residual on a disjoint calibration split as the interval half-width
+# q, and exchangeability alone guarantees P(|y - yhat| <= q) >= 0.9 on
+# fresh data — no distributional assumption on y or the model. The
+# model here is univariate OLS (order totalprice ~ summed quantity)
+# kept as an exact RATIONAL: yhat = (A + B*x)/D with
+#   D = n*Sxx - Sx^2,  B = n*Sxy - Sx*Sy,  A = Sy*Sxx - Sx*Sxy
+# so the conformal score is the cross-multiplied integer
+# |D*y - A - B*x| — no division ever touches a per-row score, and both
+# engines agree bit-for-bit. Headroom: D < n^2*x^2 ~ 1e25 at 1e9
+# orders, D*y < 1e33 — inside DECIMAL(38,0)/HUGEINT at any realistic
+# corpus. The calibration order statistic runs through global_rank
+# (range exchange + broadcast offsets, no single-task sort); train
+# stats are ONE map-side-combinable aggregation broadcast as the
+# model; coverage is ONE aggregate over the test split.
+
+_CONF_SPLIT = """
+    CAST(('0x' || substr(md5('conf:' || CAST(o_orderkey AS VARCHAR)),
+                         1, 8)) AS BIGINT) % 100
+"""
+
+_CONF_ORACLE = f"""
+    WITH x AS (
+        SELECT l_orderkey AS okey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem GROUP BY l_orderkey
+    ), base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+               x.x,
+               {_CONF_SPLIT} AS bucket
+        FROM orders JOIN x ON x.okey = o_orderkey
+    ), train AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(x * y) AS HUGEINT) AS sxy
+        FROM base WHERE bucket < 60
+    ), model AS (
+        SELECT n AS n_train,
+               n * sxx - sx * sx AS dd,
+               n * sxy - sx * sy AS bb,
+               sy * sxx - sx * sxy AS aa
+        FROM train
+    ), cal AS (
+        SELECT b.o_orderkey,
+               abs(m.dd * b.y - m.aa - m.bb * b.x) AS s
+        FROM base b CROSS JOIN model m
+        WHERE b.bucket >= 60 AND b.bucket < 80
+    ), kk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+               least(CAST(count(*) AS BIGINT),
+                     (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10)
+                   AS k
+        FROM cal
+    ), qsel AS (
+        SELECT r.s AS q, kk.n_cal, kk.k
+        FROM (SELECT s, row_number() OVER (ORDER BY s, o_orderkey)
+                     AS rn
+              FROM cal) r
+        CROSS JOIN kk
+        WHERE r.rn = kk.k
+    ), test AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count(*) FILTER (
+                   abs(m.dd * b.y - m.aa - m.bb * b.x) <= q.q)
+                   AS BIGINT) AS n_covered
+        FROM base b CROSS JOIN model m CROSS JOIN qsel q
+        WHERE b.bucket >= 80
+    )
+    SELECT CAST(m.n_train AS BIGINT) AS n_train,
+           q.n_cal, t.n_test, q.k AS k_rank,
+           CAST(q.q // m.dd AS BIGINT) AS half_width_cents,
+           CAST((CASE WHEN m.bb < 0 THEN -1 ELSE 1 END)
+                * ((abs(m.bb) * 1000) // m.dd) AS BIGINT)
+               AS b1_cents_per_qty_milli,
+           CAST((CASE WHEN m.aa < 0 THEN -1 ELSE 1 END)
+                * (abs(m.aa) // m.dd) AS BIGINT) AS b0_cents,
+           CAST(1000 * t.n_covered // t.n_test AS BIGINT)
+               AS coverage_permille,
+           CAST(900 AS BIGINT) AS target_permille
+    FROM model m CROSS JOIN qsel q CROSS JOIN test t
+"""
+
+
+@register(
+    "ml_conformal_interval_coverage",
+    oracle=_CONF_ORACLE,
+    tags=("ml", "eval", "stats"),
+    doc="Split-conformal prediction intervals with the finite-sample "
+    "coverage GUARANTEE (Vovk; Lei et al.): univariate OLS "
+    "(totalprice_cents ~ summed order quantity) fit on a 60% md5 "
+    "split, interval half-width = the ceil(0.9*(n_cal+1))-th "
+    "smallest absolute residual on a disjoint 20% calibration "
+    "split, coverage audited on the held-out 20% — exchangeability "
+    "alone guarantees >= 90% coverage in expectation, which the "
+    "behavior test asserts. The model stays an exact rational "
+    "(yhat = (A + B*x)/D) so every conformal score is the "
+    "cross-multiplied wide integer |D*y - A - B*x|: no per-row "
+    "division, bit-identical across engines, DECIMAL(38,0)/HUGEINT "
+    "headroom to ~1e9 orders (D*y < 1e33). Train stats are ONE "
+    "map-side-combinable aggregation broadcast as the model; the "
+    "calibration order statistic uses global_rank (range exchange, "
+    "no single-task sort); coverage is one test-split aggregate.",
+)
+def ml_conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x")
+    )
+    base = orders.join(
+        x, F.col("okey") == F.col("o_orderkey")
+    ).select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
+        "x",
+        F.expr(
+            "CAST(conv(substr(md5(concat('conf:', "
+            "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100"
+        ).alias("bucket"),
+    )
+    dec = "DECIMAL(38,0)"
+    train = base.filter(F.col("bucket") < 60).agg(
+        F.expr(f"CAST(count(1) AS {dec})").alias("n"),
+        F.expr(f"CAST(sum(x) AS {dec})").alias("sx"),
+        F.expr(f"CAST(sum(y) AS {dec})").alias("sy"),
+        F.expr(f"CAST(sum(x * x) AS {dec})").alias("sxx"),
+        F.expr(f"CAST(sum(x * y) AS {dec})").alias("sxy"),
+    )
+    model = F.broadcast(
+        train.select(
+            F.col("n").alias("n_train_dec"),
+            F.expr("n * sxx - sx * sx").alias("dd"),
+            F.expr("n * sxy - sx * sy").alias("bb"),
+            F.expr("sy * sxx - sx * sxy").alias("aa"),
+        )
+    )
+    cal = (
+        base.filter((F.col("bucket") >= 60) & (F.col("bucket") < 80))
+        .crossJoin(model)
+        .select(
+            "o_orderkey",
+            F.expr("abs(dd * y - aa - bb * x)").alias("s"),
+        )
+    )
+    kk = F.broadcast(
+        cal.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.expr(
+                "least(CAST(count(1) AS BIGINT),"
+                " (9 * (CAST(count(1) AS BIGINT) + 1) + 9) div 10)"
+            ).alias("k"),
+        )
+    )
+    qsel = F.broadcast(
+        global_rank(cal, ["s", "o_orderkey"], out_col="rn")
+        .crossJoin(kk)
+        .filter(F.col("rn") == F.col("k"))
+        .select(F.col("s").alias("q"), "n_cal", "k")
+    )
+    test = F.broadcast(
+        base.filter(F.col("bucket") >= 80)
+        .crossJoin(model)
+        .crossJoin(qsel)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(count_if(abs(dd * y - aa - bb * x) <= q)"
+                " AS BIGINT)"
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        model.crossJoin(qsel)
+        .crossJoin(test)
+        .select(
+            F.expr("CAST(n_train_dec AS BIGINT)").alias("n_train"),
+            "n_cal",
+            "n_test",
+            F.col("k").alias("k_rank"),
+            F.expr("CAST(q div dd AS BIGINT)").alias(
+                "half_width_cents"
+            ),
+            F.expr(
+                "CAST((CASE WHEN bb < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(bb) * 1000) div dd) AS BIGINT)"
+            ).alias("b1_cents_per_qty_milli"),
+            F.expr(
+                "CAST((CASE WHEN aa < 0 THEN -1 ELSE 1 END)"
+                " * (abs(aa) div dd) AS BIGINT)"
+            ).alias("b0_cents"),
+            F.expr(
+                "CAST(1000 * n_covered div n_test AS BIGINT)"
+            ).alias("coverage_permille"),
+            F.lit(900).cast("long").alias("target_permille"),
+        )
+    )

@@ -107,6 +107,11 @@ _loaded = False
 # all medium-parity + swept + hostile-session verified +
 # behavior-tested where a guarantee exists (tests/test_ml_ops.py);
 # same r7 rotation status.
+# The round-6 THIRD continuation added 6 more (Lindley queue delay,
+# running-balance max drawdown, Poisson bootstrap CI,
+# diff-in-diff + placebo, sign-flip permutation test + BH FDR,
+# split-conformal interval coverage) — same treatment, same r7
+# rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

@@ -350,3 +350,28 @@ def test_bcubed_perfect_on_exact_duplicate_corpus(spark, sf_dir):
         compare_query(spark, registry.get("eval_dedup_bcubed"), d)
     finally:
         _cleanup(d, tmp)
+
+
+# --- split-conformal: the finite-sample coverage guarantee -----------------
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir, sf_dir_medium):
+    """Split conformal promises P(|y - yhat| <= q) >= 1 - alpha = 0.9
+    on exchangeable data, up to binomial sampling noise in the
+    realized test-split coverage (and an upper slack of ~1/(n_cal+1)
+    plus noise). Both SFs must land in the guarantee band, and the
+    calibration rank must be exactly ceil(0.9 * (n_cal + 1))."""
+    spec = registry.get("ml_conformal_interval_coverage")
+    for d in (sf_dir, sf_dir_medium):
+        row = spec.fn(spark, d).collect()[0]
+        n_cal, k = row["n_cal"], row["k_rank"]
+        assert k == min(n_cal, (9 * (n_cal + 1) + 9) // 10)
+        # 3-sigma binomial band around 900 permille on the test size.
+        import math
+
+        sigma = 1000 * math.sqrt(0.9 * 0.1 / row["n_test"])
+        lo = 900 - 3 * sigma
+        hi = 900 + 1000 / (n_cal + 1) + 3 * sigma
+        assert lo <= row["coverage_permille"] <= hi, row
+        assert row["half_width_cents"] > 0
+        assert row["n_train"] > row["n_cal"]

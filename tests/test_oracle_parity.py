@@ -141,6 +141,12 @@ _MEDIUM_EXTRAS = (
     "eval_clustering_calinski_harabasz",
     "customer_kaplan_meier_survival",
     "quality_text_embedding_alignment",
+    "supplier_queue_delay_lindley",
+    "events_value_drawdown",
+    "events_poisson_bootstrap_ci",
+    "events_diff_in_diff",
+    "events_signflip_fdr",
+    "ml_conformal_interval_coverage",
 )
 
 

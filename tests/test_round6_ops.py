@@ -281,3 +281,111 @@ def test_modularity_bounds(spark, sf_dir):
     assert -500_000 <= row.q_micro < 1_000_000
     assert row.n_communities >= 1
     assert row.m_undirected > 0
+
+
+# --- Lindley queue: closed form == naive sequential simulation -------------
+
+
+def test_lindley_closed_form_matches_sequential_simulation(spark, sf_dir):
+    """The window-algebra closed form C_n = S_n + max_j(a_j - S_{j-1})
+    must reproduce the literal Lindley recurrence W_{n+1} =
+    max(0, W_n + S_n - A_n) replayed sequentially in Python over the
+    same jobs — per supplier, job by job."""
+    import duckdb
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    jobs = duckdb.sql(
+        f"""
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+               CAST(datediff('day', DATE '1990-01-01',
+                             CAST(l_shipdate AS DATE)) AS BIGINT) AS a,
+               CAST(l_quantity AS BIGINT) // 8 + 1 AS s
+        FROM '{sf_dir}/lineitem.parquet'
+        ORDER BY suppkey, a, l_orderkey, l_linenumber
+        """
+    ).fetchall()
+    sim: dict[int, dict[str, int]] = {}
+    state: dict[int, tuple[int, int, int]] = {}  # supp -> (prev_a, prev_s, prev_w)
+    for supp, a, s in jobs:
+        if supp not in state:
+            w = 0
+        else:
+            pa, ps, pw = state[supp]
+            w = max(0, pw + ps - (a - pa))
+        state[supp] = (a, s, w)
+        agg = sim.setdefault(supp, {"n": 0, "tot": 0, "mx": 0})
+        agg["n"] += 1
+        agg["tot"] += w
+        agg["mx"] = max(agg["mx"], w)
+    out = registry.get("supplier_queue_delay_lindley").fn(spark, sf_dir)
+    for row in out.collect():
+        ref = sim[row["suppkey"]]
+        assert row["n_jobs"] == ref["n"]
+        assert row["total_wait_days"] == ref["tot"], row
+        assert row["max_wait_days"] == ref["mx"], row
+
+
+# --- sign-flip FDR: exact p-value range + step-up down-set -----------------
+
+
+def test_signflip_fdr_axioms(spark, sf_dir):
+    """Exact permutation p-values live on {1..65}/65; BH step-up
+    rejections form a DOWN-SET in the p-value ranking (if rank k is
+    rejected, every smaller rank is too); each rejected row must
+    itself satisfy the cross-multiplied BH inequality for SOME
+    rank >= its own (step-up), and non-rejected rows above k_max
+    must fail it."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    rows = sorted(
+        registry.get("events_signflip_fdr").fn(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    m = len(rows)
+    assert all(1 <= r["c_of_65"] <= 65 for r in rows)
+    assert [r["k"] for r in rows] == list(range(1, m + 1))
+    flags = [r["rejected"] for r in rows]
+    assert flags == sorted(flags, reverse=True), "not a down-set"
+    satisfied = [10 * m * r["c_of_65"] <= 65 * r["k"] for r in rows]
+    k_max = max((i + 1 for i, s in enumerate(satisfied) if s), default=0)
+    assert flags == [k <= k_max for k in range(1, m + 1)]
+
+
+# --- Poisson bootstrap: CI brackets the point estimate ---------------------
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """With 32 replicates the (2nd, 31st) order-statistic CI must be a
+    proper interval and, on this data, bracket the exact mean (the
+    bootstrap distribution is centered on it); replicate count must
+    be the full 32 — no replicate can lose all its weights on
+    corpora of hundreds of rows per type."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    rows = registry.get("events_poisson_bootstrap_ci").fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_replicates"] == 32
+        assert r["ci_lo_cents"] < r["ci_hi_cents"]
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+
+
+# --- drawdown: peak/final/drawdown consistency -----------------------------
+
+
+def test_drawdown_invariants(spark, sf_dir):
+    """Max drawdown is non-negative and bounded below by the END
+    drawdown peak - final (the running peak's last reading); peak >=
+    final always, since the peak is a running max of the same
+    series."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    rows = registry.get("events_value_drawdown").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_drawdown_cents"] >= 0
+        assert r["peak_cents"] >= r["final_cents"]
+        assert r["max_drawdown_cents"] >= r["peak_cents"] - r["final_cents"]

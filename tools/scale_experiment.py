@@ -310,6 +310,34 @@ def main() -> None:
     alidir1 = _stage_docs_emb(docs1, emb1)
     alidir_n = _stage_docs_emb(docs_n, emb_n)
 
+    # Lindley's scale model: supplier count grows with the corpus while
+    # jobs/supplier stays flat — shift l_suppkey alongside l_orderkey.
+    lisuppdir1 = _stage_one(
+        scaled(load_table(spark, sf, "lineitem"),
+               {"l_orderkey": 10**9, "l_suppkey": 10**6}, 1, 8),
+        "lineitem")
+    lisuppdir_n = _stage_one(
+        scaled(load_table(spark, sf, "lineitem"),
+               {"l_orderkey": 10**9, "l_suppkey": 10**6}, n_copies, 32),
+        "lineitem")
+
+    def _stage_ord_li(ords, lis):
+        d = _tf.mkdtemp(prefix="scale_ordli_")
+        ords.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        lis.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        return d
+
+    ordlidir1 = _stage_ord_li(
+        scaled(load_table(spark, sf, "orders"),
+               {"o_orderkey": 10**9, "o_custkey": 10**8}, 1, 8),
+        scaled(load_table(spark, sf, "lineitem"),
+               {"l_orderkey": 10**9}, 1, 8))
+    ordlidir_n = _stage_ord_li(
+        scaled(load_table(spark, sf, "orders"),
+               {"o_orderkey": 10**9, "o_custkey": 10**8}, n_copies, 32),
+        scaled(load_table(spark, sf, "lineitem"),
+               {"l_orderkey": 10**9}, n_copies, 32))
+
     def semantic_dedup_op(emb):
         from dynamodb_stream_processor_2_0_spark.operators import clustering as C
         return C.semantic_dedup(emb)
@@ -399,6 +427,19 @@ def main() -> None:
          ordfull1, ordfull_n),
         ("text_embedding_alignment", _registered(
             "quality_text_embedding_alignment"), alidir1, alidir_n),
+        # round-6 third continuation (inference / causal / queueing)
+        ("lindley_queue_delay", _registered("supplier_queue_delay_lindley"),
+         lisuppdir1, lisuppdir_n),
+        ("value_drawdown", _registered("events_value_drawdown"),
+         evdir1, evdir_n),
+        ("poisson_bootstrap_ci", _registered("events_poisson_bootstrap_ci"),
+         evdir1, evdir_n),
+        ("diff_in_diff", _registered("events_diff_in_diff"),
+         evdir1, evdir_n),
+        ("signflip_fdr", _registered("events_signflip_fdr"),
+         evdir1, evdir_n),
+        ("conformal_coverage", _registered("ml_conformal_interval_coverage"),
+         ordlidir1, ordlidir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

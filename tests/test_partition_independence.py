@@ -145,6 +145,7 @@ _SWEEP_EXTRAS = (
     "events_diff_in_diff",
     "events_signflip_fdr",
     "ml_conformal_interval_coverage",
+    "dedup_sorted_neighborhood",
 )
 
 

@@ -389,3 +389,61 @@ def test_drawdown_invariants(spark, sf_dir):
         assert r["max_drawdown_cents"] >= 0
         assert r["peak_cents"] >= r["final_cents"]
         assert r["max_drawdown_cents"] >= r["peak_cents"] - r["final_cents"]
+
+
+# --- sorted-neighborhood blocking: window guarantee -------------------------
+
+
+def test_sorted_neighborhood_window_bound_and_recall(spark):
+    """The two guarantees the operator claims: (a) every emitted pair
+    sits within the w=8 sliding window of the sort order (rank_gap in
+    [1, w-1]) — the n*(w-1) candidate bound BY CONSTRUCTION — and (b)
+    a planted near-dup pair that is ADJACENT under the prefix sort is
+    found with the exact probe edit distance."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import (
+        queries_dedup as D,
+    )
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    # fillers: pairwise-distant probes (shuffled word salads) so the
+    # planted pair is the unambiguous top-1 by edit distance
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    texts = [
+        " ".join(words[(i + j) % 8] * (1 + (i * j) % 3) for j in range(8))
+        for i in range(20)
+    ]
+    # planted pair: identical 24-char prefix, one-char probe edit
+    texts.append("zzz unique prefix here padded out long enough A tail")
+    texts.append("zzz unique prefix here padded out long enough B tail")
+    d = tempfile.mkdtemp(prefix="snm_")
+    tmp = tempfile.mkdtemp(prefix="snmw_")
+    try:
+        docs = spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/documents.parquet"
+        )
+        rows = registry.get("dedup_sorted_neighborhood").fn(spark, d).collect()
+        assert rows, "no candidate pairs emitted"
+        w = D._SNM_W
+        for r in rows:
+            assert 1 <= r["rank_gap"] <= w - 1, r
+        planted = [
+            r
+            for r in rows
+            if {r["doc_a"], r["doc_b"]} == {20, 21}
+        ]
+        assert planted, "adjacent planted near-dup pair not found"
+        # probes differ in exactly one char (A vs B at the same offset)
+        assert planted[0]["edit_dist"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

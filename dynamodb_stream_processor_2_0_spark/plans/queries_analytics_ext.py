@@ -7549,3 +7549,598 @@ def events_signflip_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- CUPED variance-reduced A/B estimate ------------------------------------
+#
+# CUPED (Deng et al., WSDM'13): regression-adjust the experiment
+# metric with a PRE-period covariate — Y_adj = Y - theta*(X - E[X])
+# with theta = cov(X,Y)/var(X) — shrinking metric variance by rho^2
+# without biasing the treatment contrast (assignment is independent of
+# the pre period). All moments are exact integer sums over per-user
+# truncated-mean cents; the only divisions are the final sign-extracted
+# scaled quotients, and rho^2 is chained through the already-truncated
+# theta (theta_milli * num / deny) so the biggest intermediate is
+# ~1e22 — DECIMAL(38,0)-safe past sf100, where the naive num^2 form
+# overflows.
+
+_CUPED_SIGN_DIV = (
+    "(CASE WHEN {s} >= 0 THEN 1 ELSE -1 END) * (abs({s}) {div} {n})"
+)
+
+
+def _cuped_oracle() -> str:
+    sd = lambda s, n: _CUPED_SIGN_DIV.format(s=s, n=n, div="//")
+    return f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tmid
+            FROM events
+        ), tagged AS (
+            SELECT event_type, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   epoch_us(ts) >= b.tmid AS post
+            FROM events CROSS JOIN bounds b
+        ), per_user AS (
+            SELECT event_type, user_id,
+                   CAST(count(*) FILTER (NOT post) AS BIGINT) AS n_pre,
+                   CAST(count(*) FILTER (post) AS BIGINT) AS n_post,
+                   CAST(COALESCE(sum(cents) FILTER (NOT post), 0)
+                        AS BIGINT) AS s_pre,
+                   CAST(COALESCE(sum(cents) FILTER (post), 0)
+                        AS BIGINT) AS s_post
+            FROM tagged GROUP BY event_type, user_id
+        ), xy AS (
+            SELECT event_type, user_id,
+                   CAST({sd("s_pre", "n_pre")} AS BIGINT) AS x,
+                   CAST({sd("s_post", "n_post")} AS BIGINT) AS y,
+                   CAST(('0x' || substr(md5('cuped:'
+                        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 50 AS treated
+            FROM per_user WHERE n_pre > 0 AND n_post > 0
+        ), g AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(count(*) FILTER (treated) AS BIGINT) AS n_t,
+                   CAST(count(*) FILTER (NOT treated) AS BIGINT) AS n_c,
+                   CAST(COALESCE(sum(x) FILTER (treated), 0) AS BIGINT)
+                       AS sx_t,
+                   CAST(COALESCE(sum(y) FILTER (treated), 0) AS BIGINT)
+                       AS sy_t,
+                   CAST(COALESCE(sum(x) FILTER (NOT treated), 0)
+                        AS BIGINT) AS sx_c,
+                   CAST(COALESCE(sum(y) FILTER (NOT treated), 0)
+                        AS BIGINT) AS sy_c
+            FROM xy GROUP BY event_type
+        ), m AS (
+            SELECT event_type, n, n_t, n_c,
+                   CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS denx,
+                   CAST(n AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS deny,
+                   CASE WHEN n_t = 0 THEN NULL
+                        ELSE CAST({sd("sx_t", "n_t")} AS BIGINT) END
+                       AS mx_t,
+                   CASE WHEN n_t = 0 THEN NULL
+                        ELSE CAST({sd("sy_t", "n_t")} AS BIGINT) END
+                       AS my_t,
+                   CASE WHEN n_c = 0 THEN NULL
+                        ELSE CAST({sd("sx_c", "n_c")} AS BIGINT) END
+                       AS mx_c,
+                   CASE WHEN n_c = 0 THEN NULL
+                        ELSE CAST({sd("sy_c", "n_c")} AS BIGINT) END
+                       AS my_c
+            FROM g
+        ), t AS (
+            SELECT event_type, n AS n_users, n_t AS n_treated,
+                   n_c AS n_control, num, denx, deny,
+                   mx_t, my_t, mx_c, my_c,
+                   CASE WHEN denx <= 0 THEN CAST(0 AS BIGINT)
+                        ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                             * CAST(abs(num) * 1000 // denx AS BIGINT)
+                   END AS theta_milli
+            FROM m
+        )
+        SELECT event_type, n_users, n_treated, n_control, theta_milli,
+               CASE WHEN denx <= 0 OR deny <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(abs(CAST(theta_milli AS HUGEINT) * num)
+                              // deny AS BIGINT)
+               END AS var_reduction_permille,
+               CAST(1000 * (my_t - my_c) AS BIGINT)
+                   AS raw_diff_millicents,
+               CAST(1000 * (my_t - my_c)
+                    - theta_milli * (mx_t - mx_c) AS BIGINT)
+                   AS cuped_diff_millicents
+        FROM t
+        ORDER BY event_type
+    """
+
+
+@register(
+    "events_cuped_variance_reduction",
+    oracle=_cuped_oracle(),
+    tags=("stats", "causal", "experiment"),
+    doc="CUPED variance-reduced A/B estimate per event type (Deng et "
+    "al., WSDM'13): per-user pre-period mean cents X (covariate) and "
+    "post-period mean cents Y (metric) split at the data-midpoint "
+    "timestamp, deterministic md5 coin assignment, pooled theta = "
+    "cov(X,Y)/var(X) as a sign-extracted milli quotient, and the "
+    "adjusted treatment contrast 1000*(E[Y|t]-E[Y|c]) - "
+    "theta_milli*(E[X|t]-E[X|c]). var_reduction_permille = rho^2 is "
+    "chained through the truncated theta (theta_milli*num/deny) so "
+    "the largest intermediate stays ~1e22 (DECIMAL(38,0)-safe past "
+    "sf100) where the naive num^2 form overflows at sf1. On this "
+    "synthetic corpus assignment is independent of value, so the raw "
+    "and CUPED contrasts are both null-calibrated and the output "
+    "audits that the adjustment preserves the estimate while the "
+    "permille reports the variance shrink. Two map-combinable "
+    "aggregations (user rollup, type moments) + one broadcast "
+    "1-row bounds aggregate; O(types) output at any scale.",
+)
+def events_cuped_variance_reduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sd = lambda s, n: _CUPED_SIGN_DIV.format(s=s, n=n, div="div")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(CAST(min(ts) AS TIMESTAMP))"
+            " + unix_micros(CAST(max(ts) AS TIMESTAMP))) div 2"
+        ).alias("tmid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) >= tmid").alias("post"),
+    )
+    per_user = tagged.groupBy("event_type", "user_id").agg(
+        F.expr("CAST(count_if(NOT post) AS BIGINT)").alias("n_pre"),
+        F.expr("CAST(count_if(post) AS BIGINT)").alias("n_post"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN NOT post THEN cents END), 0)"
+            " AS BIGINT)"
+        ).alias("s_pre"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN post THEN cents END), 0)"
+            " AS BIGINT)"
+        ).alias("s_post"),
+    )
+    xy = per_user.filter("n_pre > 0 AND n_post > 0").select(
+        "event_type",
+        F.expr(f"CAST({sd('s_pre', 'n_pre')} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({sd('s_post', 'n_post')} AS BIGINT)").alias("y"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('cuped:', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100 < 50"
+        ).alias("treated"),
+    )
+    g = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.expr("CAST(count_if(treated) AS BIGINT)").alias("n_t"),
+        F.expr("CAST(count_if(NOT treated) AS BIGINT)").alias("n_c"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN treated THEN x END), 0)"
+            " AS BIGINT)"
+        ).alias("sx_t"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN treated THEN y END), 0)"
+            " AS BIGINT)"
+        ).alias("sy_t"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN NOT treated THEN x END), 0)"
+            " AS BIGINT)"
+        ).alias("sx_c"),
+        F.expr(
+            "CAST(COALESCE(sum(CASE WHEN NOT treated THEN y END), 0)"
+            " AS BIGINT)"
+        ).alias("sy_c"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        "n_t",
+        "n_c",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("denx"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * syy"
+            " - CAST(sy AS DECIMAL(38,0)) * sy"
+        ).alias("deny"),
+        F.expr(
+            f"CASE WHEN n_t = 0 THEN NULL"
+            f" ELSE CAST({sd('sx_t', 'n_t')} AS BIGINT) END"
+        ).alias("mx_t"),
+        F.expr(
+            f"CASE WHEN n_t = 0 THEN NULL"
+            f" ELSE CAST({sd('sy_t', 'n_t')} AS BIGINT) END"
+        ).alias("my_t"),
+        F.expr(
+            f"CASE WHEN n_c = 0 THEN NULL"
+            f" ELSE CAST({sd('sx_c', 'n_c')} AS BIGINT) END"
+        ).alias("mx_c"),
+        F.expr(
+            f"CASE WHEN n_c = 0 THEN NULL"
+            f" ELSE CAST({sd('sy_c', 'n_c')} AS BIGINT) END"
+        ).alias("my_c"),
+    )
+    t = m.select(
+        F.col("event_type"),
+        F.col("n").alias("n_users"),
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        "num",
+        "denx",
+        "deny",
+        "mx_t",
+        "my_t",
+        "mx_c",
+        "my_c",
+        F.expr(
+            "CASE WHEN denx <= 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+            "      * CAST(floor(abs(num) * 1000 / denx) AS BIGINT)"
+            " END"
+        ).alias("theta_milli"),
+    )
+    return t.select(
+        "event_type",
+        "n_users",
+        "n_treated",
+        "n_control",
+        "theta_milli",
+        F.expr(
+            "CASE WHEN denx <= 0 OR deny <= 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(floor(abs(CAST(theta_milli AS DECIMAL(38,0))"
+            "      * num) / deny) AS BIGINT) END"
+        ).alias("var_reduction_permille"),
+        F.expr("CAST(1000 * (my_t - my_c) AS BIGINT)").alias(
+            "raw_diff_millicents"
+        ),
+        F.expr(
+            "CAST(1000 * (my_t - my_c)"
+            " - theta_milli * (mx_t - mx_c) AS BIGINT)"
+        ).alias("cuped_diff_millicents"),
+    ).orderBy("event_type")
+
+
+# --- lead/lag cross-correlation between event series -------------------------
+#
+# The cross-series companion to events_autocorrelation_lags: does the
+# 'view' daily series LEAD each other type's series (ad-funnel lag
+# structure), measured as the lagged cross-correlation r_k between the
+# centered daily-count series at lags -3..+3? To stay transcendental-
+# free the statistic is the SIGNED SQUARED correlation in permille:
+# sign(num_k) * 1000 * num_k^2 / (sum(ya^2) * sum(yb^2)) — monotone in
+# |r_k| with the sign preserved, exact integer end-to-end (the naive
+# r_k needs a sqrt). Centering multiplies through by n (y = n*x -
+# sum(x)) exactly as the ACF does.
+
+_XCORR_LAGS = 3
+_XCORR_ANCHOR = "view"
+
+_XCORR_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        FROM events GROUP BY 1, 2
+    ), series AS (
+        SELECT t.event_type, s.day, COALESCE(d.x, 0) AS x
+        FROM types t CROSS JOIN spine s
+        LEFT JOIN daily d
+          ON d.event_type = t.event_type AND d.day = s.day
+    ), cent AS (
+        SELECT event_type, day,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   * x
+               - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS y
+        FROM series
+    ), dens AS (
+        SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den
+        FROM cent GROUP BY event_type
+    ), prods AS (
+        SELECT b.event_type AS pair_type, l.lag,
+               CAST(count(*) AS BIGINT) AS n_overlap_days,
+               CAST(sum(a.y * b.y) AS BIGINT) AS num
+        FROM cent a
+        CROSS JOIN (SELECT unnest(range(-{_XCORR_LAGS},
+                                        {_XCORR_LAGS} + 1)) AS lag) l
+        JOIN cent b
+          ON b.day = a.day + CAST(l.lag AS INTEGER)
+         AND b.event_type <> '{_XCORR_ANCHOR}'
+        WHERE a.event_type = '{_XCORR_ANCHOR}'
+        GROUP BY b.event_type, l.lag
+    )
+    SELECT p.pair_type, p.lag, p.n_overlap_days,
+           CASE WHEN da.den = 0 OR db.den = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CASE WHEN p.num >= 0 THEN 1 ELSE -1 END)
+                     * CAST(CAST(p.num AS HUGEINT) * p.num * 1000
+                            // (CAST(da.den AS HUGEINT) * db.den)
+                            AS BIGINT)
+           END AS xcorr_r2_signed_permille
+    FROM prods p
+    CROSS JOIN (SELECT den FROM dens
+                WHERE event_type = '{_XCORR_ANCHOR}') da
+    JOIN dens db ON db.event_type = p.pair_type
+    ORDER BY p.pair_type, p.lag
+"""
+
+
+@register(
+    "events_cross_correlation_leadlag",
+    oracle=_XCORR_ORACLE,
+    tags=("timeseries", "stats", "analytics"),
+    doc="Lead/lag cross-correlation between the 'view' daily series "
+    "and every other event type's daily series at lags -3..+3 on the "
+    "shared zero-filled calendar spine — the funnel-lag diagnostic "
+    "(a positive peak at lag k>0 means views lead that series by k "
+    "days). Statistic = signed squared correlation in permille, "
+    "sign(num)*1000*num^2/(sum(ya^2)*sum(yb^2)): monotone in |r| with "
+    "the lead/lag sign kept, exact integer throughout (the plain r "
+    "needs a sqrt; both engines compute the identical 128-bit "
+    "quotient). Centering is the ACF's exact-integer y = n*x - "
+    "sum(x). The raw scan reduces to |types| x |days| rows before "
+    "any join; the lag pairing is an equi-join on the date key "
+    "after a 7-way explode of the anchor rows — O(types*days*lags) "
+    "work on post-aggregate relations regardless of raw scale.",
+)
+def events_cross_correlation_leadlag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    wt = Window.partitionBy("event_type")
+    cent = series.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("x")
+            - F.sum("x").over(wt).cast("long")
+        ).alias("y"),
+    )
+    dens = cent.groupBy("event_type").agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("den")
+    )
+    anchor = (
+        cent.filter(F.col("event_type") == _XCORR_ANCHOR)
+        .select(
+            F.col("day").alias("a_day"),
+            F.col("y").alias("ya"),
+            F.explode(
+                F.sequence(F.lit(-_XCORR_LAGS), F.lit(_XCORR_LAGS))
+            ).alias("lag"),
+        )
+        .select(
+            "ya",
+            "lag",
+            F.expr("date_add(a_day, lag)").alias("day"),
+        )
+    )
+    prods = (
+        anchor.join(
+            cent.filter(F.col("event_type") != _XCORR_ANCHOR).select(
+                F.col("event_type").alias("pair_type"),
+                "day",
+                F.col("y").alias("yb"),
+            ),
+            "day",
+        )
+        .groupBy("pair_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap_days"),
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("num"),
+        )
+    )
+    da = dens.filter(F.col("event_type") == _XCORR_ANCHOR).select(
+        F.col("den").alias("den_a")
+    )
+    return (
+        prods.crossJoin(F.broadcast(da))
+        .join(
+            dens.select(
+                F.col("event_type").alias("pair_type"),
+                F.col("den").alias("den_b"),
+            ),
+            "pair_type",
+        )
+        .select(
+            "pair_type",
+            "lag",
+            "n_overlap_days",
+            F.expr(
+                "CASE WHEN den_a = 0 OR den_b = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+                "      * CAST(floor(CAST(num AS DECIMAL(38,0)) * num * 1000"
+                "        / (CAST(den_a AS DECIMAL(38,0)) * den_b))"
+                "        AS BIGINT) END"
+            ).alias("xcorr_r2_signed_permille"),
+        )
+        .orderBy("pair_type", "lag")
+    )
+
+
+# --- Markov next-event prediction, held-out top-1 accuracy ------------------
+#
+# The predictive EVAL closing the Markov family (transition_matrix /
+# markov_stationary estimate the chain; nothing previously tested it):
+# train a first-order argmax predictor on transitions whose successor
+# lands before the data-midpoint timestamp, score top-1 accuracy on
+# the transitions at-or-after it. The temporal split is the honest
+# one for sequence models (random splits leak the future); argmax
+# tie-break is (count DESC, successor ASC) so the model is
+# deterministic in both engines.
+
+_MARKOV_EVAL_ORACLE = """
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS tmid
+        FROM events
+    ), seq AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), pairs AS (
+        SELECT s.prev AS prev_type, s.event_type AS next_type,
+               epoch_us(s.ts) >= b.tmid AS test
+        FROM seq s CROSS JOIN bounds b
+        WHERE s.prev IS NOT NULL
+    ), model AS (
+        SELECT prev_type, next_type AS predicted_type,
+               CAST(cnt AS BIGINT) AS n_train_top,
+               CAST(tot AS BIGINT) AS n_train
+        FROM (
+            SELECT prev_type, next_type, count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY prev_type) AS tot,
+                   row_number() OVER (PARTITION BY prev_type
+                                      ORDER BY count(*) DESC,
+                                               next_type ASC) AS rn
+            FROM pairs WHERE NOT test
+            GROUP BY prev_type, next_type
+        ) WHERE rn = 1
+    ), eval AS (
+        SELECT p.prev_type,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count(*) FILTER (p.next_type = m.predicted_type)
+                    AS BIGINT) AS n_correct
+        FROM pairs p JOIN model m ON m.prev_type = p.prev_type
+        WHERE p.test
+        GROUP BY p.prev_type
+    )
+    SELECT e.prev_type, m.predicted_type, m.n_train, e.n_test,
+           e.n_correct,
+           CAST(1000 * e.n_correct // e.n_test AS BIGINT)
+               AS accuracy_permille
+    FROM eval e JOIN model m ON m.prev_type = e.prev_type
+    ORDER BY e.prev_type
+"""
+
+
+@register(
+    "events_markov_next_event_eval",
+    oracle=_MARKOV_EVAL_ORACLE,
+    tags=("ml", "eval", "sequence"),
+    doc="Held-out top-1 accuracy of the first-order Markov next-event "
+    "predictor: per-user event sequences (ordered by ts with event_id "
+    "tiebreak) yield (prev, next) transitions; those whose successor "
+    "precedes the data-midpoint timestamp train an argmax model "
+    "(tie-break count DESC then type ASC — deterministic in both "
+    "engines), the rest score it. The TEMPORAL split is the honest "
+    "protocol for sequence models — a random split leaks the future "
+    "into training. Per-state accuracy against the majority-class "
+    "train count exposes whether the chain carries signal beyond the "
+    "marginal. One per-user window (shuffle on user_id), one "
+    "transition-count rollup to O(types^2) rows, and the model "
+    "re-joins the test transitions via a broadcast of that tiny "
+    "relation — scan-dominated at any corpus size.",
+)
+def events_markov_next_event_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(CAST(min(ts) AS TIMESTAMP))"
+            " + unix_micros(CAST(max(ts) AS TIMESTAMP))) div 2"
+        ).alias("tmid")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(wseq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) >= tmid").alias(
+                "test"
+            ),
+        )
+    )
+    wrank = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), F.col("next_type").asc()
+    )
+    wtot = Window.partitionBy("prev_type")
+    model = (
+        pairs.filter(~F.col("test"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "prev_type",
+            F.col("next_type").alias("predicted_type"),
+            F.col("cnt").cast("long").alias("n_train_top"),
+            F.sum("cnt").over(wtot).cast("long").alias("n_train"),
+            F.row_number().over(wrank).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "n_train_top")
+    )
+    ev_agg = (
+        pairs.filter(F.col("test"))
+        .join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "predicted_type", "n_train")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(count_if(next_type = predicted_type) AS BIGINT)"
+            ).alias("n_correct"),
+        )
+    )
+    return ev_agg.select(
+        "prev_type",
+        "predicted_type",
+        "n_train",
+        "n_test",
+        "n_correct",
+        F.expr("CAST(1000 * n_correct div n_test AS BIGINT)").alias(
+            "accuracy_permille"
+        ),
+    ).orderBy("prev_type")

@@ -1227,3 +1227,83 @@ def text_quantile_normalize_sources(
         )
         .orderBy("source")
     )
+
+
+# --- Chao1 vocabulary richness + Good-Turing coverage ------------------------
+#
+# The capture-recapture companion to text_heaps_law_fit: Heaps
+# extrapolates the vocabulary GROWTH CURVE, Chao1 estimates the
+# asymptotic vocabulary SIZE from the frequency-of-frequencies alone
+# (f1 singletons, f2 doubletons): chao1 = V + f1*(f1-1)/(2*(f2+1)),
+# the bias-corrected form that stays finite when f2 = 0. Good-Turing
+# gives the unseen-token mass P0 = f1/N — the probability the NEXT
+# token sampled is a new type — whose complement is corpus coverage.
+# Both are corpus-curation signals: low coverage means the corpus is
+# still vocabulary-open (keep crawling); chao1 >> V means a long tail
+# the tokenizer will fragment.
+
+_CHAO1_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (c = 1) AS BIGINT) AS f1_singletons,
+           CAST(count(*) FILTER (c = 2) AS BIGINT) AS f2_doubletons,
+           CAST(count(*)
+                + count(*) FILTER (c = 1)
+                  * (count(*) FILTER (c = 1) - 1)
+                  // (2 * (count(*) FILTER (c = 2) + 1))
+                AS BIGINT) AS chao1_estimate,
+           CAST(1000 * count(*) FILTER (c = 1) // sum(c) AS BIGINT)
+               AS unseen_mass_permille,
+           CAST(1000 - 1000 * count(*) FILTER (c = 1) // sum(c)
+                AS BIGINT) AS coverage_permille
+    FROM freq
+"""
+
+
+@register(
+    "text_chao1_vocab_richness",
+    oracle=_CHAO1_ORACLE,
+    tags=("text", "llm", "stats"),
+    doc="Chao1 asymptotic vocabulary-size estimate + Good-Turing "
+    "unseen-mass coverage from the frequency-of-frequencies: chao1 = "
+    "V + f1*(f1-1)/(2*(f2+1)) (bias-corrected, finite at f2=0) and "
+    "P0 = f1/N in permille. The capture-recapture complement to "
+    "text_heaps_law_fit: Heaps fits the growth curve, Chao1 bounds "
+    "where it plateaus — 'is the corpus vocabulary-closed yet' is a "
+    "crawl-scheduling signal, and chao1 >> V flags a long tail the "
+    "tokenizer will fragment into bytes. Whitespace tokenization "
+    "matches the house text family. ONE token-frequency groupBy "
+    "(map-side combinable) then a single global aggregate over the "
+    "frequency relation — all divisions are truncating over "
+    "non-negative integers, identical in both engines.",
+)
+def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return freq.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.expr("CAST(count_if(c = 1) AS BIGINT)").alias("f1_singletons"),
+        F.expr("CAST(count_if(c = 2) AS BIGINT)").alias("f2_doubletons"),
+        F.expr(
+            "CAST(count(1) + count_if(c = 1) * (count_if(c = 1) - 1)"
+            " div (2 * (count_if(c = 2) + 1)) AS BIGINT)"
+        ).alias("chao1_estimate"),
+        F.expr("CAST(1000 * count_if(c = 1) div sum(c) AS BIGINT)").alias(
+            "unseen_mass_permille"
+        ),
+        F.expr(
+            "CAST(1000 - 1000 * count_if(c = 1) div sum(c) AS BIGINT)"
+        ).alias("coverage_permille"),
+    )

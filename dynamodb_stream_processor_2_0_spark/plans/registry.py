@@ -112,6 +112,12 @@ _loaded = False
 # diff-in-diff + placebo, sign-flip permutation test + BH FDR,
 # split-conformal interval coverage) — same treatment, same r7
 # rotation status.
+# The round-6 FOURTH continuation added 5 more (sorted-neighborhood
+# dedup blocking, CUPED variance reduction, lead/lag
+# cross-correlation, Markov next-event held-out eval, Chao1 /
+# Good-Turing vocabulary richness) — same treatment (medium parity +
+# sweep + hostile-session + behavior tests in test_round6_ops.py),
+# same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

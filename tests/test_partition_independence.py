@@ -146,6 +146,10 @@ _SWEEP_EXTRAS = (
     "events_signflip_fdr",
     "ml_conformal_interval_coverage",
     "dedup_sorted_neighborhood",
+    "events_cuped_variance_reduction",
+    "events_cross_correlation_leadlag",
+    "events_markov_next_event_eval",
+    "text_chao1_vocab_richness",
 )
 
 

@@ -447,3 +447,181 @@ def test_sorted_neighborhood_window_bound_and_recall(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- fourth-continuation batch: planted-model behavior ----------------------
+
+
+def _write_events(spark, rows, d):
+    """rows: (event_id, ts_str, user_id, event_type, value). Writes a
+    single-file events.parquet under d (micros vintage)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="evw_")
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for (i, ts, u, et, v) in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/events.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cuped_perfect_covariate_recovers_theta_and_kills_variance(spark):
+    """When every user's post-period mean EQUALS their pre-period mean
+    (Y = X exactly), CUPED must estimate theta ~ 1 (1000 milli), report
+    ~full variance reduction, and shrink the treatment contrast to ~0
+    — the defining behavior of the estimator."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="cuped_")
+    try:
+        rows = []
+        eid = 0
+        for u in range(40):
+            v = float(10 + 7 * u)  # user-specific level, Y == X
+            for day, half in (("2024-01-02", "pre"), ("2024-01-28", "post")):
+                rows.append((eid, f"{day} 12:00:00", u, "click", v))
+                eid += 1
+        _write_events(spark, rows, d)
+        out = {
+            r["event_type"]: r
+            for r in registry.get("events_cuped_variance_reduction")
+            .fn(spark, d)
+            .collect()
+        }
+        r = out["click"]
+        assert r["n_users"] == 40
+        assert abs(r["theta_milli"] - 1000) <= 1
+        assert r["var_reduction_permille"] >= 990
+        assert abs(r["cuped_diff_millicents"]) <= abs(
+            r["raw_diff_millicents"]
+        )
+        assert abs(r["cuped_diff_millicents"]) <= 2000  # ~0 vs raw scale
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_xcorr_planted_shift_peaks_at_its_lag(spark):
+    """A 'click' series that is the 'view' series shifted by +2 days
+    must peak the signed-r^2 statistic at lag +2, near 1000."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="xcorr_")
+    try:
+        # daily counts: view bursts on days 3,9,15,21; click 2 days later
+        counts = {day: 1 for day in range(1, 29)}
+        rows = []
+        eid = 0
+        for day in range(1, 29):
+            nv = 9 if day in (3, 9, 15, 21) else 1
+            nc = 9 if day in (5, 11, 17, 23) else 1
+            for _ in range(nv):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} 10:00:00", eid % 7, "view", 1.0)
+                )
+                eid += 1
+            for _ in range(nc):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} 11:00:00", eid % 7, "click", 1.0)
+                )
+                eid += 1
+        _write_events(spark, rows, d)
+        out = registry.get("events_cross_correlation_leadlag").fn(
+            spark, d
+        ).collect()
+        by_lag = {
+            r["lag"]: r["xcorr_r2_signed_permille"]
+            for r in out
+            if r["pair_type"] == "click"
+        }
+        assert by_lag[2] == max(by_lag.values())
+        assert by_lag[2] >= 800
+        assert by_lag[0] < by_lag[2]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_markov_eval_deterministic_chain_scores_1000(spark):
+    """A strictly alternating a->b->a->b chain per user is perfectly
+    predictable: held-out top-1 accuracy must be exactly 1000 permille
+    for both states."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="mkv_")
+    try:
+        rows = []
+        eid = 0
+        for u in range(6):
+            for day in range(1, 29):
+                et = "view" if day % 2 == 1 else "purchase"
+                rows.append(
+                    (eid, f"2024-01-{day:02d} 09:00:00", u, et, 1.0)
+                )
+                eid += 1
+        _write_events(spark, rows, d)
+        out = registry.get("events_markov_next_event_eval").fn(
+            spark, d
+        ).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r["accuracy_permille"] == 1000
+            assert r["n_correct"] == r["n_test"] > 0
+        pred = {r["prev_type"]: r["predicted_type"] for r in out}
+        assert pred == {"view": "purchase", "purchase": "view"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_chao1_known_frequency_of_frequencies(spark):
+    """Hand-computed Chao1 on a corpus with known f1/f2: tokens
+    'a a b c d' => V=4, N=5, f1=3, f2=1, chao1 = 4 + 3*2//(2*2) = 5,
+    unseen mass = 1000*3//5 = 600."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="chao_")
+    tmp = tempfile.mkdtemp(prefix="chaow_")
+    try:
+        docs = spark.createDataFrame(
+            [(0, "a a b", "en", "s", 5), (1, "c d", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/documents.parquet"
+        )
+        r = registry.get("text_chao1_vocab_richness").fn(spark, d).collect()[0]
+        assert r["vocab_size"] == 4
+        assert r["total_tokens"] == 5
+        assert r["f1_singletons"] == 3
+        assert r["f2_doubletons"] == 1
+        assert r["chao1_estimate"] == 5
+        assert r["unseen_mass_permille"] == 600
+        assert r["coverage_permille"] == 400
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

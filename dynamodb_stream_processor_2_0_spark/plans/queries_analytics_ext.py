@@ -8144,3 +8144,107 @@ def events_markov_next_event_eval(
             "accuracy_permille"
         ),
     ).orderBy("prev_type")
+
+
+# --- cross-table inclusion-dependency discovery ------------------------------
+#
+# The cross-table complement to schema_fd_discovery (FDs live INSIDE a
+# table; INDs are the cross-table join/FK lattice — Bell-Brockhausen /
+# SPIDER): for each candidate directed pair A->B over the key-typed
+# columns, test value-inclusion distinct(A) subseteq distinct(B) and
+# report the violation count and coverage. The battery deliberately
+# mixes true FKs, TRUE REVERSE inclusions (every TPC-H order has
+# lineitems, so o_orderkey subseteq l_orderkey holds too — a genuine
+# discovery a declared-FK audit like fk_integrity_audit never tests),
+# and expected failures (c_custkey !subseteq o_custkey: customers
+# without orders), so the operator discriminates rather than
+# rubber-stamps. Each candidate is distinct-fold -> LEFT ANTI join on
+# the key — the shuffle carries DISTINCT keys only, never rows.
+
+_IND_CANDIDATES = (
+    # (lhs_table, lhs_col, rhs_table, rhs_col)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ind_oracle() -> str:
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT '{lt}.{lc}' AS lhs, '{rt}.{rc}' AS rhs,
+               (SELECT CAST(count(DISTINCT {lc}) AS BIGINT) FROM {lt})
+                   AS n_lhs_distinct,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                   (SELECT DISTINCT {lc} FROM {lt}) a
+                   WHERE NOT EXISTS (SELECT 1 FROM {rt} b
+                                     WHERE b.{rc} = a.{lc}))
+                   AS n_violations"""
+        for (lt, lc, rt, rc) in _IND_CANDIDATES
+    )
+    return f"""
+        SELECT lhs, rhs, n_lhs_distinct, n_violations,
+               n_violations = 0 AS holds,
+               CAST(1000 * (n_lhs_distinct - n_violations)
+                    // n_lhs_distinct AS BIGINT) AS coverage_permille
+        FROM ({arms})
+        ORDER BY lhs, rhs
+    """
+
+
+@register(
+    "schema_ind_discovery",
+    oracle=_ind_oracle(),
+    tags=("quality", "profile"),
+    doc="Unary inclusion-dependency discovery over the cross-table "
+    "candidate lattice (Bell-Brockhausen / SPIDER): distinct(A) "
+    "subseteq distinct(B) tested for 10 directed column pairs mixing "
+    "declared FKs, genuine reverse inclusions (o_orderkey subseteq "
+    "l_orderkey — every order has lineitems; a declared-FK audit "
+    "never finds this), cross-dimension inclusions (c_nationkey "
+    "subseteq s_nationkey), and expected failures (c_custkey has "
+    "customers without orders). The cross-table complement to "
+    "schema_fd_discovery; together they mine the join graph a "
+    "data-contract generator needs. Per candidate: distinct-fold "
+    "both sides (map-side combinable) then LEFT ANTI on the key — "
+    "the shuffle carries DISTINCT key values only, never base rows, "
+    "so each arm is bounded by key cardinality at any corpus size.",
+)
+def schema_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = []
+    for lt, lc, rt, rc in _IND_CANDIDATES:
+        lhs = (
+            load_table(spark, sf_dir, lt).select(F.col(lc).alias("k")).distinct()
+        )
+        rhs = (
+            load_table(spark, sf_dir, rt).select(F.col(rc).alias("k")).distinct()
+        )
+        viol = lhs.join(rhs, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        )
+        tot = lhs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lhs_distinct")
+        )
+        arms.append(
+            tot.crossJoin(F.broadcast(viol)).select(
+                F.lit(f"{lt}.{lc}").alias("lhs"),
+                F.lit(f"{rt}.{rc}").alias("rhs"),
+                "n_lhs_distinct",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("holds"),
+                F.expr(
+                    "CAST(1000 * (n_lhs_distinct - n_violations)"
+                    " div n_lhs_distinct AS BIGINT)"
+                ).alias("coverage_permille"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("lhs", "rhs")

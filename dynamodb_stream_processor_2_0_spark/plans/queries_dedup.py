@@ -2065,3 +2065,145 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "doc_a", "doc_b")
         .limit(25)
     )
+
+
+# --- local clustering coefficient over the near-dup graph --------------------
+#
+# Completes the triangle family: graph_triangle_enumerate lists the
+# triangles; this turns them into the WATTS-STROGATZ local clustering
+# coefficient per node (2*tri_v / deg_v*(deg_v-1)) and the global
+# TRANSITIVITY (3*T / #wedges) — the template-family density score: a
+# near-dup component whose nodes sit at cc ~ 1000 is a clique
+# (boilerplate family, safe to keep one), while low-cc hubs are chain
+# artifacts of the banding. Same compact-forward 3-join as the
+# enumerator (each triangle counted once with x<y<z, credited to all
+# three corners); degrees and wedges come from one endpoint-union
+# rollup. All exact integer permille.
+
+
+def _cc_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()})
+        ), tri AS (
+            SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+            FROM e e1
+            JOIN e e2 ON e2.doc_a = e1.doc_b
+            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ), tri_v AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS t
+            FROM (SELECT x AS v FROM tri UNION ALL
+                  SELECT y FROM tri UNION ALL
+                  SELECT z FROM tri)
+            GROUP BY v
+        ), deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT doc_a AS v FROM e UNION ALL
+                  SELECT doc_b FROM e)
+            GROUP BY v
+        ), gstats AS (
+            SELECT CAST(COALESCE((SELECT count(*) FROM tri), 0)
+                        AS BIGINT) AS n_triangles,
+                   CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT deg.v AS doc_id, deg.d AS degree,
+               COALESCE(tri_v.t, 0) AS n_triangles,
+               CAST(2000 * COALESCE(tri_v.t, 0)
+                    // (deg.d * (deg.d - 1)) AS BIGINT)
+                   AS local_cc_permille,
+               CASE WHEN g.n_wedges = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(3000 * g.n_triangles // g.n_wedges
+                              AS BIGINT)
+               END AS transitivity_permille
+        FROM deg
+        LEFT JOIN tri_v ON tri_v.v = deg.v
+        CROSS JOIN gstats g
+        WHERE deg.d >= 2
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_cc_oracle(),
+    tags=("dedup", "graph", "llm", "scale"),
+    doc="Watts-Strogatz local clustering coefficient per node of the "
+    "MinHash-LSH near-dup candidate graph (2*tri_v / deg_v*(deg_v-1) "
+    "for deg>=2) plus the global transitivity 3*T/#wedges broadcast "
+    "onto every row — the template-family density diagnostic: cc ~ "
+    "1000 components are boilerplate cliques pairwise dedup "
+    "underestimates, low-cc hubs are banding chain artifacts. "
+    "Triangles ride the same compact-forward x<y<z 3-join as "
+    "graph_triangle_enumerate (each triangle credited to its three "
+    "corners via one explode-union rollup); degrees and the wedge "
+    "total are one endpoint-union aggregation. The statistic stack "
+    "is O(edges) + O(triangles) on the post-banding graph — the "
+    "corpus never re-enters after candidate generation.",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("x"),
+            F.col("e1.doc_b").alias("y"),
+            F.col("e2.doc_b").alias("z"),
+        )
+    )
+    tri_v = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    glob = (
+        deg.agg(
+            F.expr("CAST(sum(d * (d - 1) div 2) AS BIGINT)").alias(
+                "n_wedges"
+            )
+        )
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_tri_total"
+            ),
+            "n_wedges",
+        )
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_v, "v", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0).cast("long")).alias("n_triangles"),
+            F.expr(
+                "CAST(2000 * COALESCE(t, 0) div (d * (d - 1)) AS BIGINT)"
+            ).alias("local_cc_permille"),
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(3000 * n_tri_total div n_wedges AS BIGINT)"
+                " END"
+            ).alias("transitivity_permille"),
+        )
+        .orderBy("doc_id")
+    )

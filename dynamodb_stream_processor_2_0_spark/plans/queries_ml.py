@@ -660,3 +660,130 @@ def ml_conformal_interval_coverage(
             F.lit(900).cast("long").alias("target_permille"),
         )
     )
+
+
+# --- Brier score + Murphy decomposition (model EVAL) ------------------------
+#
+# The PROPER-SCORING leg of the eval family: ECE measures calibration
+# alone; the Brier score is a strictly proper score and Murphy (1973)
+# splits it into REL - RES + UNC — how mis-calibrated the forecast is
+# (REL), how much sharper than the base rate it is (RES), and the
+# irreducible outcome variance (UNC). Same audited signal as
+# eval_calibration_curve_ece (en-stopword rate vs lang='en'), same
+# 10 equal-count rank bins via global_rank, forecast = the bin's mean
+# rank-percentile confidence. All terms are exact micro units
+# (permille^2); the decomposition identity holds up to the truncation
+# of the bin means, and the residual is REPORTED as murphy_gap_micro
+# rather than hidden.
+
+
+def _brier_report_sql(fdiv: str) -> str:
+    """CTE continuation appended after a `ranked(y, r, n)` CTE."""
+    return f"""
+        , bins AS (
+            SELECT CAST(((r - 1) * 10) {fdiv} n AS BIGINT) AS bin,
+                   CAST((r * 1000) {fdiv} n AS BIGINT) AS conf_permille,
+                   CAST(y AS BIGINT) AS y
+            FROM ranked
+        ), curve AS (
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(y) AS BIGINT) AS pos_b,
+                   CAST(sum(conf_permille) {fdiv} count(*) AS BIGINT)
+                       AS conf_b,
+                   CAST((sum(y) * 1000) {fdiv} count(*) AS BIGINT)
+                       AS acc_b
+            FROM bins GROUP BY bin
+        ), tot AS (
+            SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(pos_b) AS BIGINT) AS pos,
+                   CAST((sum(pos_b) * 1000) {fdiv} sum(n_b) AS BIGINT)
+                       AS ybar
+            FROM curve
+        ), terms AS (
+            SELECT t.n, t.pos, t.ybar,
+                   CAST(sum(c.pos_b * (1000 - c.conf_b)
+                                    * (1000 - c.conf_b)
+                            + (c.n_b - c.pos_b) * c.conf_b * c.conf_b)
+                        {fdiv} t.n AS BIGINT) AS brier_micro,
+                   CAST(sum(c.n_b * (c.conf_b - c.acc_b)
+                                  * (c.conf_b - c.acc_b))
+                        {fdiv} t.n AS BIGINT) AS reliability_micro,
+                   CAST(sum(c.n_b * (c.acc_b - t.ybar)
+                                  * (c.acc_b - t.ybar))
+                        {fdiv} t.n AS BIGINT) AS resolution_micro,
+                   CAST((CAST(t.pos AS DECIMAL(38,0)) * (t.n - t.pos)
+                         * 1000000) {fdiv} (CAST(t.n AS DECIMAL(38,0))
+                                            * t.n) AS BIGINT)
+                       AS uncertainty_micro
+            FROM curve c CROSS JOIN tot t
+            GROUP BY t.n, t.pos, t.ybar
+        )
+        SELECT n AS n_docs, pos AS n_pos, ybar AS ybar_permille,
+               brier_micro, reliability_micro, resolution_micro,
+               uncertainty_micro,
+               brier_micro - (reliability_micro - resolution_micro
+                              + uncertainty_micro) AS murphy_gap_micro
+        FROM terms
+    """
+
+
+_BRIER_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(lang = 'en' AS BIGINT) AS y,
+               (len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_CALIB_STOPS}))) * 1000)
+                   // len(string_split(text, ' ')) AS score_permille
+        FROM documents
+    ), ranked AS (
+        SELECT y,
+               row_number() OVER (ORDER BY score_permille, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    {_brier_report_sql('//')}
+"""
+
+
+@register(
+    "eval_brier_murphy_decomposition",
+    oracle=_BRIER_ORACLE,
+    tags=("ml", "eval", "llm"),
+    doc="Brier score with the Murphy (1973) decomposition Brier = "
+    "REL - RES + UNC for the en-stopword-rate signal against the "
+    "lang='en' target: the strictly PROPER scoring complement to "
+    "eval_calibration_curve_ece (ECE measures calibration alone and "
+    "can be gamed by a constant base-rate forecast; Brier also pays "
+    "for lost sharpness, which RES makes explicit). Forecast = the "
+    "10-bin mean rank-percentile confidence from the same "
+    "global_rank binning as the ECE query (range exchange + "
+    "broadcast offsets, no single-task sort); every term is an "
+    "exact integer in micro (permille^2) units, and the truncation "
+    "residual of the identity is REPORTED as murphy_gap_micro "
+    "instead of silently absorbed. One rank pass + one 10-row "
+    "rollup; O(1) output at any corpus size.",
+)
+def eval_brier_murphy_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "CAST(lang = 'en' AS BIGINT) AS y",
+        f"(size(filter(split(text, ' '), t -> t IN ({_CALIB_STOPS})))"
+        " * 1000) div size(split(text, ' ')) AS score_permille",
+    )
+    ranked = global_rank(scored, ["score_permille", "doc_id"], out_col="r")
+    n_total = F.broadcast(
+        ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked.crossJoin(n_total).createOrReplaceTempView("ml_brier_ranked")
+    return spark.sql(
+        "WITH ranked AS (SELECT y, r, n FROM ml_brier_ranked)"
+        + _brier_report_sql("div")
+    )

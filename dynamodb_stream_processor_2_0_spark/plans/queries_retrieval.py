@@ -1307,3 +1307,170 @@ def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 - 1000 * count_if(c = 1) div sum(c) AS BIGINT)"
         ).alias("coverage_permille"),
     )
+
+
+# --- Jensen-Shannon source-vs-rest divergence --------------------------------
+#
+# Which shard is distributionally ANOMALOUS: for every source s, the
+# Jensen-Shannon divergence between its unigram distribution P and the
+# rest-of-corpus distribution Q — JSD = H(M) - (H(P)+H(Q))/2 with
+# M = (P+Q)/2 — the symmetric, bounded (<= 1 bit) drift score used to
+# audit corpus mixes before training. All probability ratios are kept
+# as exact integer fractions over the common denominator 2*Np*Nq
+# (m_i = (c_i*Nq + r_i*Np) / 2NpNq) and every log2 is the house exact
+# bitlen floor, so both engines produce identical millibits; the
+# floor-log estimator biases each entropy DOWN by < 1 bit uniformly
+# and JSD is their difference, so the ORDERING across sources — the
+# thing the audit consumes — is preserved.
+
+_JSD_ORACLE = """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE tok <> '' GROUP BY source, tok
+    ), tok_tot AS (
+        SELECT tok, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY tok
+    ), src_tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS np FROM counts
+        GROUP BY source
+    ), n_all AS (
+        SELECT CAST(sum(c) AS BIGINT) AS nt FROM counts
+    ), grid AS (
+        SELECT s.source, s.np, (SELECT nt FROM n_all) - s.np AS nq,
+               tt.tok, tt.t,
+               COALESCE(c.c, 0) AS cp,
+               tt.t - COALESCE(c.c, 0) AS cq
+        FROM src_tot s
+        CROSS JOIN tok_tot tt
+        LEFT JOIN counts c ON c.source = s.source AND c.tok = tt.tok
+    ), terms AS (
+        SELECT source, np, nq,
+               cp * nq + cq * np AS cm,
+               CASE WHEN cp > 0
+                    THEN CAST(cp AS HUGEINT) * 1000
+                         * (length(bin(np // cp)) - 1)
+                    ELSE CAST(0 AS HUGEINT) END AS hp_term,
+               CASE WHEN cq > 0
+                    THEN CAST(cq AS HUGEINT) * 1000
+                         * (length(bin(nq // cq)) - 1)
+                    ELSE CAST(0 AS HUGEINT) END AS hq_term
+        FROM grid
+    ), ent AS (
+        SELECT source, np, nq,
+               CAST(sum(hp_term) // np AS BIGINT) AS h_p_millibits,
+               CAST(sum(hq_term) // nq AS BIGINT) AS h_q_millibits,
+               CAST(sum(CASE WHEN cm > 0
+                             THEN CAST(cm AS HUGEINT) * 1000
+                                  * (length(bin((2 * CAST(np AS HUGEINT)
+                                                 * nq) // cm)) - 1)
+                             ELSE CAST(0 AS HUGEINT) END)
+                    // (2 * CAST(np AS HUGEINT) * nq) AS BIGINT)
+                   AS h_m_millibits
+        FROM terms
+        GROUP BY source, np, nq
+    )
+    SELECT source, np AS n_tokens_src, nq AS n_tokens_rest,
+           h_p_millibits, h_q_millibits, h_m_millibits,
+           h_m_millibits - (h_p_millibits + h_q_millibits) // 2
+               AS jsd_millibits
+    FROM ent
+    ORDER BY source
+"""
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle=_JSD_ORACLE,
+    tags=("text", "llm", "stats", "quality"),
+    doc="Jensen-Shannon divergence of every source's unigram "
+    "distribution against the rest of the corpus — the symmetric, "
+    "bounded drift score for auditing a corpus mix before training "
+    "(an anomalous shard shows a JSD far above its peers; cf. "
+    "events_psi_drift for the time axis). Mixture probabilities stay "
+    "exact integer fractions over the common denominator 2*Np*Nq "
+    "and all logs are the house bitlen floor-log2, so the millibit "
+    "outputs are bit-identical across engines and the cross-source "
+    "ORDERING the audit consumes is exact. Shuffle shape: one "
+    "(source,tok) count, one tok-total rollup, then a vocab x "
+    "sources grid built by broadcasting the TINY source-totals "
+    "relation onto the token totals with a left join back to the "
+    "counts — O(V*S) rows, linear in vocabulary, corpus never "
+    "re-scanned.",
+)
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tok_tot = counts.groupBy("tok").agg(F.sum("c").cast("long").alias("t"))
+    src_tot = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("np")
+    )
+    n_all = counts.agg(F.sum("c").cast("long").alias("nt"))
+    grid = (
+        tok_tot.crossJoin(
+            F.broadcast(src_tot.crossJoin(F.broadcast(n_all)))
+        )
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "np",
+            (F.col("nt") - F.col("np")).alias("nq"),
+            "tok",
+            "t",
+            F.coalesce("c", F.lit(0).cast("long")).alias("cp"),
+            (F.col("t") - F.coalesce("c", F.lit(0).cast("long"))).alias(
+                "cq"
+            ),
+        )
+    )
+    terms = grid.select(
+        "source",
+        "np",
+        "nq",
+        (F.col("cp") * F.col("nq") + F.col("cq") * F.col("np")).alias("cm"),
+        F.expr(
+            "CASE WHEN cp > 0 THEN CAST(cp AS DECIMAL(38,0)) * 1000"
+            " * (length(bin(np div cp)) - 1)"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("hp_term"),
+        F.expr(
+            "CASE WHEN cq > 0 THEN CAST(cq AS DECIMAL(38,0)) * 1000"
+            " * (length(bin(nq div cq)) - 1)"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("hq_term"),
+    )
+    ent = terms.groupBy("source", "np", "nq").agg(
+        F.expr("CAST(sum(hp_term) div np AS BIGINT)").alias(
+            "h_p_millibits"
+        ),
+        F.expr("CAST(sum(hq_term) div nq AS BIGINT)").alias(
+            "h_q_millibits"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN cm > 0"
+            " THEN CAST(cm AS DECIMAL(38,0)) * 1000"
+            "      * (length(bin((2 * CAST(np AS DECIMAL(38,0)) * nq)"
+            "         div cm)) - 1)"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            " div (2 * CAST(np AS DECIMAL(38,0)) * nq) AS BIGINT)"
+        ).alias("h_m_millibits"),
+    )
+    return ent.select(
+        "source",
+        F.col("np").alias("n_tokens_src"),
+        F.col("nq").alias("n_tokens_rest"),
+        "h_p_millibits",
+        "h_q_millibits",
+        "h_m_millibits",
+        F.expr(
+            "h_m_millibits - (h_p_millibits + h_q_millibits) div 2"
+        ).alias("jsd_millibits"),
+    ).orderBy("source")

@@ -118,6 +118,10 @@ _loaded = False
 # Good-Turing vocabulary richness) — same treatment (medium parity +
 # sweep + hostile-session + behavior tests in test_round6_ops.py),
 # same r7 rotation status.
+# The round-6 FIFTH continuation added 4 more (Brier/Murphy
+# decomposition, cross-table IND discovery, LSH-graph clustering
+# coefficient, Jensen-Shannon source divergence) — same treatment,
+# same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

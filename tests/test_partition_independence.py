@@ -150,6 +150,10 @@ _SWEEP_EXTRAS = (
     "events_cross_correlation_leadlag",
     "events_markov_next_event_eval",
     "text_chao1_vocab_richness",
+    "eval_brier_murphy_decomposition",
+    "schema_ind_discovery",
+    "graph_clustering_coefficient",
+    "text_js_divergence_sources",
 )
 
 

@@ -625,3 +625,142 @@ def test_chao1_known_frequency_of_frequencies(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- fifth-continuation batch ------------------------------------------------
+
+
+def test_brier_murphy_identity_and_bounds(spark, sf_dir):
+    """Murphy terms are non-negative, UNC <= 250000 micro (max of
+    p(1-p)), and the decomposition identity holds up to the reported
+    truncation gap — which must be small relative to the score."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    r = registry.get("eval_brier_murphy_decomposition").fn(
+        spark, sf_dir
+    ).collect()[0]
+    assert r["brier_micro"] >= 0
+    assert r["reliability_micro"] >= 0
+    assert r["resolution_micro"] >= 0
+    assert 0 <= r["uncertainty_micro"] <= 250000
+    recomposed = (
+        r["reliability_micro"]
+        - r["resolution_micro"]
+        + r["uncertainty_micro"]
+    )
+    assert r["murphy_gap_micro"] == r["brier_micro"] - recomposed
+    # truncation of 10 bin means cannot move the score by more than
+    # ~2 permille^2 per bin boundary; generous bound:
+    assert abs(r["murphy_gap_micro"]) <= 5000
+
+
+def test_ind_discovery_fk_truths_and_consistency(spark, sf_dir):
+    """Declared-FK inclusions must hold on the fixture; every row's
+    holds/coverage must be consistent with its violation count."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    rows = registry.get("schema_ind_discovery").fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    by = {(r["lhs"], r["rhs"]): r for r in rows}
+    for lhs, rhs in (
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+        ("nation.n_regionkey", "region.r_regionkey"),
+        ("orders.o_custkey", "customer.c_custkey"),
+    ):
+        assert by[(lhs, rhs)]["holds"], (lhs, rhs)
+    for r in rows:
+        assert r["holds"] == (r["n_violations"] == 0)
+        assert (r["coverage_permille"] == 1000) == r["holds"]
+        assert 0 <= r["n_violations"] <= r["n_lhs_distinct"]
+
+
+def test_clustering_coefficient_clique_is_1000(spark):
+    """Three byte-identical docs form a 3-clique in the LSH candidate
+    graph: every node's local cc and the global transitivity must be
+    exactly 1000 permille."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="cc_")
+    tmp = tempfile.mkdtemp(prefix="ccw_")
+    try:
+        t = " ".join(f"tok{i % 17}w{i % 5}" for i in range(60))
+        other = " ".join(f"zz{i}q{i * 3 + 1}" for i in range(60))
+        docs = spark.createDataFrame(
+            [
+                (0, t, "en", "s", len(t)),
+                (1, t, "en", "s", len(t)),
+                (2, t, "en", "s", len(t)),
+                (3, other, "en", "s", len(other)),
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/documents.parquet"
+        )
+        rows = registry.get("graph_clustering_coefficient").fn(
+            spark, d
+        ).collect()
+        assert {r["doc_id"] for r in rows} == {0, 1, 2}
+        for r in rows:
+            assert r["degree"] == 2
+            assert r["n_triangles"] == 1
+            assert r["local_cc_permille"] == 1000
+            assert r["transitivity_permille"] == 1000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_jsd_disjoint_source_is_most_divergent(spark):
+    """A source with a disjoint vocabulary must score a strictly
+    higher JSD-vs-rest than sources sharing a common distribution."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="jsd_")
+    tmp = tempfile.mkdtemp(prefix="jsdw_")
+    try:
+        common = " ".join(
+            "alpha beta gamma delta".split()[i % 4] for i in range(40)
+        )
+        alien = " ".join(f"xeno{i % 6}" for i in range(40))
+        rows = []
+        for i in range(4):
+            rows.append((i, common, "en", "srcA", len(common)))
+        for i in range(4, 8):
+            rows.append((i, common, "en", "srcB", len(common)))
+        for i in range(8, 12):
+            rows.append((i, alien, "en", "srcC", len(alien)))
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/documents.parquet"
+        )
+        out = {
+            r["source"]: r["jsd_millibits"]
+            for r in registry.get("text_js_divergence_sources")
+            .fn(spark, d)
+            .collect()
+        }
+        assert out["srcC"] > out["srcA"]
+        assert out["srcC"] > out["srcB"]
+        assert out["srcC"] >= 500  # disjoint vocab: JSD near 1 bit
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -8248,3 +8248,122 @@ def schema_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("lhs", "rhs")
+
+
+# --- differential-privacy budget calibration report --------------------------
+#
+# Completes the privacy family (k-anonymity / l-diversity /
+# t-closeness audit the RELEASE; this audits the MECHANISM): for each
+# event_type's count and sum statistics, the USER-LEVEL global
+# sensitivity (one user's worst-case contribution — the quantity
+# user-level DP must mask, much larger than the row-level 1), the
+# Laplace scale b = sensitivity/epsilon for an epsilon grid, and the
+# expected relative error |noise|/true in permille. The report is the
+# deterministic planning artifact ("is epsilon=0.1 even usable on this
+# slice") — it adds NO noise, so it stays oracle-exact; drawing the
+# actual Laplace noise is a release-time concern outside the gate.
+
+_DP_EPS_MILLI = (100, 500, 1000)
+
+_DP_ORACLE = f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n_u,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s_u
+        FROM events GROUP BY event_type, user_id
+    ), stats AS (
+        SELECT event_type,
+               CAST(sum(n_u) AS BIGINT) AS n_events,
+               CAST(sum(s_u) AS BIGINT) AS sum_cents,
+               CAST(max(n_u) AS BIGINT) AS sens_count,
+               CAST(max(abs(s_u)) AS BIGINT) AS sens_sum_cents
+        FROM per_user GROUP BY event_type
+    ), eps AS (
+        SELECT unnest([{", ".join(str(e) for e in _DP_EPS_MILLI)}])
+            AS eps_milli
+    )
+    SELECT s.event_type, e.eps_milli, s.n_events, s.sum_cents,
+           s.sens_count, s.sens_sum_cents,
+           CAST(s.sens_count * 1000000 // e.eps_milli AS BIGINT)
+               AS b_count_milli,
+           CAST(s.sens_sum_cents * 1000000 // e.eps_milli AS BIGINT)
+               AS b_sum_millicents,
+           CAST(s.sens_count * 1000000 // e.eps_milli // s.n_events
+                AS BIGINT) AS rel_err_count_permille,
+           CASE WHEN s.sum_cents = 0 THEN NULL
+                ELSE CAST(s.sens_sum_cents * 1000000 // e.eps_milli
+                          // abs(s.sum_cents) AS BIGINT)
+           END AS rel_err_sum_permille
+    FROM stats s CROSS JOIN eps e
+    ORDER BY s.event_type, e.eps_milli
+"""
+
+
+@register(
+    "privacy_dp_sensitivity_report",
+    oracle=_DP_ORACLE,
+    tags=("privacy", "quality", "stats"),
+    doc="Differential-privacy budget calibration report per event "
+    "type: USER-LEVEL global sensitivity of the count and sum "
+    "statistics (one user's worst-case contribution — what user-level "
+    "DP must mask; the row-level sensitivity 1 badly underestimates "
+    "it on power users), Laplace scale b = sensitivity/epsilon over "
+    "an epsilon grid (0.1/0.5/1.0), and the expected relative error "
+    "b/true in permille — the 'is this epsilon usable on this slice' "
+    "planning artifact. Deliberately adds NO noise (a noised release "
+    "can't be oracle-gated; noise is a release-time concern): the "
+    "report itself is deterministic and exact. One map-combinable "
+    "per-user rollup, one per-type max/sum, a 3-row broadcast "
+    "epsilon grid; O(types * eps) output at any scale. Completes "
+    "the privacy family: k-anonymity/l-diversity/t-closeness audit "
+    "the release shape, this audits the mechanism budget.",
+)
+def privacy_dp_sensitivity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("s_u"),
+    )
+    stats = per_user.groupBy("event_type").agg(
+        F.sum("n_u").cast("long").alias("n_events"),
+        F.sum("s_u").cast("long").alias("sum_cents"),
+        F.max("n_u").cast("long").alias("sens_count"),
+        F.max(F.abs("s_u")).cast("long").alias("sens_sum_cents"),
+    )
+    eps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(e) for e in _DP_EPS_MILLI])
+        ).alias("eps_milli")
+    )
+    return (
+        stats.crossJoin(F.broadcast(eps))
+        .select(
+            "event_type",
+            F.col("eps_milli").cast("int").alias("eps_milli"),
+            "n_events",
+            "sum_cents",
+            "sens_count",
+            "sens_sum_cents",
+            F.expr(
+                "CAST(sens_count * 1000000 div eps_milli AS BIGINT)"
+            ).alias("b_count_milli"),
+            F.expr(
+                "CAST(sens_sum_cents * 1000000 div eps_milli AS BIGINT)"
+            ).alias("b_sum_millicents"),
+            F.expr(
+                "CAST(sens_count * 1000000 div eps_milli div n_events"
+                " AS BIGINT)"
+            ).alias("rel_err_count_permille"),
+            F.expr(
+                "CASE WHEN sum_cents = 0 THEN NULL"
+                " ELSE CAST(sens_sum_cents * 1000000 div eps_milli"
+                "      div abs(sum_cents) AS BIGINT) END"
+            ).alias("rel_err_sum_permille"),
+        )
+        .orderBy("event_type", "eps_milli")
+    )

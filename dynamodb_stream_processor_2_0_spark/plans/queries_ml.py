@@ -787,3 +787,182 @@ def eval_brier_murphy_decomposition(
         "WITH ranked AS (SELECT y, r, n FROM ml_brier_ranked)"
         + _brier_report_sql("div")
     )
+
+
+# --- exact Gini decision stump (model TRAIN) ---------------------------------
+#
+# Second TRAINING leg beside the closed-form OLS: a depth-1 decision
+# tree (stump) fit EXACTLY over the full corpus — no sampling, no
+# histogram approximation (the classic single-machine sort-and-scan,
+# re-expressed as global_rank + distributed prefix sums). For each
+# numeric feature, every boundary between distinct adjacent values is
+# a candidate threshold; weighted Gini impurity at split i is
+#   2/n * (pos_l*(i-pos_l)/i + pos_r*(n-i-pos_r)/(n-i))
+# kept as one exact integer quotient in micro units. The argmin is a
+# broadcast min + equality filter (deterministic lowest-threshold
+# tie-break). Label: l_returnflag = 'R'.
+
+_STUMP_FEATURES = (
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_extendedprice_cents", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+)
+
+
+def _stump_oracle() -> str:
+    arms = []
+    for fname, fexpr in _STUMP_FEATURES:
+        arms.append(f"""
+        SELECT '{fname}' AS feature, n, pos,
+               CAST(2 * 1000000 * CAST(pos AS HUGEINT) * (n - pos)
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT)
+                   AS baseline_gini_micro,
+               best_threshold, best_impurity_micro
+        FROM (
+            WITH rows_ AS (
+                SELECT {fexpr} AS val,
+                       CAST(l_returnflag = 'R' AS BIGINT) AS y,
+                       l_orderkey * 100 + l_linenumber AS rid
+                FROM lineitem
+            ), ranked AS (
+                SELECT val, y,
+                       row_number() OVER (ORDER BY val, rid) AS r,
+                       sum(y) OVER (ORDER BY val, rid
+                                    ROWS UNBOUNDED PRECEDING) AS pos_l,
+                       lead(val) OVER (ORDER BY val, rid) AS next_val,
+                       count(*) OVER () AS n,
+                       sum(y) OVER () AS pos
+                FROM rows_
+            ), cand AS (
+                SELECT r AS i, val AS thr, pos_l, n, pos,
+                       CAST(2 * 1000000 *
+                            (CAST(pos_l AS HUGEINT) * (r - pos_l)
+                                 * (n - r)
+                             + CAST(pos - pos_l AS HUGEINT)
+                                 * ((n - r) - (pos - pos_l)) * r)
+                            // (CAST(n AS HUGEINT) * r * (n - r))
+                            AS BIGINT) AS imp
+                FROM ranked
+                WHERE next_val IS NOT NULL AND next_val > val
+            ), best AS (
+                SELECT min(imp) AS best_imp FROM cand
+            )
+            SELECT max(c.n) AS n, max(c.pos) AS pos,
+                   CAST(min(c.thr) AS BIGINT) AS best_threshold,
+                   b.best_imp AS best_impurity_micro
+            FROM cand c CROSS JOIN best b
+            WHERE c.imp = b.best_imp
+            GROUP BY b.best_imp
+        )""")
+    u = "\n        UNION ALL\n".join(arms)
+    return f"""
+        SELECT feature, CAST(n AS BIGINT) AS n_rows,
+               CAST(pos AS BIGINT) AS n_pos, baseline_gini_micro,
+               best_threshold, best_impurity_micro,
+               baseline_gini_micro - best_impurity_micro
+                   AS info_gain_micro
+        FROM ({u})
+        ORDER BY feature
+    """
+
+
+@register(
+    "ml_gini_decision_stump",
+    oracle=_stump_oracle(),
+    tags=("ml", "train", "scale"),
+    doc="Exact Gini decision stump over the full corpus — the "
+    "sort-and-scan CART split finder re-expressed distributed: "
+    "global_rank orders each feature (range exchange + broadcast "
+    "offsets, no single-task sort), a distributed prefix sum carries "
+    "the left-positive counts, candidate thresholds are the "
+    "boundaries between distinct adjacent values (rank r joined to "
+    "rank r+1 — an equi-join on the rank key), and the weighted "
+    "Gini at every split is ONE exact integer quotient in micro "
+    "units (DECIMAL(38,0) headroom past 1e9 rows). No sampling, no "
+    "histogram binning — the exact split XGBoost's 'exact' tree "
+    "method computes per node, at Spark scale. Deterministic "
+    "argmin: broadcast min impurity + lowest-threshold tie-break. "
+    "Label l_returnflag='R'; info_gain_micro vs the baseline Gini "
+    "says whether the feature carries any signal at all.",
+)
+def ml_gini_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.ranking import (
+        global_rank,
+        global_running_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    arms = []
+    for fname, fexpr in _STUMP_FEATURES:
+        rows = li.selectExpr(
+            f"{fexpr} AS val",
+            "CAST(l_returnflag = 'R' AS BIGINT) AS y",
+            "l_orderkey * 100 + l_linenumber AS rid",
+        )
+        ranked = global_rank(rows, ["val", "rid"], out_col="r")
+        pref = global_running_sum(ranked, ["r"], "y", "pos_l")
+        tot = F.broadcast(
+            pref.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("pos"),
+            )
+        )
+        nxt = pref.select(
+            (F.col("r") - 1).alias("r"), F.col("val").alias("next_val")
+        )
+        cand = (
+            pref.join(nxt, "r")
+            .filter(F.col("next_val") > F.col("val"))
+            .crossJoin(tot)
+            .select(
+                F.col("val").alias("thr"),
+                F.expr(
+                    "CAST(2 * 1000000 *"
+                    " (CAST(pos_l AS DECIMAL(38,0)) * (r - pos_l)"
+                    "      * (n - r)"
+                    "  + CAST(pos - pos_l AS DECIMAL(38,0))"
+                    "      * ((n - r) - (pos - pos_l)) * r)"
+                    " div (CAST(n AS DECIMAL(38,0)) * r * (n - r))"
+                    " AS BIGINT)"
+                ).alias("imp"),
+                "n",
+                "pos",
+            )
+        )
+        best = F.broadcast(cand.agg(F.min("imp").alias("best_imp")))
+        arm = (
+            cand.crossJoin(best)
+            .filter(F.col("imp") == F.col("best_imp"))
+            .groupBy("best_imp")
+            .agg(
+                F.max("n").alias("n"),
+                F.max("pos").alias("pos"),
+                F.min("thr").cast("long").alias("best_threshold"),
+            )
+            .select(
+                F.lit(fname).alias("feature"),
+                F.col("n").cast("long").alias("n_rows"),
+                F.col("pos").cast("long").alias("n_pos"),
+                F.expr(
+                    "CAST(2 * 1000000 * CAST(pos AS DECIMAL(38,0))"
+                    " * (n - pos) div (CAST(n AS DECIMAL(38,0)) * n)"
+                    " AS BIGINT)"
+                ).alias("baseline_gini_micro"),
+                "best_threshold",
+                F.col("best_imp").alias("best_impurity_micro"),
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "feature",
+        "n_rows",
+        "n_pos",
+        "baseline_gini_micro",
+        "best_threshold",
+        "best_impurity_micro",
+        (F.col("baseline_gini_micro") - F.col("best_impurity_micro")).alias(
+            "info_gain_micro"
+        ),
+    ).orderBy("feature")

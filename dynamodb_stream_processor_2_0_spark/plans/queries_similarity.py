@@ -1819,3 +1819,293 @@ def quality_text_embedding_alignment(
         " dots AS (SELECT * FROM align_dots)"
         + _align_report_sql("div", "DECIMAL(38,0)")
     )
+
+
+# --- embedding isotropy audit -------------------------------------------------
+#
+# Ethayarajh-style anisotropy WITHOUT a pair join: for unit-normalized
+# vectors the mean pairwise cosine is ((||sum u||^2) - n) / (n(n-1)),
+# so the all-pairs statistic collapses to per-dimension SUMS — one
+# aggregation, order-free because every u_d is quantized to the 1e8
+# grid per row (double normalization is per-row deterministic; the
+# cross-row sums that would be float-order-dependent are exact BIGINT).
+# An isotropic cloud scores ~0; contextual-embedding cones score high —
+# the standard "is this embedding space usable for cosine retrieval"
+# audit. Rides a per-dim variance rollup for the dominant-direction
+# share (top_dim_var_share_permille ~ 1000/dims when isotropic).
+
+_ISO_Q = 10**8
+
+_ISO_ORACLE = f"""
+    WITH normed AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(list_zip(embedding,
+                        embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                    (acc, v) -> acc + v)) AS norm
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          / greatest(norm, 1e-30) * {_ISO_Q})
+                    AS BIGINT) AS q
+        FROM normed
+    ), dims AS (
+        SELECT dim,
+               CAST(sum(q) AS HUGEINT) AS s,
+               CAST(sum(q * q) AS HUGEINT) AS ss,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY dim
+    ), nstat AS (
+        SELECT max(n) AS n_vectors FROM dims
+    ), vars AS (
+        SELECT d.dim, d.s, d.ss,
+               ns.n_vectors * d.ss - d.s * d.s AS var_d,
+               ns.n_vectors
+        FROM dims d CROSS JOIN nstat ns
+    ), vtop AS (
+        SELECT max(var_d) AS var_top FROM vars
+    ), agg AS (
+        SELECT max(v.n_vectors) AS n_vectors,
+               CAST(count(*) AS BIGINT) AS n_dims,
+               sum(v.s * v.s) AS q_big,
+               sum(v.ss) AS r_big,
+               vt.var_top,
+               sum(v.var_d) AS var_tot,
+               CAST(min(CASE WHEN v.var_d = vt.var_top
+                        THEN v.dim END) AS BIGINT) AS dominant_dim
+        FROM vars v CROSS JOIN vtop vt
+        GROUP BY vt.var_top
+    )
+    SELECT n_vectors, n_dims,
+           (CASE WHEN q_big - r_big >= 0 THEN 1 ELSE -1 END)
+               * CAST(abs(q_big - r_big) * 1000000
+                      // (CAST(n_vectors AS HUGEINT) * (n_vectors - 1)
+                          * {_ISO_Q} * {_ISO_Q}) AS BIGINT)
+               AS mean_pairwise_cos_micro,
+           CASE WHEN var_tot = 0 THEN CAST(1000 AS BIGINT)
+                ELSE CAST(1000 * var_top // var_tot AS BIGINT)
+           END AS top_dim_var_share_permille,
+           dominant_dim
+    FROM agg
+"""
+
+
+@register(
+    "embedding_isotropy_audit",
+    oracle=_ISO_ORACLE,
+    tags=("similarity", "llm", "stats", "scale"),
+    doc="Embedding-space isotropy audit (Ethayarajh / Mu-Viswanath): "
+    "mean pairwise cosine of the unit-normalized corpus computed "
+    "WITHOUT any pair join via the sum-vector identity "
+    "sum_{i<>j} <u_i,u_j> = ||sum u||^2 - n — the all-pairs statistic "
+    "collapses to per-dimension exact sums, O(n*d) work and ONE "
+    "aggregation where the naive form is O(n^2 d). Per-row double "
+    "normalization is deterministic; every cross-row sum is an exact "
+    "BIGINT on the 1e8 quantization grid, so both engines agree "
+    "bit-for-bit and the plan has no float-summation-order hazard. "
+    "High mean cosine = anisotropic cone (cosine retrieval degraded, "
+    "consider centering); top_dim_var_share_permille ~ 1000/dims "
+    "when isotropic, >> that when one rogue dimension dominates.",
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.operators.similarity import (
+        with_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = with_norm(emb).select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "v"),
+        F.col("norm"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr(
+            f"CAST(round(CAST(v AS DOUBLE)"
+            f" / greatest(norm, 1e-30d) * {_ISO_Q}) AS BIGINT)"
+        ).alias("q"),
+    )
+    dims = ex.groupBy("dim").agg(
+        F.expr("CAST(sum(q) AS DECIMAL(38,0))").alias("s"),
+        F.expr("CAST(sum(q * q) AS DECIMAL(38,0))").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    nstat = dims.agg(F.max("n").alias("n_vectors"))
+    vars_ = dims.crossJoin(F.broadcast(nstat)).select(
+        "dim",
+        "s",
+        "ss",
+        "n_vectors",
+        F.expr("n_vectors * ss - s * s").alias("var_d"),
+    )
+    vtop = vars_.agg(F.max("var_d").alias("var_top"))
+    agg = (
+        vars_.crossJoin(F.broadcast(vtop))
+        .groupBy("var_top")
+        .agg(
+            F.max("n_vectors").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum(F.expr("s * s")).alias("q_big"),
+            F.sum("ss").alias("r_big"),
+            F.sum("var_d").alias("var_tot"),
+            F.expr(
+                "CAST(min(CASE WHEN var_d = var_top THEN dim END)"
+                " AS BIGINT)"
+            ).alias("dominant_dim"),
+        )
+    )
+    return agg.select(
+        "n_vectors",
+        "n_dims",
+        F.expr(
+            f"(CASE WHEN q_big - r_big >= 0 THEN 1 ELSE -1 END)"
+            f" * CAST(abs(q_big - r_big) * 1000000"
+            f" div (CAST(n_vectors AS DECIMAL(38,0)) * (n_vectors - 1)"
+            f"      * {_ISO_Q} * cast({_ISO_Q} as DECIMAL(38,0))) AS BIGINT)"
+        ).alias("mean_pairwise_cos_micro"),
+        F.expr(
+            "CASE WHEN var_tot = 0 THEN CAST(1000 AS BIGINT)"
+            " ELSE CAST(1000 * var_top div var_tot AS BIGINT) END"
+        ).alias("top_dim_var_share_permille"),
+        "dominant_dim",
+    )
+
+
+# --- Gonzalez k-center coreset selection --------------------------------------
+#
+# Greedy farthest-point traversal (Gonzalez 1985): seed with the
+# lowest vec_id, then k-1 times add the point FARTHEST from the chosen
+# set — a 2-approximation of the optimal k-center cover, and the
+# standard diversity-first coreset selector for data curation
+# (pick the k most mutually-distant exemplars, then route the corpus
+# to them). Each round is one broadcast of the <=k chosen vectors
+# against the corpus (min squared distance per point, exact on the
+# 1e6 grid — per-row double fold, cross-row only MIN/MAX, no
+# float-sum-order hazard), one TakeOrderedAndProject argmax, and a
+# single-row driver collect — k-1 bounded collects total, the same
+# bounded-iteration pattern as the k-means and BPE training ops. The
+# selection distances are non-increasing BY CONSTRUCTION (each new
+# center can only shrink min-distances) — the behavior test's axiom.
+
+_KCENTER_K = 4
+
+_KC_D2Q = (
+    "CAST(round(list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(acc, v) -> acc + v) * 1000000) AS BIGINT)"
+)
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    d2 = _KC_D2Q.format(a="e.embedding", b="c.embedding")
+    ctes = [
+        "cents1 AS (SELECT vec_id, embedding FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)"
+    ]
+    rows = ["SELECT 1 AS iteration, (SELECT vec_id FROM cents1)"
+            " AS center_vec_id, CAST(NULL AS BIGINT) AS chosen_dist_micro"]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"mind{p} AS (SELECT e.vec_id, min({d2}) AS dq"
+            f" FROM embeddings e CROSS JOIN cents{p} c"
+            f" GROUP BY e.vec_id)"
+        )
+        ctes.append(
+            f"pick{i} AS (SELECT vec_id, dq FROM mind{p}"
+            f" ORDER BY dq DESC, vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT * FROM cents{p} UNION ALL"
+            f" SELECT vec_id, embedding FROM embeddings"
+            f" WHERE vec_id = (SELECT vec_id FROM pick{i}))"
+        )
+        rows.append(
+            f"SELECT {i}, (SELECT vec_id FROM pick{i}),"
+            f" (SELECT dq FROM pick{i})"
+        )
+    ctes.append(
+        f"mindk AS (SELECT e.vec_id, min({d2}) AS dq"
+        f" FROM embeddings e CROSS JOIN cents{k} c GROUP BY e.vec_id)"
+    )
+    ctes.append("finalr AS (SELECT max(dq) AS fr FROM mindk)")
+    u = "\n            UNION ALL\n            ".join(rows)
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT r.iteration, r.center_vec_id, r.chosen_dist_micro,
+               f.fr AS final_radius_micro
+        FROM ({u}) r(iteration, center_vec_id, chosen_dist_micro)
+        CROSS JOIN finalr f
+        ORDER BY r.iteration
+    """
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "llm", "sample", "scale"),
+    doc="Gonzalez greedy k-center coreset (k=4): seed at the lowest "
+    "vec_id, then repeatedly add the corpus point FARTHEST from the "
+    "chosen set — the classic 2-approximation of optimal k-center "
+    "and the diversity-first exemplar selector for data curation "
+    "(cf. embedding_mmr_diverse_topk, which diversifies a RANKED "
+    "shortlist; this covers the whole space). Distances are exact "
+    "BIGINTs on the 1e6 grid from per-row double folds; cross-row "
+    "ops are only MIN/MAX, so there is no float-summation-order "
+    "hazard and both engines agree bit-for-bit. k-1 rounds of "
+    "broadcast(<=k centers) x corpus scoring + one argmax "
+    "TakeOrderedAndProject + a 1-row bounded driver collect per "
+    "round (the k-means/BPE training-loop pattern). Output: the "
+    "selection trace (non-increasing chosen distances — the "
+    "Gonzalez axiom) and the final covering radius.",
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    d2q = (
+        "CAST(round(aggregate(zip_with(embedding, c_embedding,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000)"
+        " AS BIGINT)"
+    )
+    seed = emb.orderBy("vec_id").limit(1)
+    centers = [(1, seed.collect()[0]["vec_id"], None)]
+    cents_df = emb.filter(F.col("vec_id") == centers[0][1])
+
+    def min_dist(cdf):
+        c = F.broadcast(
+            cdf.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_embedding"),
+            )
+        )
+        return (
+            emb.crossJoin(c)
+            .select("vec_id", F.expr(d2q).alias("dq"))
+            .groupBy("vec_id")
+            .agg(F.min("dq").alias("dq"))
+        )
+
+    for i in range(2, _KCENTER_K + 1):
+        pick = (
+            min_dist(cents_df)
+            .orderBy(F.col("dq").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((i, pick["vec_id"], pick["dq"]))
+        cents_df = cents_df.unionByName(
+            emb.filter(F.col("vec_id") == pick["vec_id"])
+        )
+    final_r = (
+        min_dist(cents_df).agg(F.max("dq").alias("fr")).collect()[0]["fr"]
+    )
+    return spark.createDataFrame(
+        [(i, cid, d, final_r) for (i, cid, d) in centers],
+        "iteration int, center_vec_id long, chosen_dist_micro long,"
+        " final_radius_micro long",
+    ).orderBy("iteration")

@@ -122,6 +122,10 @@ _loaded = False
 # decomposition, cross-table IND discovery, LSH-graph clustering
 # coefficient, Jensen-Shannon source divergence) — same treatment,
 # same r7 rotation status.
+# The round-6 SIXTH continuation added 4 more (embedding isotropy
+# audit, exact Gini decision stump, DP budget calibration report,
+# Gonzalez k-center coreset) — same treatment, same r7 rotation
+# status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

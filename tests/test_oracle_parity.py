@@ -156,6 +156,10 @@ _MEDIUM_EXTRAS = (
     "schema_ind_discovery",
     "graph_clustering_coefficient",
     "text_js_divergence_sources",
+    "embedding_isotropy_audit",
+    "ml_gini_decision_stump",
+    "privacy_dp_sensitivity_report",
+    "embedding_kcenter_coreset",
 )
 
 

@@ -764,3 +764,174 @@ def test_jsd_disjoint_source_is_most_divergent(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- sixth-continuation batch -------------------------------------------------
+
+
+def _write_embeddings(spark, rows, d):
+    """rows: (vec_id, [floats], label)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="embw_")
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/embeddings.parquet"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_isotropy_extremes(spark):
+    """Identical vectors score mean pairwise cosine exactly 1e6 micro
+    (a degenerate cone); distinct one-hot vectors score exactly 0
+    (perfectly isotropic on the simplex axes)."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    fn = registry.get("embedding_isotropy_audit").fn
+    d = tempfile.mkdtemp(prefix="iso_")
+    try:
+        _write_embeddings(
+            spark, [(i, [3.0, 4.0, 0.0, 0.0], 0) for i in range(8)], d
+        )
+        r = fn(spark, d).collect()[0]
+        assert r["mean_pairwise_cos_micro"] == 1000000
+        onehots = [
+            (i, [1.0 if j == i else 0.0 for j in range(8)], 0)
+            for i in range(8)
+        ]
+        _write_embeddings(spark, onehots, d)
+        r = fn(spark, d).collect()[0]
+        assert r["mean_pairwise_cos_micro"] == 0
+        # one-hot cloud: every dim carries the same variance
+        assert r["top_dim_var_share_permille"] == 125
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gini_stump_separable_split(spark):
+    """A perfectly separable feature (y = quantity > 50) must yield
+    impurity 0 at the boundary threshold and full info gain."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="stump_")
+    tmp = tempfile.mkdtemp(prefix="stumpw_")
+    try:
+        rows = []
+        for i in range(100):
+            q = float(i + 1)
+            flag = "R" if q > 50 else "N"
+            rows.append((i + 1, 1, q, q * 10.0, flag))
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber long, l_quantity double,"
+            " l_extendedprice double, l_returnflag string",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/lineitem.parquet"
+        )
+        out = {
+            r["feature"]: r
+            for r in registry.get("ml_gini_decision_stump")
+            .fn(spark, d)
+            .collect()
+        }
+        r = out["l_quantity"]
+        assert r["n_rows"] == 100 and r["n_pos"] == 50
+        assert r["baseline_gini_micro"] == 500000
+        assert r["best_impurity_micro"] == 0
+        assert r["best_threshold"] == 50
+        assert r["info_gain_micro"] == 500000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dp_sensitivity_power_user(spark):
+    """One 100-event power user dominates the user-level count
+    sensitivity; the Laplace scale must be sensitivity/epsilon
+    exactly."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="dp_")
+    try:
+        rows = [(i, "2024-01-05 10:00:00", 999, "click", 2.0) for i in range(100)]
+        rows += [
+            (100 + u, "2024-01-06 10:00:00", u, "click", 2.0)
+            for u in range(20)
+        ]
+        _write_events(spark, rows, d)
+        out = {
+            r["eps_milli"]: r
+            for r in registry.get("privacy_dp_sensitivity_report")
+            .fn(spark, d)
+            .collect()
+        }
+        assert set(out) == {100, 500, 1000}
+        r = out[1000]
+        assert r["n_events"] == 120
+        assert r["sens_count"] == 100
+        assert r["b_count_milli"] == 100 * 1000000 // 1000
+        # noise scale ~ 100 on a true count of 120: unusable, and the
+        # report says so
+        assert r["rel_err_count_permille"] >= 800
+        assert out[100]["b_count_milli"] == 100 * 1000000 // 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kcenter_hits_separated_clusters(spark):
+    """Four well-separated clusters: the Gonzalez trace must pick one
+    exemplar per cluster, with non-increasing selection distances and
+    a final radius bounded by the within-cluster spread."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="kc_")
+    try:
+        rows = []
+        vid = 0
+        for c in range(4):
+            base = [0.0] * 8
+            base[c] = 100.0
+            for j in range(5):
+                v = list(base)
+                v[(c + 4) % 8] = 0.5 * j  # tiny within-cluster spread
+                rows.append((vid, [float(x) for x in v], c))
+                vid += 1
+        _write_embeddings(spark, rows, d)
+        out = registry.get("embedding_kcenter_coreset").fn(
+            spark, d
+        ).collect()
+        assert len(out) == 4
+        clusters = {r["center_vec_id"] // 5 for r in out}
+        assert clusters == {0, 1, 2, 3}
+        dists = [
+            r["chosen_dist_micro"] for r in out if r["iteration"] >= 2
+        ]
+        assert dists == sorted(dists, reverse=True)
+        # final radius = within-cluster spread (max 2.0^2 = 4.0), far
+        # below the between-cluster separation (~2*100^2)
+        assert out[0]["final_radius_micro"] <= 4_000_000
+        assert all(
+            r["final_radius_micro"] == out[0]["final_radius_micro"]
+            for r in out
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

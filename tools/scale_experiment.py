@@ -440,6 +440,31 @@ def main() -> None:
          evdir1, evdir_n),
         ("conformal_coverage", _registered("ml_conformal_interval_coverage"),
          ordlidir1, ordlidir_n),
+        # round-6 fourth/fifth continuations
+        ("sorted_neighborhood", _registered("dedup_sorted_neighborhood"),
+         docsdir1, docsdir_n),
+        ("cuped_variance", _registered("events_cuped_variance_reduction"),
+         evdir1, evdir_n),
+        ("xcorr_leadlag", _registered("events_cross_correlation_leadlag"),
+         evdir1, evdir_n),
+        ("markov_eval", _registered("events_markov_next_event_eval"),
+         evdir1, evdir_n),
+        ("chao1_richness", _registered("text_chao1_vocab_richness"),
+         docsdir1, docsdir_n),
+        ("brier_murphy", _registered("eval_brier_murphy_decomposition"),
+         docsdir1, docsdir_n),
+        ("clustering_coeff", _registered("graph_clustering_coefficient"),
+         docsdir1, docsdir_n),
+        ("jsd_sources", _registered("text_js_divergence_sources"),
+         docsdir1, docsdir_n),
+        ("isotropy_audit", _registered("embedding_isotropy_audit"),
+         embdir1, embdir_n),
+        ("gini_stump", _registered("ml_gini_decision_stump"),
+         lidir1, lidir_n),
+        ("dp_sensitivity", _registered("privacy_dp_sensitivity_report"),
+         evdir1, evdir_n),
+        ("kcenter_coreset", _registered("embedding_kcenter_coreset"),
+         embdir1, embdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

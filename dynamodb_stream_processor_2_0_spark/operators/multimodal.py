@@ -279,6 +279,44 @@ def pcm_window_energy(
     return df.mapInPandas(run, PCM_WINDOW_SCHEMA)
 
 
+def pcm_window_energies(
+    df: DataFrame,
+    window: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-WINDOW energy rows (doc_id, w, energy) — the long-form twin
+    of pcm_window_energy for downstream operators that need the whole
+    energy series (peak picking, landmark fingerprints). Same decode
+    conventions: little-endian int16, trailing odd byte dropped,
+    trailing short window keeps its partial energy. Arrow-batched
+    mapInPandas, one vectorized frombuffer + square-sum per payload."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, es = [], [], []
+            for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                raw = bytes(p)
+                n = len(raw) // 2
+                s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
+                sq = s * s
+                n_win = -(-n // window) if n else 0
+                for w in range(n_win):
+                    ids.append(int(did))
+                    ws.append(w)
+                    es.append(int(sq[w * window : (w + 1) * window].sum()))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "w": pd.Series(ws, dtype="int64"),
+                 "energy": pd.Series(es, dtype="int64")}
+            )
+
+    return df.mapInPandas(run, "doc_id long, w long, energy long")
+
+
 def pcm_window_energy_oracle_sql(window: int = 16, table: str = "documents") -> str:
     """Byte-exact SQL twin: hex(encode(text)) exposes the payload bytes
     (UTF-8-multibyte safe); samples are little-endian int16 pairs."""

@@ -966,3 +966,246 @@ def ml_gini_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "info_gain_micro"
         ),
     ).orderBy("feature")
+
+
+# --- multinomial naive Bayes language ID (train + apply + eval) --------------
+#
+# The GENERATIVE classifier leg beside the discriminative hashed
+# linear scorer: multinomial NB with add-one smoothing, trained on a
+# deterministic md5 60/40 doc split, scored entirely in exact integer
+# SURPRISAL bits (the house floor-log2): predicted lang = argmin of
+# prior surprisal + sum over token occurrences of
+# floorlog2((N_l + V) / (c_{l,tok} + 1)). Unseen tokens take the
+# per-class smoothing floor bitlen(N_l + V) - 1. Floored logs bias
+# every class score identically downward, so the ARGMAX ordering —
+# the thing the classifier is — is the NB decision up to 1-bit ties
+# broken deterministically (score asc, lang asc). Accuracy is scored
+# per true language on the held-out split.
+
+_NB_SPLIT = (
+    "CAST(conv(substr(md5(concat('nb:', CAST(doc_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT) % 100"
+)
+_NB_SPLIT_DUCK = (
+    "CAST(('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 100"
+)
+
+_NB_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, lang, text,
+               {_NB_SPLIT_DUCK} < 60 AS is_train
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, is_train,
+               unnest(string_split(text, ' ')) AS tok
+        FROM docs
+    ), toks2 AS (
+        SELECT doc_id, lang, is_train, tok FROM toks WHERE tok <> ''
+    ), counts AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks2 WHERE is_train GROUP BY lang, tok
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM toks2 WHERE is_train
+    ), lang_tot AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM counts
+        GROUP BY lang
+    ), priors AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS dl,
+               CAST((SELECT count(*) FROM docs WHERE is_train)
+                    AS BIGINT) AS dtot
+        FROM docs d WHERE d.is_train GROUP BY d.lang
+    ), scored AS (
+        SELECT doc_id, true_lang, cand_lang,
+               CAST(sum((length(bin(r)) - 1) * 1000
+                        + ((r - (CAST(1 AS BIGINT)
+                                 << (length(bin(r)) - 1))) * 1000)
+                          // (CAST(1 AS BIGINT)
+                              << (length(bin(r)) - 1))
+                        - 10000) AS BIGINT) AS score_tok_milli
+        FROM (
+            SELECT t.doc_id, t.lang AS true_lang, lt.lang AS cand_lang,
+                   ((lt.nl + vv.v) * 1024)
+                       // (COALESCE(c.c, 0) + 1) AS r
+            FROM toks2 t
+            CROSS JOIN lang_tot lt
+            CROSS JOIN vocab vv
+            LEFT JOIN counts c ON c.lang = lt.lang AND c.tok = t.tok
+            WHERE NOT t.is_train
+        )
+        GROUP BY doc_id, true_lang, cand_lang
+    ), s_pr AS (
+        SELECT s.*, (p.dtot * 1024) // p.dl AS pr
+        FROM scored s JOIN priors p ON p.lang = s.cand_lang
+    ), with_prior AS (
+        SELECT s.doc_id, s.true_lang, s.cand_lang,
+               s.score_tok_milli
+               + (length(bin(pr)) - 1) * 1000
+               + ((pr - (CAST(1 AS BIGINT) << (length(bin(pr)) - 1)))
+                  * 1000)
+                 // (CAST(1 AS BIGINT) << (length(bin(pr)) - 1))
+               - 10000 AS score_milli
+        FROM s_pr s
+    ), pred AS (
+        SELECT doc_id, true_lang, cand_lang AS predicted_lang
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_milli ASC, cand_lang ASC) AS rn
+            FROM with_prior
+        ) WHERE rn = 1
+    )
+    SELECT true_lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (predicted_lang = true_lang) AS BIGINT)
+               AS n_correct,
+           CAST(1000 * count(*) FILTER (predicted_lang = true_lang)
+                // count(*) AS BIGINT) AS accuracy_permille
+    FROM pred
+    GROUP BY true_lang
+    ORDER BY true_lang
+"""
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle=_NB_ORACLE,
+    tags=("ml", "train", "eval", "text", "llm"),
+    doc="Multinomial naive Bayes language classifier, trained and "
+    "evaluated in-plan: deterministic md5 60/40 doc split, add-one "
+    "smoothed per-(lang, token) counts, and classification as argmin "
+    "of exact integer MILLI-BIT surprisals: each ratio (N_l+V)/(c+1) "
+    "is scaled by 1024 and passed through the piecewise-linear "
+    "integer log2 k*1000 + (r - 2^k)*1000/2^k (max error ~86 "
+    "millibits, deterministic in both engines) — enough resolution "
+    "for the likelihoods to out-vote the class prior, which the "
+    "house 1-bit floor-log could not. The generative TRAIN leg "
+    "complementing the discriminative hashed linear scorer; held-out "
+    "per-language accuracy is the deliverable (cf. "
+    "text_langid_confusion_matrix, which audits the hand-written "
+    "heuristic — this one is LEARNED from the same corpus). Shape: "
+    "one (lang, tok) training rollup, test tokens crossed with the "
+    "|langs|-row totals (broadcast) and LEFT-joined to the weight "
+    "table on (lang, tok) — the shuffle carries token occurrences "
+    "x |langs|, linear in corpus size; argmin is a per-doc window "
+    "over |langs| candidate rows.",
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(f"{_NB_SPLIT} < 60").alias("is_train"),
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    train = toks.filter("is_train")
+    counts = train.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = train.agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("nl")
+    )
+    n_train_docs = docs.filter("is_train").agg(
+        F.count(F.lit(1)).cast("long").alias("dtot")
+    )
+    priors = (
+        docs.filter("is_train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        .crossJoin(F.broadcast(n_train_docs))
+    )
+    cand = F.broadcast(
+        lang_tot.crossJoin(F.broadcast(vocab)).select(
+            F.col("lang").alias("cand_lang"), "nl", "v"
+        )
+    )
+    test_tok = toks.filter(~F.col("is_train")).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok"
+    )
+    ml2 = (
+        "(length(bin({r})) - 1) * 1000"
+        " + (({r} - shiftleft(CAST(1 AS BIGINT),"
+        " length(bin({r})) - 1)) * 1000)"
+        " div shiftleft(CAST(1 AS BIGINT), length(bin({r})) - 1)"
+        " - 10000"
+    )
+    scored = (
+        test_tok.crossJoin(cand)
+        .join(
+            counts.select(
+                F.col("lang").alias("cand_lang"), "tok", "c"
+            ),
+            ["cand_lang", "tok"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.expr("((nl + v) * 1024) div (COALESCE(c, 0) + 1)").alias(
+                "r"
+            ),
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            F.expr(
+                f"CAST(sum({ml2.format(r='r')}) AS BIGINT)"
+            ).alias("score_tok_milli")
+        )
+    )
+    with_prior = scored.join(
+        F.broadcast(
+            priors.select(
+                F.col("lang").alias("cand_lang"),
+                F.expr("(dtot * 1024) div dl").alias("pr"),
+            ).selectExpr(
+                "cand_lang",
+                f"CAST({ml2.format(r='pr')} AS BIGINT) AS prior_milli",
+            )
+        ),
+        "cand_lang",
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand_lang",
+        (F.col("score_tok_milli") + F.col("prior_milli")).alias(
+            "score_milli"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").asc(), F.col("cand_lang").asc()
+    )
+    pred = (
+        with_prior.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred"))
+    )
+    return (
+        pred.groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr("CAST(count_if(pred = true_lang) AS BIGINT)").alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "true_lang",
+            "n_test",
+            "n_correct",
+            F.expr("CAST(1000 * n_correct div n_test AS BIGINT)").alias(
+                "accuracy_permille"
+            ),
+        )
+        .orderBy("true_lang")
+    )

@@ -283,3 +283,217 @@ def multimodal_audio_vad_segments(
 ) -> DataFrame:
     docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
     return MM.audio_vad_segments(docs).orderBy("doc_id")
+
+
+# --- audio landmark fingerprint matching --------------------------------------
+#
+# Shazam-style constellation matching (Wang 2003), integer-exact:
+# windowed PCM energies -> local-maximum PEAKS (strictly beat both
+# neighbors; missing neighbor counts as -1) -> LANDMARKS pairing each
+# peak with peaks 1..8 windows ahead, hashed as (q(e1),
+# q(e2), gap) with q = 4*bitlen + 2 fractional bits -> cross-payload matching on the DISTINCT landmark set
+# (set semantics: a hash repeated within one payload counts once).
+# The bitlen quantization is the robustness knob (amplitude drifts
+# within a power of two keep the hash); the df<=50 stop-landmark cap
+# bounds the posting-list join exactly like winnowing's stop
+# fingerprints. Completes the audio arm: energy (feature), VAD
+# (segmentation), landmarks (content identity / near-dup).
+
+_ALF_WINDOW = 16
+_ALF_ZONE = 8
+_ALF_DF_CAP = 50
+_ALF_MIN_SHARED = 3
+
+
+def _alf_oracle() -> str:
+    return f"""
+        WITH hexed AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // 2 AS n_samples
+            FROM documents
+        ), samples AS (
+            SELECT doc_id, u.i AS idx,
+                   CAST(('0x' || substr(h, 4 * u.i + 1, 2)) AS BIGINT)
+                   + 256 * CAST(('0x' || substr(h, 4 * u.i + 3, 2))
+                                AS BIGINT) AS raw
+            FROM hexed, LATERAL unnest(range(0, n_samples)) AS u(i)
+        ), signed AS (
+            SELECT doc_id, idx,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+                       AS s
+            FROM samples
+        ), wins AS (
+            SELECT doc_id, idx // {_ALF_WINDOW} AS w,
+                   CAST(sum(s * s) AS BIGINT) AS energy
+            FROM signed GROUP BY doc_id, idx // {_ALF_WINDOW}
+        ), nbr AS (
+            SELECT doc_id, w, energy,
+                   lag(energy) OVER (PARTITION BY doc_id ORDER BY w)
+                       AS prev,
+                   lead(energy) OVER (PARTITION BY doc_id ORDER BY w)
+                       AS nxt
+            FROM wins
+        ), peaks AS (
+            SELECT doc_id, w, energy
+            FROM nbr
+            WHERE energy > COALESCE(prev, -1)
+              AND energy > COALESCE(nxt, -1)
+        ), lms AS (
+            SELECT a.doc_id,
+                   ((length(bin(a.energy)) - 1) * 4
+                    + (a.energy * 4 // (CAST(1 AS BIGINT)
+                        << (length(bin(a.energy)) - 1))) - 4) * 10000
+                   + ((length(bin(b.energy)) - 1) * 4
+                    + (b.energy * 4 // (CAST(1 AS BIGINT)
+                        << (length(bin(b.energy)) - 1))) - 4) * 100
+                   + (b.w - a.w) AS lm
+            FROM peaks a
+            JOIN peaks b ON b.doc_id = a.doc_id
+                        AND b.w > a.w AND b.w <= a.w + {_ALF_ZONE}
+        ), lmset AS (
+            SELECT DISTINCT doc_id, lm FROM lms
+        ), kept AS (
+            SELECT doc_id, lm FROM lmset
+            WHERE lm IN (SELECT lm FROM lmset GROUP BY lm
+                         HAVING count(*) <= {_ALF_DF_CAP})
+        ), totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lm
+            FROM kept GROUP BY doc_id
+        ), pairs AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept x JOIN kept y
+              ON y.lm = x.lm AND y.doc_id > x.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING count(*) >= {_ALF_MIN_SHARED}
+        )
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+               ta.n_lm AS n_lm_a, tb.n_lm AS n_lm_b,
+               CAST(1000 * p.n_shared // least(ta.n_lm, tb.n_lm)
+                    AS BIGINT) AS overlap_permille
+        FROM pairs p
+        JOIN totals ta ON ta.doc_id = p.doc_a
+        JOIN totals tb ON tb.doc_id = p.doc_b
+        ORDER BY p.n_shared DESC, p.doc_a, p.doc_b
+        LIMIT 25
+    """
+
+
+@register(
+    "multimodal_audio_landmark_match",
+    oracle=_alf_oracle(),
+    tags=("multimodal", "llm", "audio", "dedup", "mapInPandas"),
+    doc="Shazam-style audio landmark matching (Wang 2003) with a REAL "
+    "decode: little-endian int16 PCM windows -> local-maximum energy "
+    "peaks (strictly beat both neighbors) -> landmark hashes "
+    "(q(e1), q(e2), window gap <= 8) with q = 4*bitlen(e) + 2 "
+    "fractional bits -> payload pairs "
+    "ranked by shared-landmark count. bitlen quantization gives "
+    "amplitude robustness within a power of two; the df<=50 "
+    "stop-landmark cap bounds the posting-list join exactly like "
+    "winnowing's stop fingerprints — no hash's posting list can "
+    "dominate a shuffle partition. The kernel reuses the "
+    "pcm_window_energies long-form decode (one vectorized "
+    "frombuffer + square-sum per payload over Arrow batches); "
+    "everything after it is pure DataFrame algebra, and the oracle "
+    "re-derives every sample byte from hex(payload). Completes the "
+    "audio arm: energy features, VAD segmentation, and now content "
+    "identity / near-dup matching.",
+)
+def multimodal_audio_landmark_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    wins = MM.pcm_window_energies(docs, window=_ALF_WINDOW)
+    wseq = W.partitionBy("doc_id").orderBy("w")
+    peaks = (
+        wins.select(
+            "doc_id",
+            "w",
+            "energy",
+            F.lag("energy").over(wseq).alias("prev"),
+            F.lead("energy").over(wseq).alias("nxt"),
+        )
+        .filter(
+            (F.col("energy") > F.coalesce("prev", F.lit(-1)))
+            & (F.col("energy") > F.coalesce("nxt", F.lit(-1)))
+        )
+        .select("doc_id", "w", "energy")
+    )
+    a = peaks.select(
+        "doc_id",
+        F.col("w").alias("wa"),
+        F.col("energy").alias("ea"),
+        F.explode(F.expr(f"sequence(1, {_ALF_ZONE})")).alias("g"),
+    ).select("doc_id", "wa", "ea", (F.col("wa") + F.col("g")).alias("w"))
+    lms = a.join(
+        peaks.select("doc_id", "w", F.col("energy").alias("eb")),
+        ["doc_id", "w"],
+    ).select(
+        "doc_id",
+        F.expr(
+            "((length(bin(ea)) - 1) * 4"
+            " + (ea * 4 div shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(ea)) - 1)) - 4) * 10000"
+            " + ((length(bin(eb)) - 1) * 4"
+            " + (eb * 4 div shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(eb)) - 1)) - 4) * 100 + (w - wa)"
+        ).alias("lm"),
+    )
+    lmset = lms.distinct()
+    df_counts = lmset.groupBy("lm").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    kept = (
+        lmset.join(df_counts, "lm")
+        .filter(F.col("df") <= _ALF_DF_CAP)
+        .select("doc_id", "lm")
+    )
+    totals = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lm")
+    )
+    pairs = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("y.lm") == F.col("x.lm"))
+            & (F.col("y.doc_id") > F.col("x.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _ALF_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            totals.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_lm").alias("n_lm_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            totals.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_lm").alias("n_lm_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_lm_a",
+            "n_lm_b",
+            F.expr(
+                "CAST(1000 * n_shared div least(n_lm_a, n_lm_b)"
+                " AS BIGINT)"
+            ).alias("overlap_permille"),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )

@@ -1956,3 +1956,161 @@ def corpus_temperature_mixture_plan(
         )
         .orderBy("source")
     )
+
+
+# --- Kneser-Ney smoothed bigram language model --------------------------------
+#
+# The SMOOTHED LM leg beside text_lm_surprisal_score's MLE bigram
+# model: interpolated Kneser-Ney, the n-gram smoothing every
+# pre-neural LM shipped with, kept EXACT as one integer fraction.
+# With D = n1/(n1 + 2*n2) (the Ney-Essen-Kneser leave-one-out
+# discount from the bigram count-of-counts) the probability
+#   P_KN(w2|w1) = max(c12 - D, 0)/c1 + D*d1(w1)/c1 * cont(w2)/T
+# multiplies through by the common denominator (n1+2n2)*c1*T:
+#   num = max(c12*(n1+2n2) - n1, 0)*T + n1*d1(w1)*cont(w2)
+# so p_kn_micro = 1e6*num/den is a single DECIMAL(38,0) quotient —
+# no floats, no logs. cont(w2) = |{w1 : c(w1 w2)>0}| is the
+# continuation count (the Kneser-Ney insight: 'Francisco' is
+# frequent but follows only 'San'); d1(w1) = |{w2 : c(w1 w2)>0}|.
+# Output: the 20 most frequent bigrams with MLE vs KN probability —
+# the discount visibly moves mass from dense rows to the
+# continuation prior.
+
+_KN_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, t.term, t.pos
+        FROM documents,
+             LATERAL (
+                 SELECT unnest(l) AS term,
+                        generate_subscripts(l, 1) AS pos
+                 FROM (SELECT list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) >= 2) AS l)
+             ) t
+    ), big AS (
+        SELECT term AS w1,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+        QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+            IS NOT NULL
+    ), c12 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM big GROUP BY w1, w2
+    ), coc AS (
+        SELECT CAST(count(*) FILTER (c = 1) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (c = 2) AS BIGINT) AS n2,
+               CAST(count(*) AS BIGINT) AS t_types
+        FROM c12
+    ), left_ AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS d1
+        FROM c12 GROUP BY w1
+    ), cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS cw2
+        FROM c12 GROUP BY w2
+    )
+    SELECT b.w1, b.w2, b.c AS c12, l.c1,
+           CAST(1000000 * b.c // l.c1 AS BIGINT) AS p_mle_micro,
+           CASE WHEN o.n1 + 2 * o.n2 = 0
+                THEN CAST(1000000 * b.c // l.c1 AS BIGINT)
+                ELSE CAST((1000000 * (CAST(greatest(
+                          b.c * (o.n1 + 2 * o.n2) - o.n1, 0) AS HUGEINT)
+                          * o.t_types
+                      + CAST(o.n1 AS HUGEINT) * l.d1 * ct.cw2))
+                     // (CAST(o.n1 + 2 * o.n2 AS HUGEINT) * l.c1
+                         * o.t_types) AS BIGINT)
+           END AS p_kn_micro
+    FROM c12 b
+    JOIN left_ l ON l.w1 = b.w1
+    JOIN cont ct ON ct.w2 = b.w2
+    CROSS JOIN coc o
+    ORDER BY b.c DESC, b.w1, b.w2
+    LIMIT 20
+"""
+
+
+@register(
+    "text_kneser_ney_bigram_lm",
+    oracle=_KN_ORACLE,
+    tags=("text", "llm", "ml", "train"),
+    doc="Interpolated Kneser-Ney bigram LM, exact: discount D = "
+    "n1/(n1+2*n2) from the bigram count-of-counts (Ney-Essen-Kneser "
+    "leave-one-out estimate), continuation counts cont(w2) = "
+    "|{w1: c(w1,w2)>0}| (the KN insight — 'Francisco' is frequent "
+    "but follows only 'San', so its UNIGRAM backoff mass should be "
+    "tiny), and P_KN multiplied through by the common denominator "
+    "(n1+2n2)*c1*T so each probability is ONE DECIMAL(38,0)/HUGEINT "
+    "quotient in micro units — no floats, no logs, bit-identical "
+    "across engines. The smoothed counterpart of the MLE bigram "
+    "surprisal op; the 20 densest bigrams show the discount moving "
+    "mass to the continuation prior. Shape: one bigram rollup "
+    "(map-side combinable) + three tiny derived rollups (left "
+    "totals, continuation counts, 1-row count-of-counts broadcast) "
+    "joined back on the bigram keys — linear in token volume.",
+)
+def text_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z0-9]+'),"
+                    " x -> length(x) >= 2)"
+                )
+            ).alias("pos", "term"),
+        )
+    )
+    wseq = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.col("term").alias("w1"),
+            F.lead("term").over(wseq).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    coc = c12.agg(
+        F.expr("CAST(count_if(c = 1) AS BIGINT)").alias("n1"),
+        F.expr("CAST(count_if(c = 2) AS BIGINT)").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("t_types"),
+    )
+    left = c12.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("d1"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cw2")
+    )
+    return (
+        c12.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(coc))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c12"),
+            "c1",
+            F.expr("CAST(1000000 * c div c1 AS BIGINT)").alias(
+                "p_mle_micro"
+            ),
+            F.expr(
+                "CASE WHEN n1 + 2 * n2 = 0"
+                " THEN CAST(1000000 * c div c1 AS BIGINT)"
+                " ELSE CAST((1000000 * (CAST(greatest("
+                " c * (n1 + 2 * n2) - n1, 0) AS DECIMAL(38,0))"
+                " * t_types"
+                " + CAST(n1 AS DECIMAL(38,0)) * d1 * cw2))"
+                " div (CAST(n1 + 2 * n2 AS DECIMAL(38,0)) * c1"
+                "      * t_types) AS BIGINT) END"
+            ).alias("p_kn_micro"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -160,6 +160,9 @@ _MEDIUM_EXTRAS = (
     "ml_gini_decision_stump",
     "privacy_dp_sensitivity_report",
     "embedding_kcenter_coreset",
+    "ml_naive_bayes_langid",
+    "text_kneser_ney_bigram_lm",
+    "multimodal_audio_landmark_match",
 )
 
 

@@ -935,3 +935,118 @@ def test_kcenter_hits_separated_clusters(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- seventh-continuation batch ------------------------------------------------
+
+
+def _stage_docs(spark, rows, d):
+    """rows: (doc_id, text, lang, source)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="docw_")
+    spark.createDataFrame(
+        [(i, t, lg, src, len(t)) for (i, t, lg, src) in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(
+        glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/documents.parquet"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_naive_bayes_disjoint_vocab_scores_1000(spark):
+    """Two 'languages' with disjoint vocabularies: the learned NB
+    classifier must score held-out accuracy 1000 for both."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="nb_")
+    try:
+        rows = []
+        for i in range(30):
+            rows.append(
+                (i, "roter hund springt uber den zaun heute", "de", "s")
+            )
+        for i in range(30, 60):
+            rows.append(
+                (i, "red dog jumps over the fence today quickly", "en", "s")
+            )
+        _stage_docs(spark, rows, d)
+        out = {
+            r["true_lang"]: r
+            for r in registry.get("ml_naive_bayes_langid")
+            .fn(spark, d)
+            .collect()
+        }
+        assert set(out) == {"de", "en"}
+        for lang, r in out.items():
+            assert r["n_test"] > 0
+            assert r["accuracy_permille"] == 1000, (lang, r)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Hand-computed KN on 'aa bb aa bb aa cc': D = 1/5, and the three
+    bigram probabilities come out exactly as the common-denominator
+    fractions floor to micro units."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="kn_")
+    try:
+        _stage_docs(spark, [(0, "aa bb aa bb aa cc", "en", "s")], d)
+        rows = registry.get("text_kneser_ney_bigram_lm").fn(
+            spark, d
+        ).collect()
+        by = {(r["w1"], r["w2"]): r for r in rows}
+        assert by[("aa", "bb")]["p_mle_micro"] == 666666
+        assert by[("aa", "bb")]["p_kn_micro"] == 644444
+        assert by[("bb", "aa")]["p_mle_micro"] == 1000000
+        assert by[("bb", "aa")]["p_kn_micro"] == 933333
+        assert by[("aa", "cc")]["p_mle_micro"] == 333333
+        assert by[("aa", "cc")]["p_kn_micro"] == 311111
+        # discount moves mass off every seen bigram of a dense row
+        for k, r in by.items():
+            assert r["p_kn_micro"] < r["p_mle_micro"], k
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_audio_landmarks_match_identical_payloads(spark):
+    """Two byte-identical payloads share every landmark (overlap 1000);
+    an unrelated payload must not out-rank that pair."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="alf_")
+    try:
+        loud = " ".join(
+            ("LOUDLOUD" if i % 5 == 0 else "quiet sh") for i in range(80)
+        )
+        other = "".join(chr(97 + (i * 7) % 26) for i in range(600))
+        _stage_docs(
+            spark,
+            [(0, loud, "en", "s"), (1, loud, "en", "s"), (2, other, "en", "s")],
+            d,
+        )
+        rows = registry.get("multimodal_audio_landmark_match").fn(
+            spark, d
+        ).collect()
+        assert rows, "identical payloads produced no landmark match"
+        top = rows[0]
+        assert {top["doc_a"], top["doc_b"]} == {0, 1}
+        assert top["overlap_permille"] == 1000
+        assert top["n_lm_a"] == top["n_lm_b"] == top["n_shared"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -465,6 +465,12 @@ def main() -> None:
          evdir1, evdir_n),
         ("kcenter_coreset", _registered("embedding_kcenter_coreset"),
          embdir1, embdir_n),
+        ("naive_bayes_langid", _registered("ml_naive_bayes_langid"),
+         docsdir1, docsdir_n),
+        ("kneser_ney_lm", _registered("text_kneser_ney_bigram_lm"),
+         docsdir1, docsdir_n),
+        ("audio_landmarks", _registered("multimodal_audio_landmark_match"),
+         docsdir1, docsdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -2205,7 +2205,7 @@ def _markov_oracle_sql(iters: int = _MK_ITERS) -> str:
         "rs AS (SELECT f, sum(c) AS s FROM cnt GROUP BY f)",
         "states AS (SELECT DISTINCT event_type AS st FROM events)",
         "ns AS (SELECT count(*) AS n FROM states)",
-        f"""p0 AS (
+        f"""p0 AS MATERIALIZED (
             SELECT st, CAST({_MK_SCALE} AS BIGINT) // (SELECT n FROM ns)
                    AS mass
             FROM states
@@ -8366,4 +8366,368 @@ def privacy_dp_sensitivity_report(
             ).alias("rel_err_sum_permille"),
         )
         .orderBy("event_type", "eps_milli")
+    )
+
+
+# --- Markov removal-effect attribution ----------------------------------------
+#
+# The chain-based attribution model completing the family
+# (first-touch, time-decay, exact Shapley): user journeys become a
+# first-order Markov chain over channels with absorbing CONV/NULL
+# states; a channel's credit is its REMOVAL EFFECT — how much the
+# chain's conversion probability drops when every transition INTO the
+# channel is redirected to NULL (Anderl et al.). Journeys split at
+# purchases (the purchase terminates its journey as CONV; trailing
+# channel events with no purchase end in NULL). Absorption
+# probabilities come from K=12 synchronous value-iteration steps of
+# p <- T p on the micro grid — each step one tiny (variant, state)
+# join+rollup over the O(channels^2) transition relation, all 5
+# variants (full + 4 removals) iterated TOGETHER as one keyed
+# relation, and truncating integer division makes every step
+# engine-identical. 12 steps bound the tail by (max transient mass)^12
+# — document-checked against the fixture's chain depth.
+
+_MRA_ITERS = 12
+_MRA_CONV = "purchase"
+
+
+def _mra_trans_sql() -> str:
+    """CTE prefix producing trans(variant, s, t, c, tot)."""
+    return f"""
+        seq AS MATERIALIZED (
+            SELECT user_id, event_type, ts, event_id,
+                   COALESCE(sum(CASE WHEN event_type = '{_MRA_CONV}'
+                                     THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS jid
+            FROM events
+        ), jmeta AS MATERIALIZED (
+            SELECT user_id, jid,
+                   max(CASE WHEN event_type = '{_MRA_CONV}'
+                            THEN 1 ELSE 0 END) = 1 AS converted
+            FROM seq GROUP BY user_id, jid
+        ), ch AS MATERIALIZED (
+            SELECT user_id, jid, event_type,
+                   row_number() OVER (PARTITION BY user_id, jid
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id, jid) AS n_ch
+            FROM seq WHERE event_type <> '{_MRA_CONV}'
+        ), base_trans AS MATERIALIZED (
+            SELECT 'START' AS s, event_type AS t
+            FROM ch WHERE rn = 1
+            UNION ALL
+            SELECT a.event_type, b.event_type
+            FROM ch a JOIN ch b
+              ON b.user_id = a.user_id AND b.jid = a.jid
+             AND b.rn = a.rn + 1
+            UNION ALL
+            SELECT c.event_type,
+                   CASE WHEN j.converted THEN 'CONV' ELSE 'NULL' END
+            FROM ch c JOIN jmeta j
+              ON j.user_id = c.user_id AND j.jid = c.jid
+            WHERE c.rn = c.n_ch
+            UNION ALL
+            SELECT 'START', 'CONV'
+            FROM jmeta j
+            WHERE j.converted AND NOT EXISTS (
+                SELECT 1 FROM ch c
+                WHERE c.user_id = j.user_id AND c.jid = j.jid)
+        ), channels AS MATERIALIZED (
+            SELECT DISTINCT t AS channel FROM base_trans
+            WHERE t NOT IN ('CONV', 'NULL')
+        ), variants AS MATERIALIZED (
+            SELECT 'full' AS variant
+            UNION ALL SELECT channel FROM channels
+        ), vtrans AS MATERIALIZED (
+            SELECT v.variant, bt.s,
+                   CASE WHEN bt.t = v.variant THEN 'NULL'
+                        ELSE bt.t END AS t,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM base_trans bt CROSS JOIN variants v
+            WHERE bt.s <> v.variant
+            GROUP BY v.variant, bt.s,
+                     CASE WHEN bt.t = v.variant THEN 'NULL'
+                          ELSE bt.t END
+        ), trans AS MATERIALIZED (
+            SELECT variant, s, t, c,
+                   CAST(sum(c) OVER (PARTITION BY variant, s)
+                        AS BIGINT) AS tot
+            FROM vtrans
+        )"""
+
+
+def _mra_oracle() -> str:
+    ctes = [_mra_trans_sql()]
+    ctes.append(
+        """p0 AS MATERIALIZED (
+            SELECT variant, 'CONV' AS state,
+                   CAST(1000000 AS BIGINT) AS p
+            FROM variants
+            UNION ALL
+            SELECT variant, 'NULL', CAST(0 AS BIGINT) FROM variants
+        )"""
+    )
+    for i in range(_MRA_ITERS):
+        ctes.append(
+            f"""p{i + 1} AS MATERIALIZED (
+            SELECT t.variant, t.s AS state,
+                   CAST(sum(t.c * COALESCE(p.p, 0)) // max(t.tot)
+                        AS BIGINT) AS p
+            FROM trans t
+            LEFT JOIN p{i} p
+              ON p.variant = t.variant AND p.state = t.t
+            GROUP BY t.variant, t.s
+            UNION ALL
+            SELECT variant, 'CONV', CAST(1000000 AS BIGINT)
+            FROM variants
+            UNION ALL
+            SELECT variant, 'NULL', CAST(0 AS BIGINT) FROM variants
+        )"""
+        )
+    last = f"p{_MRA_ITERS}"
+    return f"""
+        WITH {", ".join(ctes)}
+        , starts AS (
+            SELECT variant, p AS p_start FROM {last}
+            WHERE state = 'START'
+        ), eff AS (
+            SELECT s.variant AS channel,
+                   s.p_start AS p_conv_removed_micro,
+                   f.p_start AS p_conv_full_micro,
+                   CASE WHEN f.p_start = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1000 - 1000 * s.p_start // f.p_start
+                                  AS BIGINT)
+                   END AS removal_effect_permille
+            FROM starts s
+            CROSS JOIN (SELECT p_start FROM starts
+                        WHERE variant = 'full') f
+            WHERE s.variant <> 'full'
+        )
+        SELECT channel, p_conv_removed_micro, p_conv_full_micro,
+               removal_effect_permille,
+               CASE WHEN (SELECT sum(greatest(removal_effect_permille,
+                                              0)) FROM eff) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000 * greatest(removal_effect_permille,
+                                              0)
+                         // (SELECT sum(greatest(
+                                 removal_effect_permille, 0))
+                             FROM eff) AS BIGINT)
+               END AS attribution_share_permille
+        FROM eff
+        ORDER BY channel
+    """
+
+
+@register(
+    "attribution_markov_removal",
+    oracle=_mra_oracle(),
+    tags=("analytics", "causal", "attribution", "graph"),
+    doc="Markov removal-effect attribution (Anderl et al.) — the "
+    "chain-based model completing the attribution family beside "
+    "first-touch, time-decay and exact Shapley: journeys split at "
+    "purchases, a first-order chain over channels with absorbing "
+    "CONV/NULL states, and each channel's credit = the drop in "
+    "chain conversion probability when transitions INTO it are "
+    "redirected to NULL. Absorption probabilities via K=12 "
+    "synchronous value-iteration steps p <- T p on the exact micro "
+    "grid (truncating division each step, engine-identical); all "
+    "variants (full + one per removed channel) ride ONE keyed "
+    "(variant, state) relation, so the whole solve is 12 tiny "
+    "join+rollups over an O(channels^2) transition table regardless "
+    "of corpus size — the data-sized work is exactly one journey "
+    "window + one transition rollup. Output: removal effect and "
+    "normalized attribution share per channel.",
+)
+def attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN event_type = '{_MRA_CONV}'"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).over(wseq.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    jmeta = seq.groupBy("user_id", "jid").agg(
+        (
+            F.max(
+                F.expr(
+                    f"CASE WHEN event_type = '{_MRA_CONV}'"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            == 1
+        ).alias("converted")
+    )
+    wch = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    wcht = W.partitionBy("user_id", "jid")
+    ch = seq.filter(F.col("event_type") != _MRA_CONV).select(
+        "user_id",
+        "jid",
+        "event_type",
+        F.row_number().over(wch).alias("rn"),
+        F.count(F.lit(1)).over(wcht).alias("n_ch"),
+    )
+    t_first = ch.filter("rn = 1").select(
+        F.lit("START").alias("s"), F.col("event_type").alias("t")
+    )
+    nxt = ch.select(
+        "user_id",
+        "jid",
+        (F.col("rn") - 1).alias("rn"),
+        F.col("event_type").alias("t"),
+    )
+    t_mid = (
+        ch.select("user_id", "jid", "rn", F.col("event_type").alias("s"))
+        .join(nxt, ["user_id", "jid", "rn"])
+        .select("s", "t")
+    )
+    t_last = (
+        ch.filter("rn = n_ch")
+        .join(jmeta, ["user_id", "jid"])
+        .select(
+            F.col("event_type").alias("s"),
+            F.expr(
+                "CASE WHEN converted THEN 'CONV' ELSE 'NULL' END"
+            ).alias("t"),
+        )
+    )
+    t_empty = (
+        jmeta.filter("converted")
+        .join(
+            ch.select("user_id", "jid").distinct(),
+            ["user_id", "jid"],
+            "left_anti",
+        )
+        .select(F.lit("START").alias("s"), F.lit("CONV").alias("t"))
+    )
+    base_trans = (
+        t_first.unionByName(t_mid)
+        .unionByName(t_last)
+        .unionByName(t_empty)
+    )
+    channels = (
+        base_trans.select(F.col("t").alias("channel"))
+        .filter(~F.col("channel").isin("CONV", "NULL"))
+        .distinct()
+    )
+    variants = F.broadcast(
+        channels.select(F.col("channel").alias("variant")).unionByName(
+            spark.range(1).select(F.lit("full").alias("variant"))
+        )
+    )
+    vtrans = (
+        base_trans.crossJoin(variants)
+        .filter(F.col("s") != F.col("variant"))
+        .select(
+            "variant",
+            "s",
+            F.expr(
+                "CASE WHEN t = variant THEN 'NULL' ELSE t END"
+            ).alias("t"),
+        )
+        .groupBy("variant", "s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wtot = W.partitionBy("variant", "s")
+    trans = vtrans.select(
+        "variant",
+        "s",
+        "t",
+        "c",
+        F.sum("c").over(wtot).cast("long").alias("tot"),
+    ).localCheckpoint(eager=True)
+    absorbing = (
+        variants.select(
+            "variant",
+            F.lit("CONV").alias("state"),
+            F.lit(1000000).cast("long").alias("p"),
+        )
+        .unionByName(
+            variants.select(
+                "variant",
+                F.lit("NULL").alias("state"),
+                F.lit(0).cast("long").alias("p"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = absorbing
+    for _ in range(_MRA_ITERS):
+        step = (
+            trans.join(
+                p.select(
+                    "variant", F.col("state").alias("t"), "p"
+                ),
+                ["variant", "t"],
+                "left",
+            )
+            .groupBy("variant", "s")
+            .agg(
+                F.expr(
+                    "CAST(sum(c * COALESCE(p, 0)) div max(tot)"
+                    " AS BIGINT)"
+                ).alias("p")
+            )
+            .select("variant", F.col("s").alias("state"), "p")
+        )
+        p = step.unionByName(absorbing).localCheckpoint(eager=True)
+    starts = p.filter("state = 'START'").select(
+        "variant", F.col("p").alias("p_start")
+    )
+    full = F.broadcast(
+        starts.filter("variant = 'full'").select(
+            F.col("p_start").alias("p_full")
+        )
+    )
+    eff = (
+        starts.filter("variant <> 'full'")
+        .crossJoin(full)
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("p_start").alias("p_conv_removed_micro"),
+            F.col("p_full").alias("p_conv_full_micro"),
+            F.expr(
+                "CASE WHEN p_full = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(1000 - 1000 * p_start div p_full"
+                " AS BIGINT) END"
+            ).alias("removal_effect_permille"),
+        )
+    )
+    tot_eff = F.broadcast(
+        eff.agg(
+            F.expr(
+                "CAST(sum(greatest(removal_effect_permille, 0))"
+                " AS BIGINT)"
+            ).alias("eff_tot")
+        )
+    )
+    return (
+        eff.crossJoin(tot_eff)
+        .select(
+            "channel",
+            "p_conv_removed_micro",
+            "p_conv_full_micro",
+            "removal_effect_permille",
+            F.expr(
+                "CASE WHEN eff_tot = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(1000 * greatest(removal_effect_permille, 0)"
+                " div eff_tot AS BIGINT) END"
+            ).alias("attribution_share_permille"),
+        )
+        .orderBy("channel")
     )

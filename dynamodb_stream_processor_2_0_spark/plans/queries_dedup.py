@@ -2207,3 +2207,207 @@ def graph_clustering_coefficient(
         )
         .orderBy("doc_id")
     )
+
+
+# --- ROUGE-1/2 scoring of near-dup candidate pairs ----------------------------
+#
+# Summarization-metric grading of the dedup candidates: for every
+# MinHash-LSH candidate pair, clipped unigram (ROUGE-1) and bigram
+# (ROUGE-2) overlap — match = sum over grams of min(count_a, count_b),
+# the clipping that stops a repeated token from double-counting — as
+# exact permille precision/recall/F1. The cross-check arm for the
+# Jaccard-family verifiers: Jaccard scores SET overlap, ROUGE scores
+# MULTISET overlap with direction, so templated docs with repeated
+# boilerplate separate differently. Candidate-pair-bounded like every
+# verifier in this family: grams join only within surviving pairs.
+
+
+def _rouge_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()})
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), uni AS (
+            SELECT doc_id, unnest(list_filter(ts, x -> x <> '')) AS g
+            FROM toks
+        ), uni_c AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM uni GROUP BY doc_id, g
+        ), bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS g
+            FROM toks WHERE len(ts) >= 2
+        ), bi_c AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+            FROM bi GROUP BY doc_id, g
+        ), tot AS (
+            SELECT doc_id,
+                   (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT)
+                    FROM uni_c u WHERE u.doc_id = t.doc_id) AS n_uni,
+                   (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT)
+                    FROM bi_c b WHERE b.doc_id = t.doc_id) AS n_bi
+            FROM (SELECT DISTINCT doc_id FROM uni_c) t
+        ), m1 AS (
+            SELECT e.doc_a, e.doc_b,
+                   CAST(COALESCE(sum(least(a.c, b.c)), 0) AS BIGINT)
+                       AS match1
+            FROM e
+            LEFT JOIN uni_c a ON a.doc_id = e.doc_a
+            LEFT JOIN uni_c b ON b.doc_id = e.doc_b AND b.g = a.g
+            GROUP BY e.doc_a, e.doc_b
+        ), m2 AS (
+            SELECT e.doc_a, e.doc_b,
+                   CAST(COALESCE(sum(least(a.c, b.c)), 0) AS BIGINT)
+                       AS match2
+            FROM e
+            LEFT JOIN bi_c a ON a.doc_id = e.doc_a
+            LEFT JOIN bi_c b ON b.doc_id = e.doc_b AND b.g = a.g
+            GROUP BY e.doc_a, e.doc_b
+        )
+        SELECT m1.doc_a, m1.doc_b, m1.match1, m2.match2,
+               CAST(1000 * m1.match1 // ta.n_uni AS BIGINT)
+                   AS rouge1_prec_permille,
+               CAST(1000 * m1.match1 // tb.n_uni AS BIGINT)
+                   AS rouge1_rec_permille,
+               CAST(2000 * m1.match1 // (ta.n_uni + tb.n_uni) AS BIGINT)
+                   AS rouge1_f1_permille,
+               CASE WHEN ta.n_bi = 0 OR tb.n_bi = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(2000 * m2.match2 // (ta.n_bi + tb.n_bi)
+                              AS BIGINT)
+               END AS rouge2_f1_permille
+        FROM m1
+        JOIN m2 ON m2.doc_a = m1.doc_a AND m2.doc_b = m1.doc_b
+        JOIN tot ta ON ta.doc_id = m1.doc_a
+        JOIN tot tb ON tb.doc_id = m1.doc_b
+        ORDER BY m1.doc_a, m1.doc_b
+    """
+
+
+@register(
+    "eval_rouge_near_dup_pairs",
+    oracle=_rouge_oracle(),
+    tags=("dedup", "eval", "llm", "text"),
+    doc="ROUGE-1/ROUGE-2 grading of every MinHash-LSH candidate pair: "
+    "clipped n-gram overlap (match = sum of min(count_a, count_b) — "
+    "the clipping that stops repeated tokens double-counting) as "
+    "exact permille precision/recall/F1. The MULTISET-overlap "
+    "cross-check for the Jaccard-family verifiers: Jaccard scores "
+    "set overlap, so boilerplate-heavy templates with repeated "
+    "tokens separate differently under ROUGE — a pair with high "
+    "Jaccard but low ROUGE-2 F1 shares vocabulary, not phrasing. "
+    "Candidate-pair-bounded like every verifier in the family: the "
+    "gram-count relations join only within LSH-surviving pairs, and "
+    "the n-gram counts are one map-side-combinable rollup each — "
+    "the corpus never self-joins.",
+)
+def eval_rouge_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    uni_c = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr("filter(ts, x -> x <> '')")).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bi_c = (
+        toks.filter(F.expr("size(ts) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> concat(ts[i - 1], ' ', ts[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = (
+        uni_c.groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_uni"))
+        .join(
+            bi_c.groupBy("doc_id").agg(
+                F.sum("c").cast("long").alias("n_bi")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_uni",
+            F.coalesce("n_bi", F.lit(0).cast("long")).alias("n_bi"),
+        )
+    )
+
+    def clipped(grams, out):
+        a = grams.select(
+            F.col("doc_id").alias("doc_a"),
+            "g",
+            F.col("c").alias("ca"),
+        )
+        b = grams.select(
+            F.col("doc_id").alias("doc_b"),
+            "g",
+            F.col("c").alias("cb"),
+        )
+        return (
+            e.join(a, "doc_a", "left")
+            .join(b, ["doc_b", "g"], "left")
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.expr(
+                    "CAST(COALESCE(sum(least(ca, cb)), 0) AS BIGINT)"
+                ).alias(out)
+            )
+        )
+
+    m1 = clipped(uni_c, "match1")
+    m2 = clipped(bi_c, "match2")
+    return (
+        m1.join(m2, ["doc_a", "doc_b"])
+        .join(
+            tot.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_uni").alias("na_uni"),
+                F.col("n_bi").alias("na_bi"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tot.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_uni").alias("nb_uni"),
+                F.col("n_bi").alias("nb_bi"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "match1",
+            "match2",
+            F.expr("CAST(1000 * match1 div na_uni AS BIGINT)").alias(
+                "rouge1_prec_permille"
+            ),
+            F.expr("CAST(1000 * match1 div nb_uni AS BIGINT)").alias(
+                "rouge1_rec_permille"
+            ),
+            F.expr(
+                "CAST(2000 * match1 div (na_uni + nb_uni) AS BIGINT)"
+            ).alias("rouge1_f1_permille"),
+            F.expr(
+                "CASE WHEN na_bi = 0 OR nb_bi = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(2000 * match2 div (na_bi + nb_bi) AS BIGINT)"
+                " END"
+            ).alias("rouge2_f1_permille"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

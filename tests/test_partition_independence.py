@@ -161,6 +161,8 @@ _SWEEP_EXTRAS = (
     "ml_naive_bayes_langid",
     "text_kneser_ney_bigram_lm",
     "multimodal_audio_landmark_match",
+    "eval_rouge_near_dup_pairs",
+    "attribution_markov_removal",
 )
 
 

@@ -1050,3 +1050,92 @@ def test_audio_landmarks_match_identical_payloads(spark):
         assert top["n_lm_a"] == top["n_lm_b"] == top["n_shared"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- eighth-continuation batch -------------------------------------------------
+
+
+def test_rouge_identical_and_subset_pairs(spark):
+    """Byte-identical docs must score ROUGE-1/2 F1 = 1000; when doc A
+    is a strict prefix of doc B, precision (vs A) is 1000 while recall
+    (vs B) is proportionally lower."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="rouge_")
+    try:
+        base = " ".join(f"tok{i % 23}m{i % 7}" for i in range(60))
+        ext = base + " " + " ".join(f"extra{i}" for i in range(20))
+        _stage_docs(
+            spark,
+            [
+                (0, base, "en", "s"),
+                (1, base, "en", "s"),
+                (2, ext, "en", "s"),
+            ],
+            d,
+        )
+        rows = registry.get("eval_rouge_near_dup_pairs").fn(
+            spark, d
+        ).collect()
+        by = {(r["doc_a"], r["doc_b"]): r for r in rows}
+        assert (0, 1) in by, "identical docs not in candidate pairs"
+        ident = by[(0, 1)]
+        assert ident["rouge1_f1_permille"] == 1000
+        assert ident["rouge2_f1_permille"] == 1000
+        sub = by.get((0, 2)) or by.get((1, 2))
+        if sub is not None:  # LSH may or may not band the prefix pair
+            # doc_a (60 toks) is a strict prefix of doc_b (80 toks):
+            # all of a's unigrams match -> precision vs a = 1000,
+            # recall vs b = 60/80 = 750
+            assert sub["rouge1_prec_permille"] == 1000
+            assert sub["rouge1_rec_permille"] == 750
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_markov_removal_sole_path_channel(spark):
+    """Every conversion goes view -> click -> purchase; 'error' events
+    never convert. Removing view or click must kill ALL conversions
+    (effect 1000); removing error must change nothing (effect 0)."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="mra_")
+    try:
+        rows = []
+        eid = 0
+        for u in range(20):
+            for day, et in (
+                ("2024-01-02", "view"),
+                ("2024-01-03", "click"),
+                ("2024-01-04", "purchase"),
+            ):
+                rows.append((eid, f"{day} 10:00:00", u, et, 1.0))
+                eid += 1
+        for u in range(20, 30):
+            rows.append((eid, "2024-01-05 10:00:00", u, "error", 1.0))
+            eid += 1
+        _write_events(spark, rows, d)
+        out = {
+            r["channel"]: r
+            for r in registry.get("attribution_markov_removal")
+            .fn(spark, d)
+            .collect()
+        }
+        assert set(out) == {"view", "click", "error"}
+        assert out["view"]["removal_effect_permille"] == 1000
+        assert out["click"]["removal_effect_permille"] == 1000
+        assert out["error"]["removal_effect_permille"] == 0
+        assert out["error"]["attribution_share_permille"] == 0
+        assert (
+            out["view"]["attribution_share_permille"]
+            == out["click"]["attribution_share_permille"]
+            == 500
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -471,6 +471,10 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("audio_landmarks", _registered("multimodal_audio_landmark_match"),
          docsdir1, docsdir_n),
+        ("rouge_pairs", _registered("eval_rouge_near_dup_pairs"),
+         docsdir1, docsdir_n),
+        ("markov_removal", _registered("attribution_markov_removal"),
+         evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -8731,3 +8731,173 @@ def attribution_markov_removal(
         )
         .orderBy("channel")
     )
+
+
+# --- fixed-period periodogram (integer Goertzel) -------------------------------
+#
+# The FREQUENCY-domain companion to events_autocorrelation_lags and
+# the Haar energy op: spectral power of each type's centered daily
+# series at candidate periods {2, 3, 7, 14} days, computed as
+# |sum_t y_t * e^{-2pi i t/P}|^2 with the trig values FROZEN as exact
+# milli-scaled integer tables (cos/sin at the P distinct phases,
+# round(cos(2pi k/P)*1000) — both engines read the same literal
+# table, so there is no libm in either plan). Power is normalized by
+# sum(y^2) to a permille concentration score; the argmax period per
+# type is the seasonality verdict (a weekly cycle peaks at P=7). The
+# centered series is the ACF's exact-integer y = n*x - sum(x).
+
+_PG_PERIODS = (2, 3, 7, 14)
+
+
+def _pg_trig_rows() -> list[tuple[int, int, int, int]]:
+    import math
+
+    rows = []
+    for p in _PG_PERIODS:
+        for k in range(p):
+            rows.append(
+                (
+                    p,
+                    k,
+                    round(math.cos(2 * math.pi * k / p) * 1000),
+                    round(-math.sin(2 * math.pi * k / p) * 1000),
+                )
+            )
+    return rows
+
+
+def _pg_oracle() -> str:
+    vals = ", ".join(
+        f"({p}, {k}, {c}, {s})" for (p, k, c, s) in _pg_trig_rows()
+    )
+    return f"""
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE)
+                AS d1
+            FROM events
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day, d0
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            SELECT t.event_type, s.day,
+                   date_diff('day', s.d0, s.day) AS ti,
+                   COALESCE(d.x, 0) AS x
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN daily d
+              ON d.event_type = t.event_type AND d.day = s.day
+        ), cent AS (
+            SELECT event_type, ti,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) * x
+                   - CAST(sum(x) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS y
+            FROM series
+        ), trig(p, k, c_milli, s_milli) AS (VALUES {vals}),
+        terms AS (
+            SELECT c.event_type, tg.p,
+                   CAST(sum(c.y * tg.c_milli) AS BIGINT) AS re_milli,
+                   CAST(sum(c.y * tg.s_milli) AS BIGINT) AS im_milli,
+                   CAST(sum(c.y * c.y) AS BIGINT) AS den
+            FROM cent c
+            JOIN trig tg ON tg.k = c.ti % tg.p
+            GROUP BY c.event_type, tg.p
+        )
+        SELECT event_type, p AS period_days,
+               CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((CAST(re_milli AS HUGEINT) * re_milli
+                               + CAST(im_milli AS HUGEINT) * im_milli)
+                              // (CAST(den AS HUGEINT) * 1000000 // 1000)
+                         AS BIGINT)
+               END AS power_permille
+        FROM terms
+        ORDER BY event_type, period_days
+    """
+
+
+@register(
+    "events_periodogram_fixed",
+    oracle=_pg_oracle(),
+    tags=("timeseries", "stats", "analytics"),
+    doc="Fixed-period periodogram of each type's centered daily "
+    "series at candidate periods {2,3,7,14} days: spectral power "
+    "|sum y_t e^{-2pi i t/P}|^2 with the trig values FROZEN as "
+    "milli-scaled integer literal tables (round(cos*1000)) shipped "
+    "identically to both engines — no libm call in either plan, so "
+    "the permille concentration scores are bit-identical. The "
+    "frequency-domain companion to the ACF (a weekly cycle shows as "
+    "the P=7 peak; the ACF sees it as positive r_7): power is "
+    "normalized by sum(y^2), exact-integer centering y = n*x - "
+    "sum(x). Shape: the raw scan reduces to |types| x |days| rows; "
+    "the trig join is a broadcast of a 26-row literal table keyed "
+    "on day-index mod P — O(types*days*periods) post-agg work at "
+    "any corpus size.",
+)
+def events_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+        "d0",
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.expr("datediff(day, d0)").alias("ti"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    cent = series.select(
+        "event_type",
+        "ti",
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("x")
+            - F.sum("x").over(wt).cast("long")
+        ).alias("y"),
+    )
+    trig = F.broadcast(
+        events.sparkSession.createDataFrame(
+            _pg_trig_rows(), "p int, k int, c_milli long, s_milli long"
+        )
+    )
+    terms = (
+        cent.join(trig, F.col("k") == F.col("ti") % F.col("p"))
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.col("y") * F.col("c_milli")).cast("long").alias(
+                "re_milli"
+            ),
+            F.sum(F.col("y") * F.col("s_milli")).cast("long").alias(
+                "im_milli"
+            ),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("den"),
+        )
+    )
+    return terms.select(
+        "event_type",
+        F.col("p").alias("period_days"),
+        F.expr(
+            "CASE WHEN den = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((CAST(re_milli AS DECIMAL(38,0)) * re_milli"
+            "      + CAST(im_milli AS DECIMAL(38,0)) * im_milli)"
+            "      div (CAST(den AS DECIMAL(38,0)) * 1000000 div 1000)"
+            " AS BIGINT) END"
+        ).alias("power_permille"),
+    ).orderBy("event_type", "period_days")

@@ -1209,3 +1209,175 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang")
     )
+
+
+# --- k-NN label classifier eval (embeddings) ----------------------------------
+#
+# The non-parametric classifier leg over the labeled embedding corpus:
+# deterministic md5 80/20 train/test split, each test vector labeled
+# by the MAJORITY of its k=5 nearest TRAIN neighbors by exact cosine
+# (ties: higher vote count, then smaller label), per-label held-out
+# accuracy. On synthetic random embeddings the labels are independent
+# of geometry, so the expected accuracy is the ~1/|labels| chance
+# floor and the operator is a CALIBRATION audit (a score above chance
+# flags leakage); on a real corpus it is the standard embedding-
+# quality probe (kNN accuracy tracks linear-probe accuracy). Test
+# side broadcasts against the train scan (the cosine_topk shape) —
+# at larger test fractions flip to the IVF/LSH bucketed path.
+
+_KNN_K = 5
+_KNN_SPLIT_DUCK = (
+    "CAST(('0x' || substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 100"
+)
+
+_KNN_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+_KNN_ORACLE = f"""
+    WITH split AS (
+        SELECT vec_id, embedding, label,
+               {_KNN_SPLIT_DUCK} < 80 AS is_train
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, embedding, label, is_train,
+               sqrt({_KNN_DOT.format(a="embedding", b="embedding")})
+                   AS norm
+        FROM split
+    ), scored AS (
+        SELECT q.vec_id AS test_id, q.label AS true_label,
+               c.label AS cand_label,
+               {_KNN_DOT.format(a="q.embedding", b="c.embedding")}
+                   / (q.norm * c.norm) AS cosine,
+               c.vec_id AS cand_id
+        FROM normed q JOIN normed c ON c.is_train
+        WHERE NOT q.is_train
+    ), topk AS (
+        SELECT test_id, true_label, cand_label
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                          ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_KNN_K}
+    ), votes AS (
+        SELECT test_id, true_label, cand_label,
+               CAST(count(*) AS BIGINT) AS v
+        FROM topk GROUP BY test_id, true_label, cand_label
+    ), pred AS (
+        SELECT test_id, true_label, cand_label AS predicted
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                          ORDER BY v DESC, cand_label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (predicted = true_label) AS BIGINT)
+               AS n_correct,
+           CAST(1000 * count(*) FILTER (predicted = true_label)
+                // count(*) AS BIGINT) AS accuracy_permille
+    FROM pred
+    GROUP BY true_label
+    ORDER BY true_label
+"""
+
+
+@register(
+    "ml_knn_label_eval",
+    oracle=_KNN_ORACLE,
+    tags=("ml", "eval", "similarity", "llm"),
+    doc="k-NN (k=5) label classification over the labeled embedding "
+    "corpus with a deterministic md5 80/20 split: exact-cosine "
+    "nearest train neighbors (ordered double fold, rank ties to the "
+    "smaller vec_id), majority vote (ties to the smaller label), "
+    "per-label held-out accuracy. The standard embedding-quality "
+    "probe — kNN accuracy tracks linear-probe accuracy on real "
+    "corpora; on THIS synthetic corpus labels are independent of "
+    "geometry, so the output is a chance-floor calibration audit "
+    "(~1/|labels|) and anything above it would flag leakage. Plan: "
+    "the test side broadcasts against the train scan (the "
+    "cosine_topk shape — one shuffle on test_id for the rank "
+    "window); at larger test fractions the IVF/LSH bucketed arms "
+    "are the scale path.",
+)
+def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dynamodb_stream_processor_2_0_spark.operators.similarity import (
+        _dot_fold,
+        with_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.expr(
+            "CAST(conv(substr(md5(concat('knn:', "
+            "CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100 < 80"
+        ).alias("is_train"),
+    )
+    normed = with_norm(emb)
+    train = normed.filter("is_train").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_vec"),
+        F.col("label").alias("cand_label"),
+        F.col("norm").alias("cand_norm"),
+    )
+    test = normed.filter("NOT is_train").select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("test_vec"),
+        F.col("label").alias("true_label"),
+        F.col("norm").alias("test_norm"),
+    )
+    scored = train.join(F.broadcast(test), F.lit(True)).select(
+        "test_id",
+        "true_label",
+        "cand_label",
+        "cand_id",
+        (
+            _dot_fold("test_vec", "cand_vec")
+            / (F.col("test_norm") * F.col("cand_norm"))
+        ).alias("cosine"),
+    )
+    wrank = W.partitionBy("test_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("test_id", "true_label", "cand_label")
+    )
+    votes = topk.groupBy("test_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wv = W.partitionBy("test_id").orderBy(
+        F.col("v").desc(), F.col("cand_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter("rn = 1")
+        .select("test_id", "true_label", F.col("cand_label").alias("predicted"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(count_if(predicted = true_label) AS BIGINT)"
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_test",
+            "n_correct",
+            F.expr("CAST(1000 * n_correct div n_test AS BIGINT)").alias(
+                "accuracy_permille"
+            ),
+        )
+        .orderBy("true_label")
+    )

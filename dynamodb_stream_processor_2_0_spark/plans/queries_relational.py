@@ -2704,3 +2704,64 @@ def events_replay_pair_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "cents", "event_id_a", "event_id_b")
     )
+
+
+_CORR_SUBQ_SQL = """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN c.cents > (
+                    SELECT CAST(sum(c2.cents) AS BIGINT)
+                           / CAST(count(*) AS BIGINT)
+                    FROM c c2
+                    WHERE c2.c_nationkey = c.c_nationkey)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_nation_avg,
+           CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_urgent_order,
+           CAST(sum(CASE WHEN NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_without_orders
+    FROM c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@register(
+    "sql_correlated_subquery_battery",
+    oracle=_CORR_SUBQ_SQL,
+    tags=("relational", "sql-api"),
+    doc="SQL front-end: correlated-subquery battery — a scalar "
+    "correlated aggregate subquery (customer balance vs the "
+    "same-nation average, exact integer sum/count so the double "
+    "division is bit-identical), a correlated EXISTS (has an URGENT "
+    "order) and a correlated NOT EXISTS (no orders at all) — the "
+    "SAME ANSI string runs on both engines. The point is the PLAN: "
+    "Catalyst decorrelates all three into aggregate/semi/anti "
+    "JOINS (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery) "
+    "— no per-row subplan execution, which is what makes the "
+    "correlated form safe at 100 TB (a per-row rewrite would be a "
+    "nested loop over the fact table). Asserted by the plan-shape "
+    "test: the physical plan contains joins, never an InSubquery/ "
+    "ScalarSubquery node surviving to execution on the row path.",
+)
+def sql_correlated_subquery_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dynamodb_stream_processor_2_0_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SUBQ_SQL)

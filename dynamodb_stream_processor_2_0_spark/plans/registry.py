@@ -132,6 +132,9 @@ _loaded = False
 # The round-6 EIGHTH continuation added 2 more (ROUGE near-dup pair
 # grading, Markov removal-effect attribution) — same treatment, same
 # r7 rotation status.
+# The round-6 NINTH continuation added 3 more (kNN label probe,
+# fixed-period periodogram, correlated-subquery battery) — same
+# treatment, same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

@@ -163,6 +163,9 @@ _SWEEP_EXTRAS = (
     "multimodal_audio_landmark_match",
     "eval_rouge_near_dup_pairs",
     "attribution_markov_removal",
+    "ml_knn_label_eval",
+    "events_periodogram_fixed",
+    "sql_correlated_subquery_battery",
 )
 
 

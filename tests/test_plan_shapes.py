@@ -260,3 +260,15 @@ def test_skew_profile_partial_aggregates(spark, sf_dir):
     HashAggregate pair."""
     plan = _executed_plan(registry.get("data_skew_profile").fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 8
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_dir):
+    """The correlated-subquery battery must compile to JOINS — a
+    per-row subquery node surviving to the physical row path would be
+    a nested loop over the fact table at 100 TB."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    df = registry.get("sql_correlated_subquery_battery").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") >= 3
+    assert "InSubqueryExec" not in plan

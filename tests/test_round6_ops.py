@@ -1139,3 +1139,69 @@ def test_markov_removal_sole_path_channel(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- ninth-continuation batch ---------------------------------------------------
+
+
+def test_knn_clustered_labels_score_1000(spark):
+    """Embeddings whose geometry matches their labels (tight one-hot
+    clusters) must classify perfectly under the 5-NN majority vote."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="knn_")
+    try:
+        rows = []
+        vid = 0
+        for lab in range(3):
+            base = [0.0] * 8
+            base[lab] = 10.0
+            for j in range(20):
+                v = list(base)
+                v[(lab + 3) % 8] = 0.01 * j
+                rows.append((vid, [float(x) for x in v], lab))
+                vid += 1
+        _write_embeddings(spark, rows, d)
+        out = registry.get("ml_knn_label_eval").fn(spark, d).collect()
+        assert out, "no test rows from the 80/20 split"
+        for r in out:
+            assert r["accuracy_permille"] == 1000, r
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_periodogram_weekly_cycle_peaks_at_7(spark):
+    """A planted 7-day cycle in click volume must put the P=7 power
+    far above every other candidate period for that type."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="pg_")
+    try:
+        rows = []
+        eid = 0
+        for day in range(1, 29):
+            n = 12 if day % 7 == 0 else 2
+            for _ in range(n):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} 09:00:00", eid % 5, "click", 1.0)
+                )
+                eid += 1
+        _write_events(spark, rows, d)
+        out = {
+            r["period_days"]: r["power_permille"]
+            for r in registry.get("events_periodogram_fixed")
+            .fn(spark, d)
+            .collect()
+            if r["event_type"] == "click"
+        }
+        assert set(out) == {2, 3, 7, 14}
+        assert out[7] == max(out.values())
+        assert out[7] >= 2 * max(out[2], out[3])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -475,6 +475,10 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("markov_removal", _registered("attribution_markov_removal"),
          evdir1, evdir_n),
+        ("knn_label_eval", _registered("ml_knn_label_eval"),
+         embdir1, embdir_n),
+        ("periodogram", _registered("events_periodogram_fixed"),
+         evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

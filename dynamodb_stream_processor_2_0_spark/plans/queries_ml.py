@@ -1246,14 +1246,18 @@ _KNN_ORACLE = f"""
                sqrt({_KNN_DOT.format(a="embedding", b="embedding")})
                    AS norm
         FROM split
+    ), probes AS (
+        SELECT vec_id, embedding, label, norm
+        FROM normed WHERE NOT is_train
+        ORDER BY md5('knnp:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 512
     ), scored AS (
         SELECT q.vec_id AS test_id, q.label AS true_label,
                c.label AS cand_label,
                {_KNN_DOT.format(a="q.embedding", b="c.embedding")}
                    / (q.norm * c.norm) AS cosine,
                c.vec_id AS cand_id
-        FROM normed q JOIN normed c ON c.is_train
-        WHERE NOT q.is_train
+        FROM probes q JOIN normed c ON c.is_train
     ), topk AS (
         SELECT test_id, true_label, cand_label
         FROM (
@@ -1297,11 +1301,14 @@ _KNN_ORACLE = f"""
     "probe — kNN accuracy tracks linear-probe accuracy on real "
     "corpora; on THIS synthetic corpus labels are independent of "
     "geometry, so the output is a chance-floor calibration audit "
-    "(~1/|labels|) and anything above it would flag leakage. Plan: "
-    "the test side broadcasts against the train scan (the "
-    "cosine_topk shape — one shuffle on test_id for the rank "
-    "window); at larger test fractions the IVF/LSH bucketed arms "
-    "are the scale path.",
+    "(~1/|labels|) and anything above it would flag leakage. The "
+    "probe set is CAPPED at 512 deterministic md5-ordered test "
+    "vectors (TakeOrderedAndProject), so the brute-force arm is "
+    "O(512 * n_train) — LINEAR in corpus size by construction "
+    "(uncapped, both sides grow and the scoring is quadratic: "
+    "measured 18x at 10x rows before the cap). The 512-probe "
+    "broadcast rides the cosine_topk shape; exhaustive-probe "
+    "grading belongs on the IVF/LSH bucketed arms.",
 )
 def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1328,11 +1335,19 @@ def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cand_label"),
         F.col("norm").alias("cand_norm"),
     )
-    test = normed.filter("NOT is_train").select(
-        F.col("vec_id").alias("test_id"),
-        F.col("embedding").alias("test_vec"),
-        F.col("label").alias("true_label"),
-        F.col("norm").alias("test_norm"),
+    test = (
+        normed.filter("NOT is_train")
+        .orderBy(
+            F.expr("md5(concat('knnp:', CAST(vec_id AS STRING)))"),
+            "vec_id",
+        )
+        .limit(512)
+        .select(
+            F.col("vec_id").alias("test_id"),
+            F.col("embedding").alias("test_vec"),
+            F.col("label").alias("true_label"),
+            F.col("norm").alias("test_norm"),
+        )
     )
     scored = train.join(F.broadcast(test), F.lit(True)).select(
         "test_id",

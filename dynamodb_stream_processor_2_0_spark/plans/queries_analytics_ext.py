@@ -8901,3 +8901,111 @@ def events_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("power_permille"),
     ).orderBy("event_type", "period_days")
+
+
+# --- candidate-key (uniqueness) discovery --------------------------------------
+#
+# Completes the profiling trio: schema_fd_discovery mines
+# within-table dependencies, schema_ind_discovery the cross-table
+# join lattice, and this pass mines the KEYS — per candidate column:
+# distinct count, null count, uniqueness ratio, and the is_key
+# verdict (unique AND non-null). The battery mixes true PKs, true
+# non-keys, an FK (high-cardinality non-key), and a composite check
+# (lineitem needs (orderkey, linenumber) — each alone fails, the
+# pair passes), so the report discriminates. Every arm is one
+# map-side-combinable distinct/count aggregate per table scan.
+
+_KEYD_CANDIDATES = (
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_orderkey || '#' || l_linenumber"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+
+def _keyd_oracle() -> str:
+    arms = []
+    for table, col in _KEYD_CANDIDATES:
+        label = col.replace(" || '#' || ", "+")
+        arms.append(f"""        SELECT '{table}' AS table_name,
+               '{label}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count({col}) AS BIGINT) AS n_nulls
+        FROM {table}""")
+    u = "\n        UNION ALL\n".join(arms)
+    return f"""
+        SELECT table_name, column_name, n_rows, n_distinct, n_nulls,
+               n_distinct = n_rows AND n_nulls = 0 AS is_key,
+               CAST(1000 * n_distinct // n_rows AS BIGINT)
+                   AS uniqueness_permille
+        FROM ({u})
+        ORDER BY table_name, column_name
+    """
+
+
+@register(
+    "schema_key_discovery",
+    oracle=_keyd_oracle(),
+    tags=("quality", "profile"),
+    doc="Candidate-key discovery over a 10-column battery spanning "
+    "all six relational tables plus events/documents: per candidate, "
+    "distinct count, null count, uniqueness permille, and the is_key "
+    "verdict (unique AND non-null). Deliberately mixes true PKs, a "
+    "low-cardinality non-key (c_nationkey), a high-cardinality FK "
+    "that is NOT a key (o_custkey), and the composite probe "
+    "(l_orderkey alone vs l_orderkey+l_linenumber) — which on THIS "
+    "fixture exposes a genuine data-quality fact: the synthetic "
+    "generator does not enforce TPC-H's composite PK (duplicate "
+    "pairs exist), and the profiler reports it instead of assuming "
+    "the textbook schema. Completes the "
+    "profiling trio with schema_fd_discovery (within-table) and "
+    "schema_ind_discovery (cross-table). Each arm is one "
+    "map-side-combinable distinct/count aggregate; shuffles carry "
+    "distinct values only, bounded by key cardinality.",
+)
+def schema_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = []
+    for table, col in _KEYD_CANDIDATES:
+        label = col.replace(" || '#' || ", "+")
+        df = load_table(spark, sf_dir, table)
+        arms.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr(f"CAST(count(DISTINCT {col}) AS BIGINT)").alias(
+                    "n_distinct"
+                ),
+                F.expr(
+                    f"CAST(count(1) - count({col}) AS BIGINT)"
+                ).alias("n_nulls"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(label).alias("column_name"),
+                "n_rows",
+                "n_distinct",
+                "n_nulls",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        (
+            (F.col("n_distinct") == F.col("n_rows"))
+            & (F.col("n_nulls") == 0)
+        ).alias("is_key"),
+        F.expr("CAST(1000 * n_distinct div n_rows AS BIGINT)").alias(
+            "uniqueness_permille"
+        ),
+    ).orderBy("table_name", "column_name")

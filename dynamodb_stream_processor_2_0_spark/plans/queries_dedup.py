@@ -2411,3 +2411,156 @@ def eval_rouge_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- dedup-method agreement audit ----------------------------------------------
+#
+# Do MinHash-LSH and SimHash agree on WHICH pairs are near-dups?
+# The two families sample different similarity structure (shingle-set
+# Jaccard vs hyperplane cosine on token frequencies), so their
+# candidate sets diverge exactly where dedup policy is riskiest. The
+# audit reports |A|, |B|, the intersection, Jaccard and Dice overlap
+# of the PAIR SETS, and the split of disagreements — one full outer
+# join of two already-tiny candidate relations. High agreement means
+# either detector alone suffices; skewed disagreement says which
+# recall profile the corpus actually exercises.
+
+
+def _method_agreement_oracle() -> str:
+    return f"""
+        WITH mh AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()})
+        ), fp AS (
+            {dedup.simhash_oracle_sql(bits=32)}
+        ), banded AS (
+            SELECT doc_id, b.band,
+                   (simhash // CAST(2 ** (8 * b.band) AS BIGINT)) % 256
+                       AS byte_sig,
+                   simhash
+            FROM fp, (VALUES (0), (1), (2), (3)) AS b(band)
+        ), sh AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.byte_sig = b.byte_sig
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ), u AS (
+            SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+                   COALESCE(m.doc_b, s.doc_b) AS doc_b,
+                   m.doc_a IS NOT NULL AS in_mh,
+                   s.doc_a IS NOT NULL AS in_sh
+            FROM mh m
+            FULL OUTER JOIN sh s
+              ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+        )
+        SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_minhash,
+               CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_simhash,
+               CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_minhash_only,
+               CAST(sum(CASE WHEN in_sh AND NOT in_mh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_simhash_only,
+               CAST(1000 * sum(CASE WHEN in_mh AND in_sh
+                                    THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS jaccard_permille,
+               CAST(2000 * sum(CASE WHEN in_mh AND in_sh
+                                    THEN 1 ELSE 0 END)
+                    // (sum(CASE WHEN in_mh THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN in_sh THEN 1 ELSE 0 END))
+                    AS BIGINT) AS dice_permille
+        FROM u
+    """
+
+
+@register(
+    "eval_dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    tags=("dedup", "eval", "llm"),
+    doc="Method-agreement audit between the two near-dup detector "
+    "families: MinHash-LSH (shingle-set Jaccard) vs SimHash byte-"
+    "blocked Hamming<=3 (hyperplane cosine on token frequencies) — "
+    "pair-set Jaccard/Dice overlap plus the disagreement split. The "
+    "detectors sample DIFFERENT similarity structure, so their "
+    "divergence marks exactly the pairs where dedup policy is "
+    "riskiest; high agreement licenses running one detector alone, "
+    "and a skewed split says which recall profile the corpus "
+    "exercises. One full outer join of two already-banded candidate "
+    "relations (both orders of magnitude smaller than the corpus); "
+    "both detector pipelines are the registered production operators "
+    "reused verbatim.",
+)
+def eval_dedup_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mh = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    fp = dedup.simhash(docs, bits=32)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        "byte_sig",
+        F.expr("(simhash div shiftleft(1L, 8 * band)) % 256"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "byte_sig",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "byte_sig",
+        F.col("simhash").alias("sh_b"),
+    )
+    sh = (
+        a.join(b, ["band", "byte_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    u = mh.withColumn("in_mh", F.lit(True)).join(
+        sh.withColumn("in_sh", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    ).select(
+        F.coalesce("in_mh", F.lit(False)).alias("in_mh"),
+        F.coalesce("in_sh", F.lit(False)).alias("in_sh"),
+    )
+    return u.agg(
+        F.expr("CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_minhash"
+        ),
+        F.expr("CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_simhash"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_both"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_minhash_only"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_sh AND NOT in_mh THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_simhash_only"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0"
+            " END) div count(1) AS BIGINT)"
+        ).alias("jaccard_permille"),
+        F.expr(
+            "CAST(2000 * sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0"
+            " END) div (sum(CASE WHEN in_mh THEN 1 ELSE 0 END)"
+            " + sum(CASE WHEN in_sh THEN 1 ELSE 0 END)) AS BIGINT)"
+        ).alias("dice_permille"),
+    )

@@ -406,3 +406,173 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --- Neyman optimal stratified-sample allocation --------------------------------
+#
+# The survey-sampling completion of the sampling family (stratified =
+# equal-rate, quota = fixed-per-stratum): Neyman allocation puts the
+# budget where the VARIANCE is — n_h ∝ N_h * S_h minimizes the
+# estimator variance of the stratified mean for a fixed budget. The
+# per-stratum N_h*S_h is exactly sqrt(N_h*ssq_h - s_h^2) (the
+# variance times N_h^2), computed as a deterministic integer sqrt:
+# the operand is right-shifted by a shared EVEN bit count until it
+# fits double-exact range (<2^52), floor(sqrt(double)) of an exactly
+# representable integer is IEEE-identical in both engines, and the
+# result shifts back — the OLS digit-drop pattern, base 4. Seats are
+# apportioned by Hamilton largest-remainder (exact budget total);
+# the remainder rank rides the broadcast triangular join (no
+# single-partition window, the sign-flip FDR pattern).
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ISQRT = """
+    CASE WHEN {x} <= 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor(sqrt(CAST(({x})
+                  >> (2 * (CASE WHEN length(bin({x})) > 52
+                           THEN (length(bin({x})) - 51) // 2
+                           ELSE 0 END))
+              AS DOUBLE)))
+              AS BIGINT)
+              << (CASE WHEN length(bin({x})) > 52
+                  THEN (length(bin({x})) - 51) // 2
+                  ELSE 0 END)
+    END
+"""
+
+
+def _neyman_oracle() -> str:
+    isq = _NEYMAN_ISQRT.format(x="n_h * ssq - s * s")
+    return f"""
+        WITH strata AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_h,
+                   CAST(sum(n_chars) AS BIGINT) AS s,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq
+            FROM documents GROUP BY source
+        ), weighted AS (
+            SELECT source, n_h, {isq} AS w
+            FROM strata
+        ), tot AS (
+            SELECT CAST(sum(w) AS BIGINT) AS wt FROM weighted
+        ), seats AS (
+            SELECT w.source, w.n_h, w.w,
+                   CAST({_NEYMAN_BUDGET} * w.w // t.wt AS BIGINT)
+                       AS base,
+                   CAST(({_NEYMAN_BUDGET} * w.w) % t.wt AS BIGINT)
+                       AS rem
+            FROM weighted w CROSS JOIN tot t
+        ), ranked AS (
+            SELECT a.*,
+                   CAST(1 + (SELECT count(*) FROM seats b
+                             WHERE b.rem > a.rem
+                                OR (b.rem = a.rem
+                                    AND b.source < a.source))
+                        AS BIGINT) AS rk,
+                   (SELECT CAST({_NEYMAN_BUDGET} - sum(base) AS BIGINT)
+                    FROM seats) AS leftover
+            FROM seats a
+        )
+        SELECT source, n_h, w AS neyman_weight,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_alloc,
+               CAST(least(base + CASE WHEN rk <= leftover
+                                      THEN 1 ELSE 0 END, n_h)
+                    AS BIGINT) AS n_alloc_capped,
+               CAST(1000 * (base + CASE WHEN rk <= leftover
+                                        THEN 1 ELSE 0 END)
+                    // n_h AS BIGINT) AS sample_rate_permille
+        FROM ranked
+        ORDER BY source
+    """
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=_neyman_oracle(),
+    tags=("sample", "llm", "stats"),
+    doc="Neyman optimal stratified-sample allocation over document "
+    "sources: budget seats n_h proportional to N_h*S_h (stratum size "
+    "times stddev of n_chars) — the allocation minimizing the "
+    "stratified-mean variance at fixed budget; the completion of the "
+    "sampling family beside equal-rate stratified and fixed quota. "
+    "N_h*S_h = sqrt(N_h*ssq - s^2) exactly, via a deterministic "
+    "integer sqrt (shared even-bit right-shift into double-exact "
+    "range, IEEE floor(sqrt), shift back — the OLS digit-drop "
+    "pattern in base 4); Hamilton largest-remainder apportionment "
+    "makes the allocations sum to the budget exactly, with the "
+    "remainder rank on the broadcast triangular join (no "
+    "single-partition window). One stratum rollup + O(strata^2) "
+    "tiny rank work; output O(strata).",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    isq = _NEYMAN_ISQRT.replace("//", "div").format(x="n_h * ssq - s * s")
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("long")
+        .alias("ssq"),
+    )
+    weighted = strata.select(
+        "source", "n_h", F.expr(f"CAST({isq} AS BIGINT)").alias("w")
+    )
+    tot = F.broadcast(weighted.agg(F.sum("w").cast("long").alias("wt")))
+    seats = weighted.crossJoin(tot).select(
+        "source",
+        "n_h",
+        "w",
+        F.expr(f"CAST({_NEYMAN_BUDGET} * w div wt AS BIGINT)").alias(
+            "base"
+        ),
+        F.expr(f"CAST(({_NEYMAN_BUDGET} * w) % wt AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    other = F.broadcast(
+        seats.select(
+            F.col("source").alias("o_source"), F.col("rem").alias("o_rem")
+        )
+    )
+    ranked = (
+        seats.join(
+            other,
+            (F.col("o_rem") > F.col("rem"))
+            | (
+                (F.col("o_rem") == F.col("rem"))
+                & (F.col("o_source") < F.col("source"))
+            ),
+            "left",
+        )
+        .groupBy("source", "n_h", "w", "base", "rem")
+        .agg((F.count("o_source") + 1).cast("long").alias("rk"))
+    )
+    leftover = F.broadcast(
+        seats.agg(
+            F.expr(
+                f"CAST({_NEYMAN_BUDGET} - sum(base) AS BIGINT)"
+            ).alias("leftover")
+        )
+    )
+    return (
+        ranked.crossJoin(leftover)
+        .select(
+            "source",
+            "n_h",
+            F.col("w").alias("neyman_weight"),
+            F.expr(
+                "CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("n_alloc"),
+            F.expr(
+                "CAST(least(base + CASE WHEN rk <= leftover THEN 1"
+                " ELSE 0 END, n_h) AS BIGINT)"
+            ).alias("n_alloc_capped"),
+            F.expr(
+                "CAST(1000 * (base + CASE WHEN rk <= leftover"
+                " THEN 1 ELSE 0 END) div n_h AS BIGINT)"
+            ).alias("sample_rate_permille"),
+        )
+        .orderBy("source")
+    )

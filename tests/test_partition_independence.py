@@ -166,6 +166,9 @@ _SWEEP_EXTRAS = (
     "ml_knn_label_eval",
     "events_periodogram_fixed",
     "sql_correlated_subquery_battery",
+    "schema_key_discovery",
+    "sample_neyman_allocation",
+    "eval_dedup_method_agreement",
 )
 
 

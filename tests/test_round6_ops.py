@@ -1205,3 +1205,101 @@ def test_periodogram_weekly_cycle_peaks_at_7(spark):
         assert out[7] >= 2 * max(out[2], out[3])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- tenth-continuation batch ----------------------------------------------------
+
+
+def test_key_discovery_fixture_truths(spark, sf_dir):
+    """Known key structure of the fixture: PKs are keys, the FK and
+    the low-cardinality column are not, and the lineitem composite
+    passes where the single column fails."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in registry.get("schema_key_discovery").fn(spark, sf_dir).collect()
+    }
+    assert rows[("customer", "c_custkey")]["is_key"]
+    assert rows[("orders", "o_orderkey")]["is_key"]
+    # the synthetic generator does NOT enforce TPC-H's composite PK
+    # (duplicate (orderkey, linenumber) pairs exist) — the profiler's
+    # job is to report that honestly: composite is still far more
+    # unique than the single column, but not a key on this data
+    comp = rows[("lineitem", "l_orderkey+l_linenumber")]
+    single = rows[("lineitem", "l_orderkey")]
+    assert not comp["is_key"]
+    assert comp["uniqueness_permille"] > single["uniqueness_permille"]
+    assert not single["is_key"]
+    assert not rows[("customer", "c_nationkey")]["is_key"]
+    assert not rows[("orders", "o_custkey")]["is_key"]
+    for r in rows.values():
+        assert r["is_key"] == (
+            r["n_distinct"] == r["n_rows"] and r["n_nulls"] == 0
+        )
+        assert (r["uniqueness_permille"] == 1000) >= r["is_key"]
+
+
+def test_neyman_zero_variance_stratum_gets_nothing(spark):
+    """A constant-length stratum carries zero estimator variance, so
+    Neyman assigns it zero budget; allocations sum to the budget and
+    the capped column never exceeds the stratum size."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import (
+        queries_ingest_ext as Q,
+    )
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="ney_")
+    try:
+        rows = []
+        for i in range(40):  # constant length: zero variance
+            rows.append((i, "x" * 50, "en", "srcA"))
+        for i in range(40, 80):  # varying length
+            rows.append((i, "y" * (10 + 5 * (i % 13)), "en", "srcB"))
+        _stage_docs(spark, rows, d)
+        out = {
+            r["source"]: r
+            for r in registry.get("sample_neyman_allocation")
+            .fn(spark, d)
+            .collect()
+        }
+        assert out["srcA"]["neyman_weight"] == 0
+        assert out["srcA"]["n_alloc"] == 0
+        assert out["srcB"]["n_alloc"] == Q._NEYMAN_BUDGET
+        assert out["srcB"]["n_alloc_capped"] == out["srcB"]["n_h"]
+        assert (
+            sum(r["n_alloc"] for r in out.values()) == Q._NEYMAN_BUDGET
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_method_agreement_identical_docs_in_both(spark):
+    """Three byte-identical docs are near-dups under BOTH detector
+    families, so all three pairs land in the intersection."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="agree_")
+    try:
+        t = " ".join(f"w{i % 19}q{i % 5}" for i in range(80))
+        rows = [(i, t, "en", "s") for i in range(3)]
+        rows.append((3, " ".join(f"zz{i}" for i in range(80)), "en", "s"))
+        _stage_docs(spark, rows, d)
+        r = registry.get("eval_dedup_method_agreement").fn(
+            spark, d
+        ).collect()[0]
+        assert r["n_both"] >= 3
+        assert r["jaccard_permille"] > 0
+        assert r["n_minhash"] >= 3 and r["n_simhash"] >= 3
+        assert (
+            r["n_both"] + r["n_minhash_only"] + r["n_simhash_only"]
+            >= r["n_minhash"]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

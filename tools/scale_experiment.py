@@ -479,6 +479,10 @@ def main() -> None:
          embdir1, embdir_n),
         ("periodogram", _registered("events_periodogram_fixed"),
          evdir1, evdir_n),
+        ("neyman_allocation", _registered("sample_neyman_allocation"),
+         docsdir1, docsdir_n),
+        ("method_agreement", _registered("eval_dedup_method_agreement"),
+         docsdir1, docsdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -377,6 +377,56 @@ _SC_BLOCKS = 8
 _SC_CUT_BITS = 2  # Hamming > 2 of 8 signature bits => cut
 
 
+def frame_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-FRAME signature rows (doc_id, frame_idx, sig, intensity) —
+    the long-form twin of scene_cut_detect for downstream operators
+    that need the whole frame series (shot segmentation, keyframe
+    selection). Same conventions: fixed 32-byte frames (trailing
+    partial dropped), 8-bit block-intensity signature with the
+    cross-multiplied block_sum*8 > frame_total rule, intensity =
+    exact byte sum."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sigs, inten = [], [], [], []
+            for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                raw = bytes(p)
+                n_f = len(raw) // _SC_FRAME_BYTES
+                if n_f == 0:
+                    continue
+                arr = np.frombuffer(
+                    raw, dtype=np.uint8, count=n_f * _SC_FRAME_BYTES
+                ).astype(np.int64).reshape(n_f, _SC_FRAME_BYTES)
+                blocks = arr.reshape(n_f, _SC_BLOCKS, -1).sum(axis=2)
+                totals = arr.sum(axis=1)
+                bits = (blocks * _SC_BLOCKS > totals[:, None]).astype(
+                    np.int64
+                )
+                sig = (bits << np.arange(_SC_BLOCKS)).sum(axis=1)
+                for i in range(n_f):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    sigs.append(int(sig[i]))
+                    inten.append(int(totals[i]))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "sig": pd.Series(sigs, dtype="int64"),
+                 "intensity": pd.Series(inten, dtype="int64")}
+            )
+
+    return df.mapInPandas(
+        run, "doc_id long, frame_idx long, sig long, intensity long"
+    )
+
+
 def scene_cut_detect(
     df: DataFrame,
     payload_col: str = "payload",

@@ -2564,3 +2564,146 @@ def eval_dedup_method_agreement(
             " + sum(CASE WHEN in_sh THEN 1 ELSE 0 END)) AS BIGINT)"
         ).alias("dice_permille"),
     )
+
+
+# --- k-truss decomposition (k=4) over the near-dup graph -------------------------
+#
+# The cohesion filter between triangles and cliques: the k-truss is
+# the maximal subgraph where EVERY edge sits in >= k-2 triangles
+# (Cohen) — cheaper than clique mining, stricter than k-core (a
+# 4-truss edge needs 2 triangles; a 4-core node just needs 4
+# neighbors). On the near-dup graph the 4-truss isolates the
+# template/boilerplate CORES whose every pair-relation is
+# triangle-supported — exactly the families safe to collapse to one
+# exemplar. Peeling: support per edge via the compact-forward x<y<z
+# triangle join (each triangle credits its three edges), drop edges
+# below support 2, repeat — support only DECREASES, so each round is
+# a monotone filter; 4 fixed rounds peel any graph whose truss
+# settles in <=4 waves (the LSH graph settles in 2; production runs
+# the count-gated fixpoint loop the CC operator uses).
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 4
+
+
+def _ktruss_oracle() -> str:
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM "
+        f"({dedup.minhash_lsh_oracle_sql()}))"
+    ]
+    for i in range(_KTRUSS_ROUNDS):
+        ctes.append(f"""tri{i} AS MATERIALIZED (
+            SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+            FROM e{i} e1
+            JOIN e{i} e2 ON e2.doc_a = e1.doc_b
+            JOIN e{i} e3 ON e3.doc_a = e1.doc_a
+                        AND e3.doc_b = e2.doc_b
+        ), sup{i} AS MATERIALIZED (
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS support
+            FROM (
+                SELECT x AS doc_a, y AS doc_b FROM tri{i}
+                UNION ALL SELECT y, z FROM tri{i}
+                UNION ALL SELECT x, z FROM tri{i}
+            ) GROUP BY doc_a, doc_b
+        ), e{i + 1} AS MATERIALIZED (
+            SELECT e.doc_a, e.doc_b
+            FROM e{i} e JOIN sup{i} s
+              ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+            WHERE s.support >= {_KTRUSS_K - 2}
+        )""")
+    last = _KTRUSS_ROUNDS
+    return f"""
+        WITH {", ".join(ctes)},
+        tri_f AS MATERIALIZED (
+            SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+            FROM e{last} e1
+            JOIN e{last} e2 ON e2.doc_a = e1.doc_b
+            JOIN e{last} e3 ON e3.doc_a = e1.doc_a
+                           AND e3.doc_b = e2.doc_b
+        ), sup_f AS MATERIALIZED (
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS support
+            FROM (
+                SELECT x AS doc_a, y AS doc_b FROM tri_f
+                UNION ALL SELECT y, z FROM tri_f
+                UNION ALL SELECT x, z FROM tri_f
+            ) GROUP BY doc_a, doc_b
+        )
+        SELECT e.doc_a, e.doc_b, s.support
+        FROM e{last} e JOIN sup_f s
+          ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+        ORDER BY e.doc_a, e.doc_b
+    """
+
+
+@register(
+    "graph_ktruss_edges",
+    oracle=_ktruss_oracle(),
+    tags=("dedup", "graph", "llm", "scale"),
+    doc="4-truss decomposition of the MinHash-LSH near-dup graph "
+    "(Cohen): peel edges whose triangle support drops below k-2=2 "
+    "until stable — the cohesion filter between triangle counting "
+    "and clique mining, and stricter than k-core (a 4-truss edge "
+    "needs 2 supporting triangles, not just 4 neighbors). The "
+    "surviving edges mark template/boilerplate CORES whose every "
+    "pair is triangle-supported — the families safe to collapse to "
+    "one exemplar. Each peel round is the compact-forward x<y<z "
+    "triangle join + a 3-way edge-credit rollup + a monotone filter "
+    "(support only decreases); 4 fixed rounds with per-round "
+    "localCheckpoint (the LSH graph settles in 2; production runs "
+    "the count-gated fixpoint loop the CC operator uses). All work "
+    "is on the post-banding edge list — the corpus never re-enters.",
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        dedup.minhash_lsh_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+
+    def support(edges):
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+            .join(
+                e3,
+                (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+            )
+            .select(
+                F.col("e1.doc_a").alias("x"),
+                F.col("e1.doc_b").alias("y"),
+                F.col("e2.doc_b").alias("z"),
+            )
+        )
+        credits = (
+            tri.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+            .unionAll(
+                tri.select(
+                    F.col("y").alias("doc_a"), F.col("z").alias("doc_b")
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.col("x").alias("doc_a"), F.col("z").alias("doc_b")
+                )
+            )
+        )
+        return credits.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+
+    for _ in range(_KTRUSS_ROUNDS):
+        sup = support(e)
+        e = (
+            e.join(sup, ["doc_a", "doc_b"])
+            .filter(F.col("support") >= _KTRUSS_K - 2)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    final_sup = support(e)
+    return (
+        e.join(final_sup, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "support")
+        .orderBy("doc_a", "doc_b")
+    )

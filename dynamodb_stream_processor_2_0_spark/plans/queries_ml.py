@@ -1396,3 +1396,198 @@ def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# --- feature-label mutual information (feature selection) ----------------------
+#
+# Filter-method feature selection: MI(X; Y) between banded lineitem
+# features and the return-flag label, in exact integer MILLIBITS via
+# the same piecewise-linear integer log2 the NB classifier uses
+# (k*1000 + (r-2^k)*1000/2^k on 1024-scaled ratios) — the lift ratio
+# p(x,y)/(p(x)p(y)) enters as the exact integer fraction
+# c_xy*n / (c_x*c_y), sign-split so ratios below 1 contribute their
+# negative term exactly. Normalized by the label entropy H(Y) (same
+# log) to the uncertainty-coefficient permille, so features are
+# comparable across datasets. One (feature, x, y) cell rollup per
+# feature — map-side combinable, O(bands * 2) cells out of any
+# corpus.
+
+_MI_FEATURES = (
+    ("qty_band10", "CAST(l_quantity AS BIGINT) // 10"),
+    ("discount_pct", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("ship_month", "CAST(month(l_shipdate) AS BIGINT)"),
+)
+
+
+def _mi_ml2(r: str, div: str) -> str:
+    """Milli-log2 of the 1024-scaled integer ratio {r} (>= 1)."""
+    return (
+        f"((length(bin({r})) - 1) * 1000"
+        f" + (({r} - (CAST(1 AS BIGINT) << (length(bin({r})) - 1)))"
+        f" * 1000) {div} (CAST(1 AS BIGINT) << (length(bin({r})) - 1))"
+        f" - 10000)"
+    )
+
+
+def _mi_oracle() -> str:
+    arms = []
+    for fname, fexpr in _MI_FEATURES:
+        fexpr_d = fexpr
+        arms.append(f"""        SELECT '{fname}' AS feature, {fexpr_d} AS x,
+               CAST(l_returnflag = 'R' AS BIGINT) AS y
+        FROM lineitem""")
+    u = "\n        UNION ALL\n".join(arms)
+    up = "(CAST(cxy AS HUGEINT) * n * 1024) // (CAST(cx AS HUGEINT) * cy)"
+    dn = "(CAST(cx AS HUGEINT) * cy * 1024) // (CAST(cxy AS HUGEINT) * n)"
+    hy_r = "(CAST(n AS HUGEINT) * 1024) // cy"
+    return f"""
+        WITH rows_ AS ({u}),
+        cells AS (
+            SELECT feature, x, y, CAST(count(*) AS BIGINT) AS cxy
+            FROM rows_ GROUP BY feature, x, y
+        ), xs AS (
+            SELECT feature, x, CAST(sum(cxy) AS BIGINT) AS cx
+            FROM cells GROUP BY feature, x
+        ), ys AS (
+            SELECT feature, y, CAST(sum(cxy) AS BIGINT) AS cy,
+                   CAST(sum(sum(cxy)) OVER (PARTITION BY feature)
+                        AS BIGINT) AS n
+            FROM cells GROUP BY feature, y
+        ), terms AS (
+            SELECT c.feature, c.cxy, ys.n,
+                   CASE WHEN CAST(c.cxy AS HUGEINT) * ys.n
+                             >= CAST(xs.cx AS HUGEINT) * ys.cy
+                        THEN CAST({_mi_ml2(up, "//")} AS BIGINT)
+                        ELSE -CAST({_mi_ml2(dn, "//")} AS BIGINT)
+                   END AS ml2_milli
+            FROM cells c
+            JOIN xs ON xs.feature = c.feature AND xs.x = c.x
+            JOIN ys ON ys.feature = c.feature AND ys.y = c.y
+        ), mi AS (
+            SELECT feature, max(n) AS n,
+                   CAST(sum(CAST(cxy AS HUGEINT) * ml2_milli)
+                        // max(n) AS BIGINT) AS mi_millibits
+            FROM terms GROUP BY feature
+        ), hy AS (
+            SELECT feature,
+                   CAST(sum(CAST(cy AS HUGEINT)
+                            * {_mi_ml2(hy_r, "//")})
+                        // max(n) AS BIGINT) AS h_y_millibits
+            FROM ys GROUP BY feature
+        )
+        SELECT m.feature, m.n AS n_rows, m.mi_millibits,
+               h.h_y_millibits,
+               CASE WHEN h.h_y_millibits = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1000 * greatest(m.mi_millibits, 0)
+                              // h.h_y_millibits AS BIGINT)
+               END AS uncertainty_coeff_permille
+        FROM mi m JOIN hy h ON h.feature = m.feature
+        ORDER BY m.feature
+    """
+
+
+@register(
+    "ml_feature_mutual_information",
+    oracle=_mi_oracle(),
+    tags=("ml", "stats", "eval"),
+    doc="Filter-method feature selection: mutual information between "
+    "banded lineitem features (quantity decade, discount percent, "
+    "ship month) and the return-flag label, in exact integer "
+    "millibits — the lift p(x,y)/(p(x)p(y)) enters as the integer "
+    "fraction c_xy*n/(c_x*c_y) through the piecewise-linear integer "
+    "log2 (the NB classifier's), sign-split so sub-1 ratios "
+    "contribute their negative terms exactly. Normalized to the "
+    "uncertainty coefficient MI/H(Y) in permille so features are "
+    "comparable. On this label-independent fixture all three MIs "
+    "sit at the ~0 noise floor — the calibration reading; a planted "
+    "dependent feature in the behavior test scores the full H(Y). "
+    "One (feature, band, label) cell rollup per feature, map-side "
+    "combinable, O(bands*2) cells at any corpus size.",
+)
+def ml_feature_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    arms = []
+    for fname, fexpr in _MI_FEATURES:
+        arms.append(
+            li.selectExpr(
+                f"'{fname}' AS feature",
+                f"{fexpr.replace('//', 'div')} AS x",
+                "CAST(l_returnflag = 'R' AS BIGINT) AS y",
+            )
+        )
+    rows = arms[0]
+    for a in arms[1:]:
+        rows = rows.unionByName(a)
+    cells = rows.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cxy")
+    )
+    xs = cells.groupBy("feature", "x").agg(
+        F.sum("cxy").cast("long").alias("cx")
+    )
+    wf = W.partitionBy("feature")
+    ys = (
+        cells.groupBy("feature", "y")
+        .agg(F.sum("cxy").cast("long").alias("cy"))
+        .select(
+            "feature",
+            "y",
+            "cy",
+            F.sum("cy").over(wf).cast("long").alias("n"),
+        )
+    )
+    up = (
+        "(CAST(cxy AS DECIMAL(38,0)) * n * 1024)"
+        " div (CAST(cx AS DECIMAL(38,0)) * cy)"
+    )
+    dn = (
+        "(CAST(cx AS DECIMAL(38,0)) * cy * 1024)"
+        " div (CAST(cxy AS DECIMAL(38,0)) * n)"
+    )
+    terms = (
+        cells.join(xs, ["feature", "x"])
+        .join(ys, ["feature", "y"])
+        .select(
+            "feature",
+            "cxy",
+            "n",
+            F.expr(
+                f"CASE WHEN CAST(cxy AS DECIMAL(38,0)) * n"
+                f" >= CAST(cx AS DECIMAL(38,0)) * cy"
+                f" THEN CAST({_mi_ml2(up, 'div')} AS BIGINT)"
+                f" ELSE -CAST({_mi_ml2(dn, 'div')} AS BIGINT) END"
+            ).alias("ml2_milli"),
+        )
+    )
+    mi = terms.groupBy("feature").agg(
+        F.max("n").alias("n_rows"),
+        F.expr(
+            "CAST(sum(CAST(cxy AS DECIMAL(38,0)) * ml2_milli)"
+            " div max(n) AS BIGINT)"
+        ).alias("mi_millibits"),
+    )
+    hy_r = "(CAST(n AS DECIMAL(38,0)) * 1024) div cy"
+    hy = ys.groupBy("feature").agg(
+        F.expr(
+            f"CAST(sum(CAST(cy AS DECIMAL(38,0))"
+            f" * {_mi_ml2(hy_r, 'div')}) div max(n) AS BIGINT)"
+        ).alias("h_y_millibits")
+    )
+    return (
+        mi.join(hy, "feature")
+        .select(
+            "feature",
+            "n_rows",
+            "mi_millibits",
+            "h_y_millibits",
+            F.expr(
+                "CASE WHEN h_y_millibits = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(1000 * greatest(mi_millibits, 0)"
+                " div h_y_millibits AS BIGINT) END"
+            ).alias("uncertainty_coeff_permille"),
+        )
+        .orderBy("feature")
+    )

@@ -497,3 +497,161 @@ def multimodal_audio_landmark_match(
         .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
         .limit(25)
     )
+
+
+# --- shot segmentation + keyframe selection -------------------------------------
+#
+# Composes the video arm end-to-end: per-frame signatures (the
+# scene-cut kernel's long form) -> shot ids via a running sum of cut
+# flags (consecutive-signature Hamming > 2, the scene_cut rule) ->
+# one KEYFRAME per shot (max intensity, ties to the earliest frame).
+# This is the representative-frame pass a video curation pipeline
+# runs after shot boundary detection and before per-keyframe
+# dedup/captioning; emitting one frame per shot is what turns a
+# 100 TB video corpus into a trainable image set.
+
+
+def _keyframe_oracle() -> str:
+    return """
+        WITH hexed AS (
+            SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) // 32 AS n_frames
+            FROM documents
+        ), bytes_ AS (
+            SELECT doc_id, u.i // 32 AS frame_idx,
+                   (u.i % 32) // 4 AS block_idx,
+                   CAST(('0x' || substr(h, 2 * u.i + 1, 2)) AS BIGINT)
+                       AS b
+            FROM hexed,
+                 LATERAL unnest(range(0, n_frames * 32)) AS u(i)
+        ), blocks AS (
+            SELECT doc_id, frame_idx, block_idx,
+                   CAST(sum(b) AS BIGINT) AS bsum
+            FROM bytes_ GROUP BY doc_id, frame_idx, block_idx
+        ), frames_tot AS (
+            SELECT doc_id, frame_idx,
+                   CAST(sum(bsum) AS BIGINT) AS intensity
+            FROM blocks GROUP BY doc_id, frame_idx
+        ), frames AS (
+            SELECT b.doc_id, b.frame_idx, t.intensity,
+                   CAST(sum(CASE WHEN b.bsum * 8 > t.intensity
+                            THEN CAST(2 ** b.block_idx AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM blocks b
+            JOIN frames_tot t
+              ON t.doc_id = b.doc_id AND t.frame_idx = b.frame_idx
+            GROUP BY b.doc_id, b.frame_idx, t.intensity
+        ), marked AS (
+            SELECT doc_id, frame_idx, sig, intensity,
+                   CASE WHEN frame_idx > 0 AND bit_count(xor(sig,
+                            lag(sig) OVER (PARTITION BY doc_id
+                                           ORDER BY frame_idx))) > 2
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM frames
+        ), shots AS (
+            SELECT doc_id, frame_idx, sig, intensity,
+                   CAST(sum(is_cut) OVER (PARTITION BY doc_id
+                        ORDER BY frame_idx
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_id
+            FROM marked
+        )
+        SELECT doc_id, shot_id,
+               CAST(min(frame_idx) AS BIGINT) AS shot_start,
+               CAST(count(*) AS BIGINT) AS shot_len,
+               CAST(min(CASE WHEN intensity = mx THEN frame_idx END)
+                    AS BIGINT) AS keyframe_idx,
+               mx AS keyframe_intensity
+        FROM (
+            SELECT *, max(intensity) OVER (PARTITION BY doc_id, shot_id)
+                       AS mx
+            FROM shots
+        )
+        GROUP BY doc_id, shot_id, mx
+        ORDER BY doc_id, shot_id
+    """
+
+
+@register(
+    "multimodal_shot_keyframes",
+    oracle=_keyframe_oracle(),
+    tags=("multimodal", "llm", "video", "mapInPandas"),
+    doc="Shot segmentation + keyframe selection, composing the video "
+    "arm end-to-end: the scene-cut kernel's per-frame signatures "
+    "(REAL decode — fixed 32-byte frames, 8-bit block-intensity "
+    "signatures, cross-multiplied threshold), shot ids as a running "
+    "sum of Hamming>2 cut flags, and one keyframe per shot by max "
+    "intensity (ties to the earliest frame) — the representative-"
+    "frame pass that turns a 100 TB video corpus into a trainable "
+    "image set (frame_sample subsamples blindly; this picks "
+    "boundary-aware representatives). The oracle re-derives every "
+    "byte from hex(payload), so the Arrow kernel AND the windows "
+    "are hash-verified. Map-only decode; shot algebra is two "
+    "per-doc windows + one (doc, shot) rollup, all linear.",
+)
+def multimodal_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = MM.documents_as_binary(load_table(spark, sf_dir, "documents"))
+    frames = MM.frame_signatures(docs)
+    wseq = W.partitionBy("doc_id").orderBy("frame_idx")
+    marked = frames.select(
+        "doc_id",
+        "frame_idx",
+        "sig",
+        "intensity",
+        F.lag("sig").over(wseq).alias("prev_sig"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "sig",
+        "intensity",
+        F.when(
+            (F.col("frame_idx") > 0)
+            & (
+                F.bit_count(
+                    F.col("sig").bitwiseXOR(F.col("prev_sig"))
+                )
+                > 2
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_cut"),
+    )
+    shots = marked.select(
+        "doc_id",
+        "frame_idx",
+        "intensity",
+        F.sum("is_cut")
+        .over(wseq.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("shot_id"),
+    )
+    wshot = W.partitionBy("doc_id", "shot_id")
+    return (
+        shots.select(
+            "doc_id",
+            "shot_id",
+            "frame_idx",
+            "intensity",
+            F.max("intensity").over(wshot).alias("mx"),
+        )
+        .groupBy("doc_id", "shot_id", "mx")
+        .agg(
+            F.min("frame_idx").cast("long").alias("shot_start"),
+            F.count(F.lit(1)).cast("long").alias("shot_len"),
+            F.expr(
+                "CAST(min(CASE WHEN intensity = mx THEN frame_idx END)"
+                " AS BIGINT)"
+            ).alias("keyframe_idx"),
+        )
+        .select(
+            "doc_id",
+            "shot_id",
+            "shot_start",
+            "shot_len",
+            "keyframe_idx",
+            F.col("mx").alias("keyframe_intensity"),
+        )
+        .orderBy("doc_id", "shot_id")
+    )

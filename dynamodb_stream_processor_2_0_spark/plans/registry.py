@@ -138,6 +138,9 @@ _loaded = False
 # The round-6 TENTH continuation added 3 more (candidate-key
 # discovery, Neyman allocation, dedup method-agreement audit) —
 # same treatment, same r7 rotation status.
+# The round-6 ELEVENTH continuation added 3 more (feature mutual
+# information, shot keyframes, 4-truss decomposition) — same
+# treatment, same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

@@ -171,6 +171,9 @@ _MEDIUM_EXTRAS = (
     "schema_key_discovery",
     "sample_neyman_allocation",
     "eval_dedup_method_agreement",
+    "ml_feature_mutual_information",
+    "multimodal_shot_keyframes",
+    "graph_ktruss_edges",
 )
 
 

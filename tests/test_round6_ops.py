@@ -1303,3 +1303,115 @@ def test_method_agreement_identical_docs_in_both(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- eleventh-continuation batch ---------------------------------------------------
+
+
+def test_mutual_information_planted_dependence(spark):
+    """A feature that DETERMINES the label must score MI ~ H(Y)
+    (uncertainty coefficient ~1000); the independent features stay at
+    the noise floor."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="mi_")
+    tmp = tempfile.mkdtemp(prefix="miw_")
+    try:
+        rows = []
+        for i in range(400):
+            qty = float(5 + (i % 2) * 20)  # band 0 vs band 2
+            flag = "R" if i % 2 == 0 else "N"  # determined by qty band
+            rows.append(
+                (i, 1, qty, 100.0, 0.01 * (i % 7), 0.0, flag, "O",
+                 "1995-0%d-15" % (1 + i % 9))
+            )
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber long, l_quantity double,"
+            " l_extendedprice double, l_discount double, l_tax double,"
+            " l_returnflag string, l_linestatus string, l_shipdate string",
+        ).selectExpr(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "CAST(l_shipdate AS DATE) AS l_shipdate",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/lineitem.parquet"
+        )
+        out = {
+            r["feature"]: r
+            for r in registry.get("ml_feature_mutual_information")
+            .fn(spark, d)
+            .collect()
+        }
+        # qty band determines the label: MI = H(Y) up to log
+        # interpolation error
+        assert out["qty_band10"]["uncertainty_coeff_permille"] >= 950
+        # discount cycles independently of the label
+        assert out["discount_pct"]["uncertainty_coeff_permille"] <= 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_shot_keyframes_planted_cut(spark):
+    """A payload built from two very different 32-byte frame blocks
+    must segment into (at least) two shots, and every keyframe must
+    be the max-intensity frame of its shot."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="kf_")
+    try:
+        # frame A: flat 'a'*32 (sig 0); frame B: 16 high + 16 low
+        # bytes (blocks 0-3 beat the mean -> sig 0b1111, Hamming 4)
+        frame_a = "a" * 32
+        frame_b = "~" * 16 + "!" * 16
+        text = frame_a * 2 + frame_b * 2 + frame_a
+        _stage_docs(spark, [(0, text, "en", "s")], d)
+        rows = registry.get("multimodal_shot_keyframes").fn(
+            spark, d
+        ).collect()
+        assert len(rows) >= 2, rows
+        total_frames = sum(r["shot_len"] for r in rows)
+        assert total_frames == len(text) // 32
+        for r in rows:
+            assert (
+                r["shot_start"]
+                <= r["keyframe_idx"]
+                < r["shot_start"] + r["shot_len"]
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ktruss_clique_survives_chain_peels(spark):
+    """Four byte-identical docs form a 4-clique: every edge has
+    support 2, so the whole clique survives the 4-truss peel; a pair
+    of docs (single edge, no triangles) must peel away."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="truss_")
+    try:
+        t1 = " ".join(f"k{i % 13}v{i % 7}" for i in range(70))
+        t2 = " ".join(f"solo{i}" for i in range(70))
+        rows = [(i, t1, "en", "s") for i in range(4)]
+        rows += [(4, t2, "en", "s"), (5, t2, "en", "s")]
+        _stage_docs(spark, rows, d)
+        out = registry.get("graph_ktruss_edges").fn(spark, d).collect()
+        edges = {(r["doc_a"], r["doc_b"]) for r in out}
+        clique = {(a, b) for a in range(4) for b in range(4) if a < b}
+        assert edges == clique, edges
+        for r in out:
+            assert r["support"] == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -483,6 +483,12 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("method_agreement", _registered("eval_dedup_method_agreement"),
          docsdir1, docsdir_n),
+        ("feature_mi", _registered("ml_feature_mutual_information"),
+         lidir1, lidir_n),
+        ("shot_keyframes", _registered("multimodal_shot_keyframes"),
+         docsdir1, docsdir_n),
+        ("ktruss", _registered("graph_ktruss_edges"),
+         docsdir1, docsdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

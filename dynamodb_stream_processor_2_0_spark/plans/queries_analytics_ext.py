@@ -9009,3 +9009,435 @@ def schema_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniqueness_permille"
         ),
     ).orderBy("table_name", "column_name")
+
+
+# --- synthetic-data fidelity audit -----------------------------------------------
+#
+# The QA gate for synthetic/perturbed data releases: generate a
+# deterministic synthetic twin of the customer table IN-QUERY (acctbal
+# cents jittered by an md5 noise within +-5%, mktsegment re-drawn from
+# the md5 stream for 10% of rows) and measure how far its marginals
+# drift — total-variation distance of the segment distribution, TVD
+# of the 16-band balance histogram, and the mean-balance drift, all
+# exact permille. The generator is part of the query, so the audit is
+# oracle-exact end to end (noise is a deterministic hash, not RNG);
+# swap in a real synthesizer's output table and the audit half is
+# unchanged. This is the fidelity half of a privacy release flow —
+# the DP budget report prices the mechanism, this measures what the
+# perturbation did to the statistics.
+
+
+def _synthfid_oracle() -> str:
+    return """
+        WITH base AS (
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                   c_mktsegment AS seg
+            FROM customer
+        ), synth AS (
+            SELECT c_custkey,
+                   cents + (CAST(('0x' || substr(md5('jit:'
+                        || CAST(c_custkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) % (2 * (abs(cents) // 20 + 1)))
+                   - (abs(cents) // 20 + 1) + 1 AS cents,
+                   CASE WHEN CAST(('0x' || substr(md5('swap:'
+                             || CAST(c_custkey AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 < 10
+                        THEN (SELECT seg FROM (
+                                 SELECT seg,
+                                        row_number() OVER (ORDER BY seg)
+                                            AS i
+                                 FROM (SELECT DISTINCT seg FROM base)) s
+                              WHERE s.i = 1 + CAST(('0x' || substr(
+                                    md5('pick:' || CAST(b.c_custkey
+                                    AS VARCHAR)), 1, 8)) AS BIGINT)
+                                    % (SELECT count(DISTINCT seg)
+                                       FROM base))
+                        ELSE seg
+                   END AS seg
+            FROM base b
+        ), seg_o AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS c FROM base
+            GROUP BY seg
+        ), seg_s AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS c FROM synth
+            GROUP BY seg
+        ), seg_tvd AS (
+            SELECT CAST(500 * sum(abs(COALESCE(o.c, 0)
+                                      - COALESCE(s.c, 0)))
+                        // (SELECT count(*) FROM base) AS BIGINT) AS v
+            FROM seg_o o FULL OUTER JOIN seg_s s ON s.seg = o.seg
+        ), bands AS (
+            SELECT CAST(min(cents) AS BIGINT) AS lo,
+                   CAST(max(cents) - min(cents) + 1 AS BIGINT) AS span
+            FROM base
+        ), hb_o AS (
+            SELECT (cents - b.lo) * 16 // b.span AS band,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM base CROSS JOIN bands b GROUP BY 1
+        ), hb_s AS (
+            SELECT least(greatest((cents - b.lo) * 16 // b.span, 0),
+                         15) AS band,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM synth CROSS JOIN bands b GROUP BY 1
+        ), band_tvd AS (
+            SELECT CAST(500 * sum(abs(COALESCE(o.c, 0)
+                                      - COALESCE(s.c, 0)))
+                        // (SELECT count(*) FROM base) AS BIGINT) AS v
+            FROM hb_o o FULL OUTER JOIN hb_s s ON s.band = o.band
+        ), mean_drift AS (
+            SELECT CAST(abs((SELECT sum(cents) FROM synth)
+                            - (SELECT sum(cents) FROM base)) * 1000
+                        // greatest(abs((SELECT sum(cents) FROM base)),
+                                    1) AS BIGINT) AS v
+        )
+        SELECT 'mktsegment_tvd' AS metric,
+               (SELECT v FROM seg_tvd) AS value_permille,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows
+        UNION ALL
+        SELECT 'acctbal_band16_tvd', (SELECT v FROM band_tvd),
+               (SELECT count(*) FROM base)
+        UNION ALL
+        SELECT 'acctbal_mean_drift', (SELECT v FROM mean_drift),
+               (SELECT count(*) FROM base)
+        ORDER BY metric
+    """
+
+
+@register(
+    "privacy_synthetic_fidelity_audit",
+    oracle=_synthfid_oracle(),
+    tags=("privacy", "quality", "stats"),
+    doc="Synthetic-data fidelity audit: a deterministic synthetic twin "
+    "of customer is generated IN-QUERY (md5 jitter within +-5% of "
+    "each balance, 10% of segments re-drawn from the md5 stream) and "
+    "its marginal drift measured exactly — total-variation distance "
+    "of the segment distribution, TVD of the 16-band balance "
+    "histogram (synthetic values clamped into the original's band "
+    "range), and relative mean drift, all permille. The generator "
+    "is a deterministic hash, so the whole release-QA loop sits "
+    "inside the oracle gate; swapping in a real synthesizer's table "
+    "keeps the audit half unchanged. Fidelity is the counterpart of "
+    "privacy_dp_sensitivity_report's budget pricing: small TVD + "
+    "small drift = the perturbation preserved the statistics. "
+    "Shape: two scans of one dim table, per-marginal rollups joined "
+    "full-outer on the category key; O(segments + bands) state.",
+)
+def privacy_synthetic_fidelity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    distinct_segs = base.select("seg").distinct()
+    # rank the enum-sized segment list via the broadcast triangular
+    # join (house pattern — no single-partition window even on tiny
+    # relations)
+    segs = (
+        distinct_segs.join(
+            F.broadcast(
+                distinct_segs.select(F.col("seg").alias("o_seg"))
+            ),
+            F.col("o_seg") < F.col("seg"),
+            "left",
+        )
+        .groupBy("seg")
+        .agg((F.count("o_seg") + 1).cast("int").alias("i"))
+    )
+    n_segs = F.broadcast(
+        base.agg(F.countDistinct("seg").cast("long").alias("ns"))
+    )
+    synth = (
+        base.crossJoin(n_segs)
+        .join(
+            F.broadcast(
+                segs.select(
+                    F.col("i").alias("pick_i"),
+                    F.col("seg").alias("pick_seg"),
+                )
+            ),
+            F.expr(
+                "pick_i = 1 + CAST(conv(substr(md5(concat('pick:',"
+                " CAST(c_custkey AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % ns"
+            ),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.expr(
+                "cents + (CAST(conv(substr(md5(concat('jit:',"
+                " CAST(c_custkey AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % (2 * (abs(cents) div 20 + 1)))"
+                " - (abs(cents) div 20 + 1) + 1"
+            ).alias("cents"),
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(concat('swap:',"
+                " CAST(c_custkey AS STRING))), 1, 8), 16, 10)"
+                " AS BIGINT) % 100 < 10 THEN pick_seg ELSE seg END"
+            ).alias("seg"),
+        )
+    )
+    n_rows = F.broadcast(
+        base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def tvd(o, s, key):
+        oc = o.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("oc"))
+        sc = s.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("sc"))
+        return (
+            oc.join(sc, key, "full_outer")
+            .crossJoin(n_rows)
+            .agg(
+                F.expr(
+                    "CAST(500 * sum(abs(COALESCE(oc, 0)"
+                    " - COALESCE(sc, 0))) div max(n) AS BIGINT)"
+                ).alias("v")
+            )
+        )
+
+    seg_tvd = tvd(base, synth, "seg")
+    bands = F.broadcast(
+        base.agg(
+            F.min("cents").cast("long").alias("lo"),
+            F.expr(
+                "CAST(max(cents) - min(cents) + 1 AS BIGINT)"
+            ).alias("span"),
+        )
+    )
+    hb_o = base.crossJoin(bands).select(
+        F.expr("(cents - lo) * 16 div span").alias("band")
+    )
+    hb_s = synth.crossJoin(bands).select(
+        F.expr(
+            "least(greatest((cents - lo) * 16 div span, 0), 15)"
+        ).alias("band")
+    )
+    band_tvd = tvd(hb_o, hb_s, "band")
+    sums = F.broadcast(
+        base.agg(F.sum("cents").cast("long").alias("so"))
+    )
+    mean_drift = (
+        synth.agg(F.sum("cents").cast("long").alias("ss"))
+        .crossJoin(sums)
+        .select(
+            F.expr(
+                "CAST(abs(ss - so) * 1000 div greatest(abs(so), 1)"
+                " AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    out = (
+        seg_tvd.select(
+            F.lit("mktsegment_tvd").alias("metric"),
+            F.col("v").alias("value_permille"),
+        )
+        .unionByName(
+            band_tvd.select(
+                F.lit("acctbal_band16_tvd").alias("metric"),
+                F.col("v").alias("value_permille"),
+            )
+        )
+        .unionByName(
+            mean_drift.select(
+                F.lit("acctbal_mean_drift").alias("metric"),
+                F.col("v").alias("value_permille"),
+            )
+        )
+    )
+    return (
+        out.crossJoin(n_rows)
+        .select("metric", "value_permille", F.col("n").alias("n_rows"))
+        .orderBy("metric")
+    )
+
+
+# --- seasonal-residual anomaly days ------------------------------------------------
+#
+# The deseasonalized upgrade of events_anomaly_mad: raw daily counts
+# flag every weekend as an anomaly when traffic has a weekly cycle,
+# so the robust fence must run on the RESIDUAL x_t - weekday_mean
+# instead. Per type: exact truncating weekday means on the
+# zero-filled spine, residuals, then the median/MAD rule on the
+# residual series with the house cross-multiplied 3.5-sigma-
+# equivalent fence (|r - med| * 1000 > 3500 * 1.4826-free MAD form:
+# 2*|r-med| > 7*MAD clears all constants exactly). Output: the
+# flagged (type, day) anomalies with their residual and fence
+# values — what a traffic-monitoring page actually shows.
+
+
+def _resid_anom_oracle() -> str:
+    return """
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE)
+                AS d1
+            FROM events
+        ), spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            SELECT t.event_type, s.day,
+                   CAST((s.day - DATE '1970-01-05') % 7
+                        AS BIGINT) AS dow,
+                   COALESCE(d.x, 0) AS x
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN daily d
+              ON d.event_type = t.event_type AND d.day = s.day
+        ), dowm AS (
+            SELECT event_type, dow,
+                   CAST(sum(x) // count(*) AS BIGINT) AS dmean
+            FROM series GROUP BY event_type, dow
+        ), resid AS (
+            SELECT s.event_type, s.day, s.x,
+                   s.x - m.dmean AS r
+            FROM series s
+            JOIN dowm m ON m.event_type = s.event_type
+                       AND m.dow = s.dow
+        ), resid_m AS MATERIALIZED (
+            SELECT * FROM resid
+        ), rr AS MATERIALIZED (
+            SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY r, day) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM resid_m
+        ), med AS MATERIALIZED (
+            SELECT event_type, CAST(max(r) AS BIGINT) AS med_r
+            FROM rr WHERE rn = (n + 1) // 2
+            GROUP BY event_type
+        ), dd2 AS MATERIALIZED (
+            SELECT r.event_type, abs(r.r - m.med_r) AS a, r.day
+            FROM resid_m r JOIN med m ON m.event_type = r.event_type
+        ), ra AS MATERIALIZED (
+            SELECT event_type, a,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY a, day) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dd2
+        ), mad AS MATERIALIZED (
+            SELECT r2.event_type, m.med_r,
+                   CAST(max(r2.a) AS BIGINT) AS mad_r
+            FROM ra r2 JOIN med m ON m.event_type = r2.event_type
+            WHERE r2.rn = (r2.n + 1) // 2
+            GROUP BY r2.event_type, m.med_r
+        )
+        SELECT r.event_type,
+               strftime(CAST(r.day AS DATE), '%Y-%m-%d') AS day, r.x,
+               r.r AS residual, a.med_r, a.mad_r
+        FROM resid_m r
+        JOIN mad a ON a.event_type = r.event_type
+        WHERE 2 * abs(r.r - a.med_r) > 7 * a.mad_r AND a.mad_r > 0
+        ORDER BY r.event_type, r.day
+    """
+
+
+@register(
+    "events_seasonal_residual_anomaly",
+    oracle=_resid_anom_oracle(),
+    tags=("timeseries", "stats", "quality"),
+    doc="Deseasonalized anomaly days: residual = daily count minus the "
+    "exact truncating weekday mean (zero-filled spine), flagged by "
+    "the robust median/MAD fence on the RESIDUAL series with every "
+    "constant cross-multiplied (2*|r-med| > 7*MAD). The upgrade over "
+    "events_anomaly_mad for cyclical traffic — a weekly pattern makes "
+    "raw-count fences flag every weekend; deseasonalizing first "
+    "leaves only genuine shocks (the planted-spike behavior test "
+    "proves a mid-week burst is flagged while ordinary weekend dips "
+    "are not). Medians are exact order statistics over the "
+    "|types| x |days| post-agg relation as LOWER-MEDIAN rank reads "
+    "(rn = (n+1)/2) — interpolated medians CAST differently across "
+    "engines (DuckDB rounds 1.5->2, Spark truncates to 1), so the "
+    "discrete order statistic is the engine-invariant choice. One "
+    "rollup + two per-type windows on the post-agg relation.",
+)
+def events_seasonal_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    types = events.select("event_type").distinct()
+    daily = events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(pmod(datediff(day, DATE'1970-01-05'), 7)"
+                " AS BIGINT)"
+            ).alias("dow"),
+            F.coalesce("x", F.lit(0).cast("long")).alias("x"),
+        )
+    )
+    dowm = series.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("dmean")
+    )
+    resid = series.join(dowm, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("x") - F.col("dmean")).alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "day")
+    wt = Window.partitionBy("event_type")
+    rr = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        rr.filter("rn = (n + 1) div 2")
+        .groupBy("event_type")
+        .agg(F.max("r").cast("long").alias("med_r"))
+    )
+    dd2 = resid.join(med, "event_type").select(
+        "event_type", "med_r", "day", F.abs(F.col("r") - F.col("med_r")).alias("a")
+    )
+    wa = Window.partitionBy("event_type").orderBy("a", "day")
+    ra = dd2.select(
+        "event_type",
+        "med_r",
+        "a",
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mad = (
+        ra.filter("rn = (n + 1) div 2")
+        .groupBy("event_type", "med_r")
+        .agg(F.max("a").cast("long").alias("mad_r"))
+    )
+    return (
+        resid.join(mad, "event_type")
+        .filter("2 * abs(r - med_r) > 7 * mad_r AND mad_r > 0")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            F.col("r").alias("residual"),
+            "med_r",
+            "mad_r",
+        )
+        .orderBy("event_type", "day")
+    )

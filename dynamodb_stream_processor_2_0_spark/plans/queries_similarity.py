@@ -2109,3 +2109,178 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iteration int, center_vec_id long, chosen_dist_micro long,"
         " final_radius_micro long",
     ).orderBy("iteration")
+
+
+# --- kNN-distance out-of-distribution detector ----------------------------------
+#
+# The data-curation OOD filter (Sun et al.: the distance to the k-th
+# nearest neighbor is a remarkably strong OOD score): for each of 256
+# deterministic md5-ordered probes, the squared distance to its 5th
+# nearest OTHER vector on the exact 1e6 grid, flagged against the
+# probe population's own upper fence (Q3 + 1.5*IQR of the exact
+# integer scores — Tukey, division-free via 4*rank cross-products).
+# In a training pipeline this is the "drop the weird embeddings"
+# pass; the probe cap bounds the brute-force arm exactly like the
+# kNN label probe (O(probes * n), linear in corpus size).
+
+_OOD_K = 5
+_OOD_PROBES = 256
+
+
+def _ood_oracle() -> str:
+    d2 = (
+        "CAST(round(list_reduce(list_transform(list_zip(q.embedding,"
+        " c.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS"
+        " DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),"
+        " (acc, v) -> acc + v) * 1000000) AS BIGINT)"
+    )
+    return f"""
+        WITH probes AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5('ood:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_OOD_PROBES}
+        ), scored AS (
+            SELECT q.vec_id, {d2} AS dq,
+                   c.vec_id AS cand_id
+            FROM probes q JOIN embeddings c
+              ON c.vec_id <> q.vec_id
+        ), kth AS (
+            SELECT vec_id, dq AS knn_dist_micro
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dq ASC, cand_id) AS rn
+                FROM scored
+            ) WHERE rn = {_OOD_K}
+        ), ranked AS (
+            SELECT vec_id, knn_dist_micro,
+                   row_number() OVER (ORDER BY knn_dist_micro, vec_id)
+                       AS r,
+                   count(*) OVER () AS n
+            FROM kth
+        ), fences AS (
+            SELECT min(CASE WHEN 4 * r >= n THEN knn_dist_micro END)
+                       AS q1,
+                   min(CASE WHEN 4 * r >= 3 * n
+                            THEN knn_dist_micro END) AS q3
+            FROM ranked
+        )
+        SELECT r.vec_id, r.knn_dist_micro,
+               f.q1 AS q1_micro, f.q3 AS q3_micro,
+               2 * r.knn_dist_micro
+                   > 2 * f.q3 + 3 * (f.q3 - f.q1) AS is_outlier
+        FROM ranked r CROSS JOIN fences f
+        ORDER BY r.knn_dist_micro DESC, r.vec_id
+        LIMIT 25
+    """
+
+
+@register(
+    "embedding_ood_knn_distance",
+    oracle=_ood_oracle(),
+    tags=("similarity", "llm", "quality", "eval"),
+    doc="kNN-distance OOD detection (Sun et al.): each of 256 "
+    "deterministic md5-ordered probes scores the exact squared "
+    "distance to its 5th nearest other vector (1e6 grid, per-row "
+    "double fold, cross-row MIN/rank only), and outliers are flagged "
+    "against the probe population's own Tukey upper fence computed "
+    "DIVISION-FREE (quartiles via 4*rank cross-products; the fence "
+    "test 2*d > 2*Q3 + 3*IQR clears the 1.5 factor) — the 'drop the "
+    "weird embeddings' pass of a curation pipeline. The probe cap "
+    "bounds the brute-force arm at O(probes * n), linear in corpus "
+    "size (the kNN label probe's pattern); the quartile rank runs "
+    "over the 256-row probe relation, never the corpus. Top-25 "
+    "most-distant probes reported.",
+)
+def embedding_ood_knn_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = (
+        emb.orderBy(
+            F.expr("md5(concat('ood:', CAST(vec_id AS STRING)))"),
+            "vec_id",
+        )
+        .limit(_OOD_PROBES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    d2 = (
+        "CAST(round(aggregate(zip_with(q_vec, embedding,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000)"
+        " AS BIGINT)"
+    )
+    scored = (
+        emb.join(
+            F.broadcast(probes), F.col("vec_id") != F.col("q_id")
+        )
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.expr(d2).alias("dq"),
+            F.col("vec_id").alias("cand_id"),
+        )
+    )
+    wq = W.partitionBy("vec_id").orderBy(
+        F.col("dq").asc(), F.col("cand_id").asc()
+    )
+    kth = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == _OOD_K)
+        .select("vec_id", F.col("dq").alias("knn_dist_micro"))
+    )
+    # quartile rank over the <=256-row probe relation via the
+    # broadcast triangular join (no single-partition window)
+    other = F.broadcast(
+        kth.select(
+            F.col("vec_id").alias("o_id"),
+            F.col("knn_dist_micro").alias("o_d"),
+        )
+    )
+    ranked = (
+        kth.join(
+            other,
+            (F.col("o_d") < F.col("knn_dist_micro"))
+            | (
+                (F.col("o_d") == F.col("knn_dist_micro"))
+                & (F.col("o_id") < F.col("vec_id"))
+            ),
+            "left",
+        )
+        .groupBy("vec_id", "knn_dist_micro")
+        .agg((F.count("o_id") + 1).cast("long").alias("r"))
+    )
+    n_tot = F.broadcast(
+        ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rn = ranked.crossJoin(n_tot)
+    fences = F.broadcast(
+        rn.agg(
+            F.expr(
+                "min(CASE WHEN 4 * r >= n THEN knn_dist_micro END)"
+            ).alias("q1"),
+            F.expr(
+                "min(CASE WHEN 4 * r >= 3 * n THEN knn_dist_micro END)"
+            ).alias("q3"),
+        )
+    )
+    return (
+        rn.crossJoin(fences)
+        .select(
+            "vec_id",
+            "knn_dist_micro",
+            F.col("q1").alias("q1_micro"),
+            F.col("q3").alias("q3_micro"),
+            F.expr(
+                "2 * knn_dist_micro > 2 * q3 + 3 * (q3 - q1)"
+            ).alias("is_outlier"),
+        )
+        .orderBy(F.col("knn_dist_micro").desc(), "vec_id")
+        .limit(25)
+    )

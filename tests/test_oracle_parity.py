@@ -174,6 +174,9 @@ _MEDIUM_EXTRAS = (
     "ml_feature_mutual_information",
     "multimodal_shot_keyframes",
     "graph_ktruss_edges",
+    "embedding_ood_knn_distance",
+    "privacy_synthetic_fidelity_audit",
+    "events_seasonal_residual_anomaly",
 )
 
 

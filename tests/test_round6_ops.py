@@ -1415,3 +1415,101 @@ def test_ktruss_clique_survives_chain_peels(spark):
             assert r["support"] == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- twelfth-continuation batch ------------------------------------------------------
+
+
+def test_ood_planted_outlier_tops_ranking(spark):
+    """A tight cluster plus one far-away vector: the outlier must rank
+    first by kNN distance and be flagged against the Tukey fence."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="ood_")
+    try:
+        rows = []
+        for i in range(40):  # identical cluster: knn distance 0
+            rows.append((i, [1.0, 2.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0))
+        rows.append((99, [50.0, -40.0, 10.0, 5.0, 0.0, 0.0, 0.0, 0.0], 1))
+        _write_embeddings(spark, rows, d)
+        out = registry.get("embedding_ood_knn_distance").fn(
+            spark, d
+        ).collect()
+        assert out[0]["vec_id"] == 99
+        assert out[0]["is_outlier"]
+        # cluster members must not be flagged
+        flagged = {r["vec_id"] for r in out if r["is_outlier"]}
+        assert flagged == {99}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_synthetic_fidelity_bounds(spark, sf_dir):
+    """The deterministic +-5% jitter / 10% segment-swap synthesizer
+    must land within its design bounds: mean drift well under the 5%
+    jitter span, segment TVD under the 10% swap rate."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    out = {
+        r["metric"]: r["value_permille"]
+        for r in registry.get("privacy_synthetic_fidelity_audit")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {
+        "mktsegment_tvd",
+        "acctbal_band16_tvd",
+        "acctbal_mean_drift",
+    }
+    assert out["acctbal_mean_drift"] <= 50  # +-5% zero-mean jitter
+    assert out["mktsegment_tvd"] <= 100  # 10% swaps, 4/5 land elsewhere
+    assert out["acctbal_band16_tvd"] <= 100
+    for v in out.values():
+        assert v >= 0
+
+
+def test_residual_anomaly_flags_spike_not_weekends(spark):
+    """Weekly-cyclical traffic (busy weekends) plus one mid-week burst:
+    the burst day must be flagged; regular weekend highs must NOT be
+    (the raw-count fence would flag them)."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="resid_")
+    try:
+        rows = []
+        eid = 0
+        import datetime
+
+        d0 = datetime.date(2024, 1, 1)
+        for off in range(35):
+            day = d0 + datetime.timedelta(days=off)
+            # weekly cycle plus mild day-to-day jitter so the residual
+            # MAD is nonzero (a constant series has no robust scale)
+            n = (10 if day.weekday() >= 5 else 3) + (off % 3)
+            if off == 16:  # a Wednesday burst
+                n = 40
+            for _ in range(n):
+                rows.append(
+                    (eid, f"{day} 10:00:00", eid % 9, "click", 1.0)
+                )
+                eid += 1
+        _write_events(spark, rows, d)
+        out = registry.get("events_seasonal_residual_anomaly").fn(
+            spark, d
+        ).collect()
+        days = {r["day"] for r in out}
+        assert "2024-01-17" in days, out
+        weekend_days = {
+            str(d0 + datetime.timedelta(days=o))
+            for o in range(35)
+            if (d0 + datetime.timedelta(days=o)).weekday() >= 5
+        }
+        assert not (days & weekend_days), (days, weekend_days)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

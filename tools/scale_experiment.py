@@ -489,6 +489,12 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("ktruss", _registered("graph_ktruss_edges"),
          docsdir1, docsdir_n),
+        ("ood_knn", _registered("embedding_ood_knn_distance"),
+         embdir1, embdir_n),
+        ("synth_fidelity", _registered("privacy_synthetic_fidelity_audit"),
+         custdir1, custdir_n),
+        ("residual_anomaly", _registered("events_seasonal_residual_anomaly"),
+         evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

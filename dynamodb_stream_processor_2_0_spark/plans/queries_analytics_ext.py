@@ -9441,3 +9441,124 @@ def events_seasonal_residual_anomaly(
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- SLO burn-rate alerting (multi-window) ------------------------------------------
+#
+# The SRE alerting rule (Google SRE workbook) as a batch operator:
+# with SLO = 99% non-error events, the burn rate of a window is
+# (error rate) / (1 - SLO) — burn 1.0 consumes the whole error budget
+# exactly over the budget period. The standard MULTI-WINDOW rule
+# fires only when BOTH a long and a short window burn fast (long = 6h
+# at burn >= 6, short = 1h at burn >= 6), which suppresses both
+# stale alerts (long-only) and flapping (short-only). Exact permille
+# arithmetic: burn_permille = 1000 * err * 100 / (total * 1), with
+# the 1-SLO = 1/100 folded in as integer cross-multiplication.
+
+_SLO_PERMILLE = 990  # 99.0% success target
+
+
+def _slo_oracle() -> str:
+    bad = 1000 - _SLO_PERMILLE
+    return f"""
+        WITH marks AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
+                   CAST(count(*) AS BIGINT) AS total,
+                   CAST(count(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS errs
+            FROM events GROUP BY 1
+        ), contrib AS (
+            SELECT m.h + to_hours(o.k) AS h_t,
+                   m.total AS c_total, m.errs AS c_errs
+            FROM marks m
+            CROSS JOIN (SELECT unnest(range(0, 6)) AS k) o
+        ), hours AS (
+            SELECT m.h, m.total, m.errs,
+                   CAST(sum(c.c_total) AS BIGINT) AS total6,
+                   CAST(sum(c.c_errs) AS BIGINT) AS errs6
+            FROM marks m JOIN contrib c ON c.h_t = m.h
+            GROUP BY m.h, m.total, m.errs
+        )
+        SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+               total, errs, total6, errs6,
+               CAST(1000000 * errs // (total * {bad}) AS BIGINT)
+                   AS burn1h_milli,
+               CAST(1000000 * errs6 // (total6 * {bad}) AS BIGINT)
+                   AS burn6h_milli,
+               1000000 * errs > 6 * total * {bad} * 1000
+               AND 1000000 * errs6 > 6 * total6 * {bad} * 1000
+                   AS page_alert
+        FROM hours
+        ORDER BY hour
+    """
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle=_slo_oracle(),
+    tags=("analytics", "quality", "timeseries"),
+    doc="Multi-window SLO burn-rate alerting (the Google SRE workbook "
+    "rule) as a batch operator: with a 99.0% success SLO, burn rate "
+    "= error_rate / (1-SLO) in exact milli units (the 1-SLO folded "
+    "in by integer cross-multiplication — no division by a "
+    "fraction), and a page fires only when BOTH the 1h and the "
+    "trailing-6h windows burn above 6x — long-only suppresses stale "
+    "alerts, short-only suppresses flapping; trailing sums ride an "
+    "offset EQUI-join over TIME (a data gap never stretches the "
+    "window, unlike a ROWS frame). The ops-monitoring "
+    "counterpart of the statistical anomaly fences (MAD, CUSUM, "
+    "changepoint): those find surprises, this enforces a BUDGET. "
+    "One hourly rollup + one 6-row sliding window over the "
+    "post-agg relation — O(hours) state at any corpus size.",
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    bad = 1000 - _SLO_PERMILLE
+    ev = load_table(spark, sf_dir, "events")
+    marks = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.expr(
+            "CAST(count_if(event_type = 'error') AS BIGINT)"
+        ).alias("errs"),
+    )
+    # trailing-6h sums as an offset EQUI-join (one explode of 0..5
+    # hour offsets, shuffle on the hour key) — no global window, the
+    # sorted-neighborhood pattern; missing trailing hours contribute
+    # nothing, matching the ROWS 5 PRECEDING frame on a gapless
+    # hourly spine
+    contrib = marks.select(
+        "h",
+        "total",
+        "errs",
+        F.explode(F.expr("sequence(0, 5)")).alias("k"),
+    ).select(
+        F.expr("h + make_interval(0, 0, 0, 0, k)").alias("h_t"),
+        F.col("total").alias("c_total"),
+        F.col("errs").alias("c_errs"),
+    )
+    hours = marks.join(
+        contrib, marks["h"] == contrib["h_t"]
+    ).groupBy("h", "total", "errs").agg(
+        F.sum("c_total").cast("long").alias("total6"),
+        F.sum("c_errs").cast("long").alias("errs6"),
+    )
+    return hours.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "total",
+        "errs",
+        "total6",
+        "errs6",
+        F.expr(
+            f"CAST(1000000 * errs div (total * {bad}) AS BIGINT)"
+        ).alias("burn1h_milli"),
+        F.expr(
+            f"CAST(1000000 * errs6 div (total6 * {bad}) AS BIGINT)"
+        ).alias("burn6h_milli"),
+        F.expr(
+            f"1000000 * errs > 6 * total * {bad} * 1000"
+            f" AND 1000000 * errs6 > 6 * total6 * {bad} * 1000"
+        ).alias("page_alert"),
+    ).orderBy("hour")

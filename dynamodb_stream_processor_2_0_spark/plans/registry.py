@@ -144,6 +144,8 @@ _loaded = False
 # The round-6 TWELFTH continuation added 3 more (kNN-distance OOD,
 # synthetic fidelity audit, seasonal-residual anomaly) — same
 # treatment, same r7 rotation status.
+# The round-6 THIRTEENTH continuation added 1 more (multi-window SLO
+# burn-rate alerting) — same treatment, same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

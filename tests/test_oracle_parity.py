@@ -177,6 +177,7 @@ _MEDIUM_EXTRAS = (
     "embedding_ood_knn_distance",
     "privacy_synthetic_fidelity_audit",
     "events_seasonal_residual_anomaly",
+    "events_slo_burn_rate",
 )
 
 

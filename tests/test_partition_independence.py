@@ -175,6 +175,7 @@ _SWEEP_EXTRAS = (
     "embedding_ood_knn_distance",
     "privacy_synthetic_fidelity_audit",
     "events_seasonal_residual_anomaly",
+    "events_slo_burn_rate",
 )
 
 

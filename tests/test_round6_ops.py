@@ -1513,3 +1513,46 @@ def test_residual_anomaly_flags_spike_not_weekends(spark):
         assert not (days & weekend_days), (days, weekend_days)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_slo_burn_multiwindow_suppression(spark):
+    """A sustained error burst pages (both windows hot); the hour
+    right after the burst ends does NOT page even though the 6h
+    window is still hot — the multi-window rule's whole point."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="slo_")
+    try:
+        rows = []
+        eid = 0
+        for hour in range(24):
+            # baseline: 100 events, 0 errors; burst hours 10-12: half errors
+            n_err = 50 if hour in (10, 11, 12) else 0
+            for i in range(100):
+                et = "error" if i < n_err else "view"
+                rows.append(
+                    (eid, f"2024-01-05 {hour:02d}:30:00", eid % 7, et, 1.0)
+                )
+                eid += 1
+        _write_events(spark, rows, d)
+        out = {
+            r["hour"]: r
+            for r in registry.get("events_slo_burn_rate")
+            .fn(spark, d)
+            .collect()
+        }
+        # burn in a burst hour: 50% errors vs 1% budget => burn 50x
+        assert out["2024-01-05 11:00"]["page_alert"]
+        assert out["2024-01-05 11:00"]["burn1h_milli"] == 50000
+        # hour 13: short window cold (0 errors), 6h window still hot
+        r13 = out["2024-01-05 13:00"]
+        assert r13["burn1h_milli"] == 0
+        assert r13["burn6h_milli"] > 6000
+        assert not r13["page_alert"]
+        # quiet hours never page
+        assert not out["2024-01-05 05:00"]["page_alert"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

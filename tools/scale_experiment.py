@@ -495,6 +495,8 @@ def main() -> None:
          custdir1, custdir_n),
         ("residual_anomaly", _registered("events_seasonal_residual_anomaly"),
          evdir1, evdir_n),
+        ("slo_burn", _registered("events_slo_burn_rate"),
+         evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -9562,3 +9562,147 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND 1000000 * errs6 > 6 * total6 * {bad} * 1000"
         ).alias("page_alert"),
     ).orderBy("hour")
+
+
+# --- Adamic-Adar link prediction --------------------------------------------------
+#
+# The LINK-PREDICTION leg of the graph family: supplier pairs scored
+# by Adamic-Adar over shared customers, AA(x,y) = sum over common
+# neighbors z of 1/log2(deg z) — a rare shared customer is strong
+# evidence, a hub customer nearly none (the insight plain common-
+# neighbor counting and the Jaccard op lack). The log rides the
+# piecewise-linear integer log2 on the 1024 grid (the NB/MI helper),
+# inverted to a micro weight 1e9/ml2_milli, so scores are exact
+# integers. Same hub-capped inverted-index shape as
+# graph_node_jaccard_similarity — the cap bounds the worst key's
+# fan-out; degree weights join in from the tiny per-customer rollup.
+
+_AA_TOPN = 25
+
+_AA_ML2 = (
+    "((length(bin({r})) - 1) * 1000"
+    " + (({r} - (CAST(1 AS BIGINT) << (length(bin({r})) - 1))) * 1000)"
+    " {div} (CAST(1 AS BIGINT) << (length(bin({r})) - 1)) - 10000)"
+)
+
+
+def _aa_oracle() -> str:
+    ml2 = _AA_ML2.format(r="dc * 1024", div="//")
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT c_custkey AS cust, s_suppkey AS supp
+            FROM customer c JOIN supplier s
+              ON s.s_nationkey = c.c_nationkey
+        ), capped AS (
+            SELECT cust, supp FROM (
+                SELECT cust, supp,
+                       row_number() OVER (PARTITION BY cust
+                                          ORDER BY supp ASC) AS rn
+                FROM e0
+            ) WHERE rn <= 1024
+        ), cdeg AS (
+            SELECT cust, CAST(count(*) AS BIGINT) AS dc
+            FROM capped GROUP BY cust
+        ), w AS (
+            SELECT cust,
+                   CASE WHEN dc < 2 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1000000000 // {ml2} AS BIGINT)
+                   END AS w_micro
+            FROM cdeg
+        ), pairs AS (
+            SELECT a.supp AS s1, b.supp AS s2,
+                   CAST(count(*) AS BIGINT) AS shared,
+                   CAST(sum(w.w_micro) AS BIGINT) AS aa_micro
+            FROM capped a
+            JOIN capped b ON b.cust = a.cust AND b.supp > a.supp
+            JOIN w ON w.cust = a.cust
+            GROUP BY a.supp, b.supp
+        )
+        SELECT s1, s2, shared, aa_micro
+        FROM pairs
+        ORDER BY aa_micro DESC, s1, s2
+        LIMIT {_AA_TOPN}
+    """
+
+
+@register(
+    "graph_adamic_adar_linkpred",
+    oracle=_aa_oracle(),
+    tags=("graph", "analytics", "ml"),
+    doc="Adamic-Adar link prediction over the customer-supplier "
+    "co-nation graph: supplier pairs scored by sum over shared "
+    "customers of 1/log2(customer degree) — a rare shared neighbor "
+    "is strong link evidence, a hub nearly none; the weighting "
+    "common-neighbor counts and the Jaccard op lack. Weights ride "
+    "the piecewise-linear integer log2 (the NB/MI helper) inverted "
+    "to an exact micro weight, so scores are bit-identical integers. "
+    "Same hub-capped (1024) inverted-index join as "
+    "graph_node_jaccard_similarity — the cap bounds the worst key's "
+    "shuffle fan-out at C(1024,2) regardless of skew; degree weights "
+    "join from the tiny per-customer rollup. Top-25 predicted links "
+    "via TakeOrderedAndProject.",
+)
+def graph_adamic_adar_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ml2 = _AA_ML2.format(r="dc * 1024", div="div")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e0 = (
+        cust.join(
+            supp, cust["c_nationkey"] == supp["s_nationkey"]
+        )
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("s_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    wcap = Window.partitionBy("cust").orderBy(F.col("supp").asc())
+    capped = (
+        e0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 1024)
+        .select("cust", "supp")
+    )
+    w = (
+        capped.groupBy("cust")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+        .select(
+            "cust",
+            F.expr(
+                f"CASE WHEN dc < 2 THEN CAST(0 AS BIGINT)"
+                f" ELSE CAST(1000000000 div {ml2} AS BIGINT) END"
+            ).alias("w_micro"),
+        )
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.cust") == F.col("a.cust"))
+            & (F.col("b.supp") > F.col("a.supp")),
+        )
+        .join(
+            w.select(
+                F.col("cust").alias("w_cust"), "w_micro"
+            ),
+            F.col("w_cust") == F.col("a.cust"),
+        )
+        .groupBy(
+            F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+    )
+    return (
+        pairs.select("s1", "s2", "shared", "aa_micro")
+        .orderBy(F.col("aa_micro").desc(), "s1", "s2")
+        .limit(_AA_TOPN)
+    )

@@ -2765,3 +2765,123 @@ def sql_correlated_subquery_battery(
 
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+# --- price-volume-mix decomposition ---------------------------------------------
+#
+# The "why did revenue move" waterfall every BI review runs: the
+# month-over-month revenue delta per market segment split EXACTLY into
+# a VOLUME effect (order-count change at the old average ticket), a
+# RATE effect (average-ticket change at the old volume) and the
+# cross/JOINT term — delta = (n1-n0)*r0 + n0*(r1-r0) + (n1-n0)*(r1-r0)
+# holds as an integer identity when r is the exact average in
+# millicents and the residual from truncating r is folded into a
+# reported remainder (never silently absorbed: volume+rate+joint+rem
+# == delta EXACTLY, gate-enforced per row). Consecutive months pair by
+# an offset equi-join on the month key.
+
+_PVM_ORACLE = """
+    WITH m AS (
+        SELECT o_orderpriority AS seg,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.seg, a.mon AS mon0, b.mon AS mon1,
+               a.n AS n0, b.n AS n1, a.rev AS rev0, b.rev AS rev1,
+               (a.rev * 1000) // a.n AS r0_milli,
+               (b.rev * 1000) // b.n AS r1_milli
+        FROM m a JOIN m b
+          ON b.seg = a.seg
+         AND b.mon = strftime(CAST(a.mon || '-01' AS DATE)
+                              + INTERVAL 1 MONTH, '%Y-%m')
+    )
+    SELECT seg, mon0, mon1, n0, n1,
+           (rev1 - rev0) * 1000 AS delta_millicents,
+           (n1 - n0) * r0_milli AS volume_effect,
+           n0 * (r1_milli - r0_milli) AS rate_effect,
+           (n1 - n0) * (r1_milli - r0_milli) AS joint_effect,
+           (rev1 - rev0) * 1000
+           - ((n1 - n0) * r0_milli + n0 * (r1_milli - r0_milli)
+              + (n1 - n0) * (r1_milli - r0_milli))
+               AS truncation_remainder
+    FROM paired
+    ORDER BY seg, mon0
+"""
+
+
+@register(
+    "orders_price_volume_mix",
+    oracle=_PVM_ORACLE,
+    tags=("relational", "analytics", "A1"),
+    doc="Price-volume-mix decomposition of the month-over-month "
+    "revenue delta per order priority: volume effect (count change "
+    "at the old average ticket), rate effect (ticket change at the "
+    "old volume), joint term, and an EXPLICIT truncation remainder "
+    "so volume+rate+joint+remainder == delta exactly on every row — "
+    "the decomposition identity is gate-enforced instead of "
+    "approximately true. Average tickets are exact millicent "
+    "quotients; consecutive months pair by an offset equi-join on "
+    "the month key (never a window over the full relation). The "
+    "'why did revenue move' waterfall every BI review runs; one "
+    "(seg, month) rollup then O(segs * months) tiny join work.",
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("seg"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev"),
+    )
+    a = m.select(
+        "seg",
+        F.col("mon").alias("mon0"),
+        F.col("n").alias("n0"),
+        F.col("rev").alias("rev0"),
+        F.expr(
+            "date_format(add_months(to_date(concat(mon, '-01')), 1),"
+            " 'yyyy-MM')"
+        ).alias("mon1"),
+    )
+    b = m.select(
+        "seg",
+        F.col("mon").alias("mon1"),
+        F.col("n").alias("n1"),
+        F.col("rev").alias("rev1"),
+    )
+    paired = a.join(b, ["seg", "mon1"]).select(
+        "seg",
+        "mon0",
+        "mon1",
+        "n0",
+        "n1",
+        "rev0",
+        "rev1",
+        F.expr("(rev0 * 1000) div n0").alias("r0_milli"),
+        F.expr("(rev1 * 1000) div n1").alias("r1_milli"),
+    )
+    return paired.select(
+        "seg",
+        "mon0",
+        "mon1",
+        "n0",
+        "n1",
+        F.expr("(rev1 - rev0) * 1000").alias("delta_millicents"),
+        F.expr("(n1 - n0) * r0_milli").alias("volume_effect"),
+        F.expr("n0 * (r1_milli - r0_milli)").alias("rate_effect"),
+        F.expr("(n1 - n0) * (r1_milli - r0_milli)").alias(
+            "joint_effect"
+        ),
+        F.expr(
+            "(rev1 - rev0) * 1000"
+            " - ((n1 - n0) * r0_milli + n0 * (r1_milli - r0_milli)"
+            "    + (n1 - n0) * (r1_milli - r0_milli))"
+        ).alias("truncation_remainder"),
+    ).orderBy("seg", "mon0")

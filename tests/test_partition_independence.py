@@ -176,6 +176,8 @@ _SWEEP_EXTRAS = (
     "privacy_synthetic_fidelity_audit",
     "events_seasonal_residual_anomaly",
     "events_slo_burn_rate",
+    "orders_price_volume_mix",
+    "graph_adamic_adar_linkpred",
 )
 
 

@@ -1556,3 +1556,110 @@ def test_slo_burn_multiwindow_suppression(spark):
         assert not out["2024-01-05 05:00"]["page_alert"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- fourteenth-continuation batch ---------------------------------------------------
+
+
+def test_pvm_identity_and_hand_case(spark):
+    """Hand case: 10 orders at avg 100c -> 20 at avg 150c gives
+    volume/rate/joint = 1e6/5e5/5e5 millicents, remainder 0; the
+    decomposition identity must hold exactly on every row."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="pvm_")
+    tmp = tempfile.mkdtemp(prefix="pvmw_")
+    try:
+        rows = []
+        k = 0
+        for i in range(10):
+            rows.append((k, 1, "O", 1.00, "1995-01-10", "1-URGENT")); k += 1
+        for i in range(20):
+            rows.append((k, 1, "O", 1.50, "1995-02-10", "1-URGENT")); k += 1
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+            "o_orderpriority",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/orders.parquet"
+        )
+        rowsout = registry.get("orders_price_volume_mix").fn(
+            spark, d
+        ).collect()
+        assert len(rowsout) == 1
+        r = rowsout[0]
+        assert r["delta_millicents"] == 2_000_000
+        assert r["volume_effect"] == 1_000_000
+        assert r["rate_effect"] == 500_000
+        assert r["joint_effect"] == 500_000
+        assert r["truncation_remainder"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pvm_identity_on_fixture(spark, sf_dir):
+    """volume + rate + joint + remainder == delta on EVERY row."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    for r in registry.get("orders_price_volume_mix").fn(spark, sf_dir).collect():
+        assert (
+            r["volume_effect"]
+            + r["rate_effect"]
+            + r["joint_effect"]
+            + r["truncation_remainder"]
+            == r["delta_millicents"]
+        ), r
+
+
+def test_adamic_adar_rare_neighbor_outranks_hub(spark):
+    """A supplier pair sharing a degree-2 customer (weight 1e6) must
+    out-score pairs sharing only a degree-8 hub customer
+    (weight 1e9/3000 = 333333)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="aa_")
+    t1 = tempfile.mkdtemp(prefix="aaw1_")
+    t2 = tempfile.mkdtemp(prefix="aaw2_")
+    try:
+        spark.createDataFrame(
+            [(1, "c1", 1, 0.0, "A"), (2, "c2", 2, 0.0, "A")],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(t1)
+        shutil.copy(glob.glob(f"{t1}/part-*.parquet")[0], f"{d}/customer.parquet")
+        supps = [(1, "s1", 1, 0.0), (2, "s2", 1, 0.0)]
+        supps += [(10 + i, f"s{10 + i}", 2, 0.0) for i in range(8)]
+        spark.createDataFrame(
+            supps,
+            "s_suppkey long, s_name string, s_nationkey int,"
+            " s_acctbal double",
+        ).coalesce(1).write.mode("overwrite").parquet(t2)
+        shutil.copy(glob.glob(f"{t2}/part-*.parquet")[0], f"{d}/supplier.parquet")
+        out = registry.get("graph_adamic_adar_linkpred").fn(
+            spark, d
+        ).collect()
+        top = out[0]
+        assert (top["s1"], top["s2"]) == (1, 2)
+        assert top["aa_micro"] == 1_000_000  # 1/log2(2) in micro
+        hub_pairs = [r for r in out if r["s1"] >= 10]
+        assert hub_pairs and all(
+            r["aa_micro"] == 333_333 for r in hub_pairs
+        )
+    finally:
+        for p in (d, t1, t2):
+            shutil.rmtree(p, ignore_errors=True)

@@ -231,10 +231,10 @@ def main() -> None:
         return d
 
     ordfull1 = _stage_orders(scaled(
-        load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
         {"o_custkey": 10**8, "o_orderkey": 10**9}, 1, 8))
     ordfull_n = _stage_orders(scaled(
-        load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        load_table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
         {"o_custkey": 10**8, "o_orderkey": 10**9}, n_copies, 32))
 
     def _stage_docs(df):
@@ -300,6 +300,19 @@ def main() -> None:
                            "customer")
     embdir1 = _stage_one(emb1, "embeddings")
     embdir_n = _stage_one(emb_n, "embeddings")
+
+    def _stage_cust_supp(cust):
+        d = _tf.mkdtemp(prefix="scale_custsupp_")
+        cust.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        load_table(spark, sf, "supplier").write.mode("overwrite").parquet(
+            f"{d}/supplier.parquet")
+        return d
+
+    custsuppdir1 = _stage_cust_supp(
+        scaled(load_table(spark, sf, "customer"), {"c_custkey": 10**8}, 1, 8))
+    custsuppdir_n = _stage_cust_supp(
+        scaled(load_table(spark, sf, "customer"), {"c_custkey": 10**8},
+               n_copies, 32))
 
     def _stage_docs_emb(docs, emb):
         d = _tf.mkdtemp(prefix="scale_docemb_")
@@ -497,6 +510,10 @@ def main() -> None:
          evdir1, evdir_n),
         ("slo_burn", _registered("events_slo_burn_rate"),
          evdir1, evdir_n),
+        ("price_volume_mix", _registered("orders_price_volume_mix"),
+         ordfull1, ordfull_n),
+        ("adamic_adar", _registered("graph_adamic_adar_linkpred"),
+         custsuppdir1, custsuppdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

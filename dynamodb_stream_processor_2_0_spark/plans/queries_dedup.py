@@ -2707,3 +2707,131 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "support")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- near-dup rate by source ---------------------------------------------------------
+#
+# The curation dashboard's first question: WHICH shard is duplicated?
+# Per source: how many docs participate in at least one MinHash-LSH
+# candidate pair (distinct union of both endpoints), the dup-rate
+# permille, and how many of the source's pair endpoints cross INTO a
+# different source — cross-source duplication means a template shared
+# between shards (dedup must run globally), same-source duplication
+# can be handled shard-locally. Rides the production candidate
+# generator; everything after it is per-source rollups.
+
+
+def _dup_by_source_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()})
+        ), src AS (
+            SELECT doc_id, source FROM documents
+        ), ends AS (
+            SELECT e.doc_a AS doc_id, sb.source AS other_source
+            FROM e
+            JOIN src sb ON sb.doc_id = e.doc_b
+            UNION ALL
+            SELECT e.doc_b, sa.source
+            FROM e
+            JOIN src sa ON sa.doc_id = e.doc_a
+        ), marked AS (
+            SELECT s.source, en.doc_id,
+                   max(CASE WHEN en.other_source <> s.source
+                            THEN 1 ELSE 0 END) AS crosses
+            FROM ends en JOIN src s ON s.doc_id = en.doc_id
+            GROUP BY s.source, en.doc_id
+        ), per_src AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_dup_docs,
+                   CAST(sum(crosses) AS BIGINT) AS n_cross_source
+            FROM marked GROUP BY source
+        ), totals AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM src GROUP BY source
+        )
+        SELECT t.source, t.n_docs,
+               COALESCE(p.n_dup_docs, 0) AS n_dup_docs,
+               COALESCE(p.n_cross_source, 0) AS n_cross_source,
+               CAST(1000 * COALESCE(p.n_dup_docs, 0) // t.n_docs
+                    AS BIGINT) AS dup_rate_permille
+        FROM totals t LEFT JOIN per_src p ON p.source = t.source
+        ORDER BY t.source
+    """
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle=_dup_by_source_oracle(),
+    tags=("dedup", "llm", "quality"),
+    doc="Near-dup rate per source — the curation dashboard's first "
+    "question (WHICH shard is duplicated, and is the duplication "
+    "shard-local or cross-shard?): per source, the distinct docs "
+    "participating in any MinHash-LSH candidate pair, the dup-rate "
+    "permille, and how many of those docs pair INTO a different "
+    "source — cross-source duplication means a template shared "
+    "between shards, so dedup must run globally; same-source "
+    "duplication can be handled shard-locally (the partitioning "
+    "decision this report drives at 100 TB). Rides the production "
+    "candidate generator verbatim; the analysis is two endpoint "
+    "joins + per-source rollups on the post-banding pair list.",
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    ends = (
+        e.join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("other_source"),
+            ),
+            "doc_b",
+        )
+        .select(F.col("doc_a").alias("doc_id"), "other_source")
+        .unionByName(
+            e.join(
+                src.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("other_source"),
+                ),
+                "doc_a",
+            ).select(F.col("doc_b").alias("doc_id"), "other_source")
+        )
+    )
+    marked = (
+        ends.join(src, "doc_id")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN other_source <> source THEN 1 ELSE 0 END"
+                )
+            ).alias("crosses")
+        )
+    )
+    per_src = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_docs"),
+        F.sum("crosses").cast("long").alias("n_cross_source"),
+    )
+    totals = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0).cast("long")).alias(
+                "n_dup_docs"
+            ),
+            F.coalesce("n_cross_source", F.lit(0).cast("long")).alias(
+                "n_cross_source"
+            ),
+            F.expr(
+                "CAST(1000 * COALESCE(n_dup_docs, 0) div n_docs"
+                " AS BIGINT)"
+            ).alias("dup_rate_permille"),
+        )
+        .orderBy("source")
+    )

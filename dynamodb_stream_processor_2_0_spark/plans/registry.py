@@ -149,6 +149,8 @@ _loaded = False
 # The round-6 FOURTEENTH continuation added 2 more (price-volume-mix
 # decomposition, Adamic-Adar link prediction) — same treatment, same
 # r7 rotation status.
+# The round-6 FIFTEENTH continuation added 1 more (per-source dup-rate
+# report) — same treatment, same r7 rotation status.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---

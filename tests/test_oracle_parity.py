@@ -180,6 +180,7 @@ _MEDIUM_EXTRAS = (
     "events_slo_burn_rate",
     "orders_price_volume_mix",
     "graph_adamic_adar_linkpred",
+    "corpus_dup_rate_by_source",
 )
 
 

@@ -178,6 +178,7 @@ _SWEEP_EXTRAS = (
     "events_slo_burn_rate",
     "orders_price_volume_mix",
     "graph_adamic_adar_linkpred",
+    "corpus_dup_rate_by_source",
 )
 
 

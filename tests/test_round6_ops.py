@@ -1663,3 +1663,43 @@ def test_adamic_adar_rare_neighbor_outranks_hub(spark):
     finally:
         for p in (d, t1, t2):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_dup_rate_by_source_cross_vs_local(spark):
+    """Planted: srcA holds two copies of one text (shard-local dup),
+    srcB holds a third copy (cross-source), srcC is clean. The
+    report must separate local from cross-source duplication."""
+    import shutil
+    import tempfile
+
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    d = tempfile.mkdtemp(prefix="dupsrc_")
+    try:
+        t = " ".join(f"dup{i % 17}w{i % 5}" for i in range(70))
+        clean = " ".join(f"clean{i}" for i in range(70))
+        _stage_docs(
+            spark,
+            [
+                (0, t, "en", "srcA"),
+                (1, t, "en", "srcA"),
+                (2, t, "en", "srcB"),
+                (3, clean, "en", "srcC"),
+            ],
+            d,
+        )
+        out = {
+            r["source"]: r
+            for r in registry.get("corpus_dup_rate_by_source")
+            .fn(spark, d)
+            .collect()
+        }
+        assert out["srcA"]["n_dup_docs"] == 2
+        assert out["srcA"]["dup_rate_permille"] == 1000
+        assert out["srcA"]["n_cross_source"] == 2  # both pair into srcB
+        assert out["srcB"]["n_dup_docs"] == 1
+        assert out["srcB"]["n_cross_source"] == 1
+        assert out["srcC"]["n_dup_docs"] == 0
+        assert out["srcC"]["dup_rate_permille"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -460,9 +460,15 @@ def connected_components(
                 parent[hi] = lo
         labels_local = [(n, find(n)) for n in parent]
         return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
-    # Unlike the flood's 1-shuffle rounds, star rounds run 4 parallel
-    # stages; width 1 serializes them (6.3 s vs 5.0 measured), so keep
-    # a floor of 8 tasks until the edge count justifies full width.
+    # Each flood round below is two propagate() steps, and each step is
+    # an edge-label join followed by a min-aggregate, so a round runs a
+    # few dependent shuffle stages whose tasks all execute at
+    # loop_width. A floor of 8 keeps those stages parallel on graphs
+    # just over the union-find threshold without paying full session
+    # width in per-task overhead for tiny shuffles. (The 6.3 s vs 5.0 s
+    # width experiment cited in star_contraction_components was run on
+    # THAT loop; this floor is a conservative sizing choice, not that
+    # measurement.)
     loop_width = max(
         1, min(session_width, max(8, n_edges // 500_000 + 1))
     )
@@ -660,11 +666,42 @@ def _star_loop(sym: DataFrame, _sym, max_rounds: int) -> DataFrame:
         if sig == prev_sig:
             break
         prev_sig = sig
-    return (
+    labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
-        .select(
-            F.col("u").alias("doc_id"),
-            F.least("mv", F.col("u")).alias("cluster_id"),
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    # Fixpoint verification. The signature above is a heuristic: on a
+    # symmetric edge set sum(u) == sum(v), so it degenerates to
+    # (count, sum) and a collision could break the loop early; and
+    # exhausting max_rounds would otherwise return non-converged (wrong)
+    # labels silently. A converged star forest satisfies two local
+    # conditions, each one bounded aggregate: (1) every smaller-neighbor
+    # of u IS u's minimum m (no node retains two distinct smaller
+    # neighbors), and (2) every label m is itself a root (m maps to m).
+    # Together these hold iff sym is a star forest rooted at component
+    # minima — the loop's postcondition.
+    non_star = (
+        sym.filter(F.col("v") < F.col("u"))
+        .join(labels, "u")
+        .filter(F.col("v") != F.col("m"))
+        .count()
+    )
+    non_root = (
+        labels.select(F.col("m").alias("u"))
+        .distinct()
+        .join(labels, "u")
+        .filter(F.col("m") != F.col("u"))
+        .count()
+    )
+    if non_star or non_root:
+        raise RuntimeError(
+            "star-contraction did not reach a star-forest fixpoint "
+            f"within max_rounds={max_rounds} (or the convergence "
+            f"signature collided): {non_star} non-star edges and "
+            f"{non_root} non-root labels remain"
         )
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("m").alias("cluster_id")
     )

@@ -192,9 +192,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(df, shingle_k=3, min_jaccard=0.01)
 
 
-@register(
-    "dedup_cluster_assign",
-    oracle=f"""
+# Shared by dedup_cluster_assign AND dedup_cluster_assign_star: the two
+# operators implement different distributed CC algorithms (min-label
+# flood vs large-star/small-star contraction) whose labels provably
+# agree, and the gate enforces that agreement by checking both against
+# this ONE oracle. A single constant keeps the twins from drifting —
+# the cross-check argument depends on the SQL staying identical.
+_RECURSIVE_CC_ORACLE = f"""
         WITH RECURSIVE edges AS (
             SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) pairs
         ), sym AS (
@@ -208,7 +212,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT node AS doc_id, min(r) AS cluster_id
         FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=_RECURSIVE_CC_ORACLE,
     tags=("dedup", "llm", "iterative", "graph"),
     doc="Near-dup cluster assignment: connected components of the MinHash-LSH "
     "candidate graph via min-label propagation (iterative DataFrame loop); "
@@ -222,21 +231,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_assign_star",
-    oracle=f"""
-        WITH RECURSIVE edges AS (
-            SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_oracle_sql()}) pairs
-        ), sym AS (
-            SELECT doc_a AS u, doc_b AS v FROM edges
-            UNION ALL
-            SELECT doc_b, doc_a FROM edges
-        ), reach(node, r) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
-            UNION
-            SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
-        )
-        SELECT node AS doc_id, min(r) AS cluster_id
-        FROM reach GROUP BY node
-    """,
+    oracle=_RECURSIVE_CC_ORACLE,
     tags=("dedup", "llm", "iterative", "graph", "scale"),
     doc="Connected components by alternating large-star / small-star "
     "contraction (Kiveris et al.) over the same MinHash-LSH candidate "

@@ -414,12 +414,18 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal-rate, quota = fixed-per-stratum): Neyman allocation puts the
 # budget where the VARIANCE is — n_h ∝ N_h * S_h minimizes the
 # estimator variance of the stratified mean for a fixed budget. The
-# per-stratum N_h*S_h is exactly sqrt(N_h*ssq_h - s_h^2) (the
-# variance times N_h^2), computed as a deterministic integer sqrt:
-# the operand is right-shifted by a shared EVEN bit count until it
-# fits double-exact range (<2^52), floor(sqrt(double)) of an exactly
-# representable integer is IEEE-identical in both engines, and the
-# result shifts back — the OLS digit-drop pattern, base 4. Seats are
+# per-stratum N_h*S_h is sqrt(N_h*ssq_h - s_h^2) (the variance times
+# N_h^2), computed as a DETERMINISTIC APPROXIMATION of the integer
+# sqrt (same contract as the OLS op, NOT exact): the operand is
+# right-shifted by a shared EVEN bit count until it fits double-exact
+# range (<2^52) — discarding the low bits of large operands —
+# floor(sqrt(double)) of the now exactly-representable integer is
+# IEEE-identical in both engines, and the result shifts back (the
+# digit-drop pattern, base 4). For operands over 2^52 the weight can
+# therefore deviate from true floor(sqrt) in its low bits, and a
+# Hamilton seat can move across a near-tie; what IS guaranteed is
+# bit-identical results in both engines from the shared shift
+# schedule, which is the property the gate checks. Seats are
 # apportioned by Hamilton largest-remainder (exact budget total);
 # the remainder rank rides the broadcast triangular join (no
 # single-partition window, the sign-flip FDR pattern).
@@ -496,10 +502,13 @@ def _neyman_oracle() -> str:
     "times stddev of n_chars) — the allocation minimizing the "
     "stratified-mean variance at fixed budget; the completion of the "
     "sampling family beside equal-rate stratified and fixed quota. "
-    "N_h*S_h = sqrt(N_h*ssq - s^2) exactly, via a deterministic "
+    "N_h*S_h = sqrt(N_h*ssq - s^2) via a deterministic APPROXIMATE "
     "integer sqrt (shared even-bit right-shift into double-exact "
     "range, IEEE floor(sqrt), shift back — the OLS digit-drop "
-    "pattern in base 4); Hamilton largest-remainder apportionment "
+    "pattern in base 4; low bits of >2^52 operands are dropped, so "
+    "weights near a Hamilton tie can deviate from true Neyman — the "
+    "guarantee is bit-identical engine agreement, not exactness); "
+    "Hamilton largest-remainder apportionment "
     "makes the allocations sum to the budget exactly, with the "
     "remainder rank on the broadcast triangular join (no "
     "single-partition window). One stratum rollup + O(strata^2) "

@@ -74,21 +74,43 @@ def write_batch(
     writer.save(path)
 
 
+# All staging dirs created by staged_tmpdir, cleaned by ONE atexit
+# handler (registered lazily on first use). A single module-level
+# registry instead of one atexit entry per call keeps long-lived
+# driver processes from accumulating unbounded atexit entries, and
+# makes the cleanup order explicit: nothing is deleted until the one
+# handler runs, so a Spark read of a cached staged path can never race
+# an earlier per-dir hook during interpreter shutdown.
+_STAGED_DIRS: list[str] = []
+_CLEANUP_REGISTERED = False
+
+
+def _cleanup_staged_dirs() -> None:
+    import shutil
+
+    for path in _STAGED_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+    _STAGED_DIRS.clear()
+
+
 def staged_tmpdir(prefix: str) -> str:
-    """mkdtemp with registered atexit cleanup.
+    """mkdtemp tracked for a single atexit cleanup.
 
     Every staging directory the query plans materialize (format
     round-trips, harmonization shards, sink outputs, checkpoints) is
     process-scoped scratch: callers cache the path for the life of the
     process, so the only correct deletion point is interpreter exit.
-    Registering rmtree here keeps staged shard copies from leaking
-    across sessions (each driver/test process previously left its
-    staged copies behind).
+    Tracking the dirs in one registry keeps staged shard copies from
+    leaking across sessions without registering one atexit hook per
+    call.
     """
     import atexit
-    import shutil
     import tempfile
 
+    global _CLEANUP_REGISTERED
     path = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    _STAGED_DIRS.append(path)
+    if not _CLEANUP_REGISTERED:
+        atexit.register(_cleanup_staged_dirs)
+        _CLEANUP_REGISTERED = True
     return path

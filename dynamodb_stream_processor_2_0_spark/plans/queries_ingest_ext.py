@@ -3,7 +3,8 @@ schema harmonization (the multi-format backfill read every long-lived
 100 TB table needs) and Haar wavelet energy (multiscale burst
 diagnostics on event-time series).
 
-Same arithmetic discipline as queries_analytics_ext: exact BIGINT,
+Same arithmetic discipline as the analytics extension modules
+(queries_graph_ops / queries_timeseries_ext / ...): exact BIGINT,
 truncating division only on non-negatives, oracles recompute from the
 pristine parquet.
 """

@@ -41,7 +41,11 @@ _QUERY_MODULES = (
     "dynamodb_stream_processor_2_0_spark.plans.queries_temporal_graph",
     "dynamodb_stream_processor_2_0_spark.plans.queries_similarity",
     "dynamodb_stream_processor_2_0_spark.plans.queries_streaming_batch",
-    "dynamodb_stream_processor_2_0_spark.plans.queries_analytics_ext",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_graph_ops",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_timeseries_ext",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_causal_eval",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_privacy_schema",
+    "dynamodb_stream_processor_2_0_spark.plans.queries_ops_analytics",
     "dynamodb_stream_processor_2_0_spark.plans.queries_ingest_ext",
     "dynamodb_stream_processor_2_0_spark.plans.queries_retrieval",
     "dynamodb_stream_processor_2_0_spark.plans.queries_ml",

@@ -45,12 +45,12 @@ class TestNodeJaccardHubCap:
 
     @staticmethod
     def _fn():
-        # queries_analytics_ext registers at import time and reads
+        # queries_graph_ops registers at import time and reads
         # earlier modules' registry entries — load via the registry.
         from dynamodb_stream_processor_2_0_spark.plans import registry
 
         registry._load()
-        from dynamodb_stream_processor_2_0_spark.plans.queries_analytics_ext import (
+        from dynamodb_stream_processor_2_0_spark.plans.queries_graph_ops import (
             node_jaccard_from_edges,
         )
 

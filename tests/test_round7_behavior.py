@@ -1024,3 +1024,231 @@ def test_centroid_drift_identical_cohorts_aligned(spark, tmp_path):
     out = _run(spark, "embedding_centroid_drift", tmp_path)
     assert len(out) == 1
     assert bool(out[0].aligned) is True
+
+
+# --- batch 3: chains, survival, attribution, intervals, control charts -------
+
+
+def test_markov_stationary_alternating_chain(spark, tmp_path):
+    """A user alternating A,B,A,B,... gives the doubly-stochastic
+    2-state swap chain whose stationary distribution is exactly
+    uniform: both states must report 500000 micro after the power
+    iteration (uniform is a fixed point of the swap)."""
+    rows = []
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    for i in range(20):
+        etype = "click" if i % 2 == 0 else "view"
+        rows.append((i, (t0 + dt.timedelta(hours=i)).isoformat(), 1, etype, 1.0))
+    _write_events(tmp_path, rows)
+    out = {r.event_type: r.stationary_micro
+           for r in _run(spark, "events_markov_stationary", tmp_path)}
+    # mass lives on the operator's 1e12 grid (the column suffix is the
+    # report family name, the grid is documented in the op)
+    assert out == {"click": 500_000_000_000, "view": 500_000_000_000}
+
+
+def test_gap_survival_planted_uniform_gaps(spark, tmp_path):
+    """Every between-order gap is exactly 20 days: survival is 1000
+    permille at horizons 7 and 14 and exactly 0 at 30/60/90."""
+    rows = []
+    oid = 0
+    t0 = dt.datetime(2024, 1, 1)
+    for cust in range(1, 7):
+        for k in range(4):  # 3 gaps of 20 days each
+            rows.append((oid, cust, "F", 100.0,
+                         t0 + dt.timedelta(days=20 * k), "1-URGENT"))
+            oid += 1
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = {r.horizon_days: r for r in _run(spark, "customer_gap_survival_curve", tmp_path)}
+    assert out[7].survival_permille == 1000
+    assert out[14].survival_permille == 1000
+    for h in (30, 60, 90):
+        assert out[h].survival_permille == 0
+    assert out[7].n_gaps == 18  # 6 customers x 3 gaps
+
+
+def test_time_decay_attribution_single_touch_and_unattributed(spark, tmp_path):
+    """A purchase with exactly one in-window touch gives that channel
+    ALL 1000 milli-credits; a purchase with no touch lands fully in
+    'unattributed'; total credit is conserved at 1000 per purchase."""
+    rows = [
+        # user 1: click 1 day before purchase
+        (0, "2024-01-02T10:00:00", 1, "click", 1.0),
+        (1, "2024-01-03T10:00:00", 1, "purchase", 50.0),
+        # user 2: naked purchase
+        (2, "2024-01-10T10:00:00", 2, "purchase", 30.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r.channel: r for r in _run(spark, "attribution_time_decay", tmp_path)}
+    assert out["click"].credit_milli == 1000
+    assert out["unattributed"].credit_milli == 1000
+    assert sum(r.credit_milli for r in out.values()) == 2000
+
+
+def test_entropy_planted_users(spark, tmp_path):
+    """A single-action user scores exactly 0 millibits (no hidden
+    +1-bit floor — the round-6 fix); a perfectly 50/50 two-type user
+    scores exactly 1000 millibits."""
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    for i in range(16):
+        rows.append((eid, (t0 + dt.timedelta(hours=i)).isoformat(), 1, "click", 1.0))
+        eid += 1
+    for i in range(16):
+        etype = "click" if i % 2 == 0 else "view"
+        rows.append((eid, (t0 + dt.timedelta(hours=i)).isoformat(), 2, etype, 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    out = {r.user_id: r for r in _run(spark, "events_entropy_by_user", tmp_path)}
+    assert out[1].entropy_millibits == 0
+    assert out[1].n_types == 1
+    assert out[2].entropy_millibits == 1000
+    assert out[2].n_types == 2
+
+
+def test_interval_overlap_planted_hour(spark, tmp_path):
+    """Two users whose activity intervals overlap by exactly one hour
+    (10-12 vs 11-13) produce one pair with 3600 overlap seconds; a
+    third disjoint user adds nothing."""
+    rows = [
+        (0, "2024-01-05T10:00:00", 1, "click", 1.0),
+        (1, "2024-01-05T12:00:00", 1, "click", 1.0),
+        (2, "2024-01-05T11:00:00", 2, "view", 1.0),
+        (3, "2024-01-05T13:00:00", 2, "view", 1.0),
+        (4, "2024-01-05T14:30:00", 3, "click", 1.0),
+        (5, "2024-01-05T15:00:00", 3, "click", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = _run(spark, "interval_overlap_join", tmp_path)
+    assert len(out) == 1
+    row = out[0]
+    assert str(row.day)[:10] == "2024-01-05"
+    assert row.n_pairs == 1
+    assert row.sum_overlap_sec == 3600
+
+
+def test_scene_cut_planted_frames(spark, tmp_path):
+    """A 160-byte payload = three identical flat frames then two
+    frames with a 4-bit different signature: exactly one cut at the
+    boundary. An all-flat payload has zero cuts."""
+    frame_a = "x" * 32                      # flat: signature 0x00
+    frame_b = "z" * 16 + "a" * 16           # 4 high blocks: 4 sig bits
+    cut_doc = frame_a * 3 + frame_b * 2
+    flat_doc = frame_a * 5
+    _write_documents(
+        tmp_path,
+        [(1, cut_doc, "en", "src0"), (2, flat_doc, "en", "src0")],
+    )
+    out = {r.doc_id: r for r in _run(spark, "multimodal_scene_cut_detect", tmp_path)}
+    assert out[1].n_frames == 5
+    assert out[1].n_cuts == 1
+    assert 3 <= out[1].first_cut_idx <= 4
+    assert out[2].n_frames == 5
+    assert out[2].n_cuts == 0
+
+
+def test_control_chart_planted_outlier(spark, tmp_path):
+    """12 constant 5-day delays + one 50-day delay: the outlier's
+    z^2 = 12 > 9, so exactly one shipment flags and the supplier reads
+    unstable; an all-constant supplier (variance 0) stays stable.
+    (With only 9 constants + 1 outlier the single point's z^2 is
+    exactly 9 and must NOT flag — the masking boundary.)"""
+    orders, lines = [], []
+    oid = 0
+    t0 = dt.datetime(2024, 1, 1)
+    def add(supp, delay):
+        nonlocal oid
+        od = t0 + dt.timedelta(days=oid)
+        orders.append((oid, 1, "F", 100.0, od, "1-URGENT"))
+        lines.append((oid, supp, od + dt.timedelta(days=delay)))
+        oid += 1
+    for _ in range(12):
+        add(1, 5)
+    add(1, 50)          # supplier 1: flags
+    for _ in range(10):
+        add(2, 7)       # supplier 2: constant, stable
+    for _ in range(9):
+        add(3, 5)
+    add(3, 50)          # supplier 3: z^2 == 9 exactly -> must NOT flag
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    tl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+            "l_partkey": pa.array(list(range(len(lines))), pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in lines], pa.int64()),
+            "l_quantity": pa.array([1.0] * len(lines), pa.float64()),
+            "l_extendedprice": pa.array([10.0] * len(lines), pa.float64()),
+            "l_discount": pa.array([0.0] * len(lines), pa.float64()),
+            "l_tax": pa.array([0.0] * len(lines), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(lines), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(lines), pa.string()),
+            "l_shipdate": pa.array([r[2] for r in lines], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tl, str(tmp_path / "lineitem.parquet"))
+    out = {r.suppkey: r for r in _run(spark, "supplier_delay_control_chart", tmp_path)}
+    assert out[1].n_out_of_control == 1
+    assert bool(out[1].is_stable) is False
+    assert out[2].n_out_of_control == 0
+    assert bool(out[2].is_stable) is True
+    assert out[3].n_out_of_control == 0  # z^2 == 9 is NOT > 9
+    assert bool(out[3].is_stable) is True
+
+
+def test_rfm_migration_planted_tiers(spark, tmp_path):
+    """Four users with a stable spend ranking across both halves plus
+    one first-half-only user: the matrix must be the exact planted
+    migration (u4 1->1, u3 1->2, u2 2->3, u1 3->4, u5 4->0 churned)
+    under deterministic ntile(4) tie rules. Spend = event value cents;
+    the timeline midpoint (Jan 2 .. Jan 15 -> Jan 8) splits halves."""
+    spend_h1 = {1: 100.0, 2: 200.0, 3: 300.0, 4: 400.0, 5: 50.0}
+    spend_h2 = {1: 100.0, 2: 200.0, 3: 300.0, 4: 400.0}
+    rows = []
+    eid = 0
+    for user, amt in spend_h1.items():
+        rows.append((eid, "2024-01-02T10:00:00", user, "purchase", amt))
+        eid += 1
+    for user, amt in spend_h2.items():
+        rows.append((eid, "2024-01-15T10:00:00", user, "purchase", amt))
+        eid += 1
+    _write_events(tmp_path, rows)
+    out = {(r.tier_first_half, r.tier_second_half): r.n_users
+           for r in _run(spark, "rfm_migration_matrix", tmp_path)}
+    expected = {(1, 1): 1, (1, 2): 1, (2, 3): 1, (3, 4): 1, (4, 0): 1}
+    assert out == expected
+
+
+def test_betweenness_and_assortativity_axioms(spark, sf_dir):
+    """Seeded betweenness scores are non-negative and rank-ordered;
+    assortativity's signed r^2 stays on the [-1e6, 1e6] micro grid
+    with the disassortative flag agreeing with its sign."""
+    bt = sorted(_run(spark, "graph_betweenness_seeded", sf_dir),
+                key=lambda r: r.rank)
+    assert bt
+    scores = [r.betweenness_milli for r in bt]
+    assert all(s >= 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    ar = _run(spark, "graph_degree_assortativity", sf_dir)[0]
+    assert -1_000_000 <= ar.r_squared_signed_micro <= 1_000_000
+    assert bool(ar.disassortative) == (ar.r_squared_signed_micro < 0)

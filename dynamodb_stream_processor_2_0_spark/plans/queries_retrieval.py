@@ -138,9 +138,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("long").alias("l"),
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # query-term selection ranks the WHOLE vocabulary — data-sized at
+    # 100 TB. orderBy().limit(HI) compiles to TakeOrderedAndProject
+    # (per-partition top-k, no single-task sort); the re-rank window
+    # then touches at most HI rows, which is the benign bounded shape.
+    top_terms = df.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(
+        _BM25_QUERY_RANK_HI
+    )
     wdf = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
     qterms = (
-        df.withColumn("rnk", F.row_number().over(wdf))
+        top_terms.withColumn("rnk", F.row_number().over(wdf))
         .filter(
             F.col("rnk").between(_BM25_QUERY_RANK_LO, _BM25_QUERY_RANK_HI)
         )
@@ -367,10 +374,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
-    wdf = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    # stopword selection = vocabulary top-N: orderBy().limit() is the
+    # distributed TakeOrderedAndProject top-k — no rank column needed,
+    # no single-task window over the data-sized vocab
     stopwords = (
-        df.withColumn("rnk", F.row_number().over(wdf))
-        .filter(F.col("rnk") <= _RAKE_N_STOPWORDS)
+        df.orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(_RAKE_N_STOPWORDS)
         .select("tok")
     )
     wisl = Window.partitionBy("doc_id").orderBy("pos")
@@ -407,14 +416,21 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.max("p_score").alias("score_milli"),
     )
+    # the final cut ranks the full distinct-phrase relation:
+    # TakeOrderedAndProject bounds it to TOPK rows distributedly; the
+    # global re-rank window then touches at most TOPK rows (benign)
+    top = dedup.orderBy(
+        F.col("score_milli").desc(),
+        F.col("n_occurrences").desc(),
+        F.col("phrase").asc(),
+    ).limit(_RAKE_TOPK)
     wrank = Window.orderBy(
         F.col("score_milli").desc(),
         F.col("n_occurrences").desc(),
         F.col("phrase").asc(),
     )
     return (
-        dedup.withColumn("rank", F.row_number().over(wrank))
-        .filter(F.col("rank") <= _RAKE_TOPK)
+        top.withColumn("rank", F.row_number().over(wrank))
         .select("rank", "phrase", "score_milli", "n_occurrences")
         .orderBy("rank")
     )
@@ -478,10 +494,11 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
-    wv = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    # vocabulary selection = term top-N via TakeOrderedAndProject —
+    # no single-task window over the data-sized term relation
     vocab = (
-        tf.withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") <= _VOCAB_SIZE)
+        tf.orderBy(F.col("cf").desc(), F.col("tok").asc())
+        .limit(_VOCAB_SIZE)
         .select("tok")
         .withColumn("in_vocab", F.lit(1))
     )
@@ -622,6 +639,15 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # the final cut over the surviving-pair relation:
+    # TakeOrderedAndProject bounds it to TOPK rows distributedly; the
+    # re-rank window then touches at most TOPK rows (benign)
+    top = scored.orderBy(
+        F.col("pmi_bits").desc(),
+        F.col("c_ab").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    ).limit(_PMI_TOPK)
     wr = Window.orderBy(
         F.col("pmi_bits").desc(),
         F.col("c_ab").desc(),
@@ -629,7 +655,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w2").asc(),
     )
     return (
-        scored.withColumn("rank", F.row_number().over(wr))
+        top.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= _PMI_TOPK)
         .select("rank", "w1", "w2", "c_ab", "pmi_bits")
         .orderBy("rank")
@@ -701,11 +727,12 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("cf"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    wr = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    # top-term selection = term top-N via TakeOrderedAndProject — no
+    # rank column needed, no single-task window over the term relation
     return (
         stats.crossJoin(F.broadcast(n_docs))
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= _BURST_TOP_TERMS)
+        .orderBy(F.col("cf").desc(), F.col("tok").asc())
+        .limit(_BURST_TOP_TERMS)
         .select(
             "tok",
             "df",
@@ -996,6 +1023,9 @@ def text_winnowing_fingerprints(
         .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
         .limit(_WIN_TOPK)
     )
+    # `top` is already .limit(_WIN_TOPK)-bounded, so this global window
+    # ranks at most TOPK rows — the cheap TakeOrderedAndProject + tiny
+    # re-rank shape, not a data-sized single-task window
     wrank = Window.orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
     return (
         top.withColumn("rank", F.row_number().over(wrank))

@@ -1252,3 +1252,136 @@ def test_betweenness_and_assortativity_axioms(spark, sf_dir):
     ar = _run(spark, "graph_degree_assortativity", sf_dir)[0]
     assert -1_000_000 <= ar.r_squared_signed_micro <= 1_000_000
     assert bool(ar.disassortative) == (ar.r_squared_signed_micro < 0)
+
+
+# --- batch 4: streaks, autocorrelation, smoothing, KMV saturation ------------
+
+
+def test_streak_islands_planted_histogram(spark, tmp_path):
+    """Longest consecutive-active-day streak per user: planted users
+    with longest streaks 3, 1, and 2 produce exactly one user in each
+    histogram bucket (user 3's later singleton day must NOT also count
+    — the histogram is over LONGEST streaks)."""
+    rows = []
+    eid = 0
+    for day in ("01", "02", "03"):
+        rows.append((eid, f"2024-01-{day}T10:00:00", 1, "click", 1.0))
+        eid += 1
+    rows.append((eid, "2024-01-01T10:00:00", 2, "click", 1.0)); eid += 1
+    for day in ("01", "02", "05"):
+        rows.append((eid, f"2024-01-{day}T10:00:00", 3, "click", 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    out = {r.streak_days: r.n_users
+           for r in _run(spark, "events_streak_islands", tmp_path)}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_autocorrelation_alternating_series(spark, tmp_path):
+    """The ACF runs over the daily event-COUNT series. Alternating
+    counts (2 events on even days, 1 on odd): lag-1 autocorrelation is
+    strongly negative (every consecutive pair straddles the mean) and
+    lag-2 strongly positive — the sign structure any correct sample
+    ACF estimator must produce. A constant-count series must score 0
+    at every lag (the zero-variance guard, checked with 'view')."""
+    rows = []
+    eid = 0
+    t0 = dt.date(2024, 1, 1)
+    for d in range(40):
+        day = (t0 + dt.timedelta(days=d)).isoformat()
+        rows.append((eid, f"{day}T10:00:00", 1, "click", 1.0)); eid += 1
+        if d % 2 == 0:
+            rows.append((eid, f"{day}T11:00:00", 2, "click", 1.0)); eid += 1
+        rows.append((eid, f"{day}T12:00:00", 3, "view", 1.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = {(r.event_type, r.lag): r.acf_permille
+           for r in _run(spark, "events_autocorrelation_lags", tmp_path)}
+    assert out[("click", 1)] <= -900
+    assert out[("click", 2)] >= 900
+    for lag in (1, 2, 3):
+        assert out[("view", lag)] == 0
+
+
+def test_ewma_constant_series_is_identity(spark, tmp_path):
+    """The EWMA assumes ZERO-PADDED history (the trailing-16 dyadic
+    weights always normalize by the full weight total), so the ramp-up
+    days of a flat series read as a known fraction of the constant —
+    exactly c*(2^16 - 2^(16-d)) div (2^16 - 1) on day d — and once 16
+    days of history exist the EWMA equals the constant exactly."""
+    from dynamodb_stream_processor_2_0_spark.plans import (
+        queries_timeseries_ext as TS,
+    )
+
+    depth, wtot = TS._EWMA_DEPTH, TS._EWMA_WTOT
+    vals = [25.0] * 30
+    _write_events(tmp_path, _daily_events({"view": vals}))
+    out = sorted(
+        (r for r in _run(spark, "timeseries_ewma_halflife", tmp_path)
+         if r.event_type == "view"),
+        key=lambda r: str(r.day),
+    )
+    assert len(out) == 30
+    for d, r in enumerate(out, start=1):
+        avail = min(d, depth)
+        expected = 2500 * ((1 << depth) - (1 << (depth - avail))) // wtot
+        assert r.ewma_cents == expected, (d, r.ewma_cents, expected)
+    assert out[-1].ewma_cents == 2500  # saturated: identity on flat
+
+
+def test_holt_constant_series_zero_error(spark, tmp_path):
+    """Holt's level/trend smoothing of a constant series keeps level =
+    the constant and trend = 0, so the one-step forecast is exact on
+    every day: abs_err must be 0 everywhere."""
+    vals = [40.0] * 30
+    _write_events(tmp_path, _daily_events({"signup": vals}))
+    out = [r for r in _run(spark, "timeseries_holt_forecast", tmp_path)
+           if r.event_type == "signup"]
+    assert out
+    for r in out:
+        assert r.abs_err == 0
+        assert r.forecast_cents == r.actual_cents == 4000
+
+
+def test_kmv_saturation_is_exact(spark, sf_dir):
+    """A bottom-k KMV sketch over a scope with at most k distinct
+    values holds EVERY hash, so the estimate must be exactly the true
+    distinct count (the fixture's scopes are all under k=64): the
+    estimator's saturation regime, where err_permille is exactly 0."""
+    out = _run(spark, "sketch_kmv_distinct", sf_dir)
+    assert out
+    for r in out:
+        if r.exact_distinct <= r.k_used:
+            assert r.kmv_est == r.exact_distinct
+            assert r.err_permille == 0
+
+
+def test_skew_profile_invariants(spark, sf_dir):
+    """Frequency-profile algebra: per scope, max >= p99 >= p50 >= 1,
+    the top-10 share is a permille in (0, 1000], and keys never exceed
+    rows."""
+    out = _run(spark, "data_skew_profile", sf_dir)
+    assert out
+    for r in out:
+        assert r.max_freq >= r.p99_freq >= r.p50_freq >= 1
+        assert 0 < r.top10_share_permille <= 1000
+        assert r.n_keys <= r.n_rows
+
+
+def test_mixture_sample_is_valid_subset(spark, tmp_path):
+    """The mixture sample must emit distinct doc_ids that exist in the
+    corpus with their true (source, lang) labels."""
+    # source names keep the fixture's srcN shape — the mixture op
+    # derives per-source weights from the numeric suffix
+    rows = []
+    for i in range(40):
+        rows.append((i, f"alpha beta doc {i}", "en", "src0"))
+    for i in range(40):
+        rows.append((100 + i, f"gamma delta doc {i}", "xx", "src1"))
+    _write_documents(tmp_path, rows)
+    out = _run(spark, "corpus_mixture_sample", tmp_path)
+    assert out
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    truth = {r[0]: (r[3], r[2]) for r in rows}
+    for r in out:
+        assert truth[r.doc_id] == (r.source, r.lang)

@@ -138,6 +138,55 @@ def main() -> None:
             sort_keys=True,
         )
     print(f"# full timing artifact: {full_out}", file=sys.stderr)
+
+    # Regression tripwire: compare steady per-query times against the
+    # PREVIOUS COMMITTED BENCH_full artifact (git HEAD, not the working
+    # tree — the working tree copy is this run's own output). Sweep
+    # order has been pinned alphabetical since round 7, so per-query
+    # ratios are position-comparable across rounds. Measured run-to-run
+    # noise at sf0.1 is p10-p90 = 0.89-1.30x (SCALE.md §6), so the
+    # tripwire only flags >1.5x AND >0.5s absolute — anything inside
+    # ±30% is protocol noise, not a regression. Disable (e.g. for
+    # scratch runs at another SF) with SPARK_GRAFT_BENCH_NO_TRIPWIRE=1.
+    regressions: dict[str, list[float]] = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_TRIPWIRE"):
+        import subprocess
+
+        try:
+            prev_raw = subprocess.run(
+                ["git", "-C", str(REPO_ROOT), "show", "HEAD:BENCH_full_latest.json"],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            prev = json.loads(prev_raw)
+        except Exception as exc:  # no git / artifact not yet committed
+            print(f"# tripwire: no committed baseline ({exc})", file=sys.stderr)
+            prev = None
+        if prev and prev.get("sf") == (
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        ):
+            prev_steady = prev.get("steady_sec", {})
+            for name, dt in sorted(timings.items()):
+                base = prev_steady.get(name)
+                if base and dt > 1.5 * base and dt - base > 0.5:
+                    regressions[name] = [base, dt]
+                    print(
+                        f"# REGRESSION {name}: {base:.3f}s -> {dt:.3f}s "
+                        f"({dt / base:.2f}x vs committed baseline)",
+                        file=sys.stderr,
+                    )
+            print(
+                f"# tripwire: {len(regressions)} quer{'y' if len(regressions) == 1 else 'ies'} "
+                f">1.5x (+0.5s) vs committed baseline of {len(prev_steady)}",
+                file=sys.stderr,
+            )
+        elif prev:
+            print(
+                f"# tripwire: baseline sf={prev.get('sf')} != run sf={sf}; skipped",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {
@@ -151,6 +200,7 @@ def main() -> None:
                 "queries_cold_position": cold_position,
                 "all_queries_total_sec": round(total, 3),
                 "n_queries": len(timings),
+                "n_regressions_vs_committed": len(regressions),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

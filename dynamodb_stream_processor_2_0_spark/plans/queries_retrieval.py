@@ -656,7 +656,6 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         top.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _PMI_TOPK)
         .select("rank", "w1", "w2", "c_ab", "pmi_bits")
         .orderBy("rank")
     )

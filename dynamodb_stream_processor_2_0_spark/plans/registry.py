@@ -88,6 +88,15 @@ _loaded = False
 #          the most novel arithmetic (BM25, RRF, OLS, ECE, Gini stump,
 #          kNN-OOD, kNN label eval) + corpus-curation capstone + remainder.
 #          Never-checked backlog on rotation: 247 -> 218.
+#   r8:    covering set + the relational-closure remainder (TPC-H
+#          q2/q9/q11/q12/q13/q15/q16/q19/q20/q21/q22 + bucketed join),
+#          the queries_advanced sketch/AQP block (bitmap runtime-filter
+#          semi join, exact percentiles, pinned HLL, Bloom prefilter,
+#          AQP sampled sum, sketch rollup, DQ profile, null-safe join,
+#          integrity checksum), the dedup remainder (sorted-neighborhood,
+#          Fellegi-Sunter, prefix-filter Jaccard, simhash Hamming pairs,
+#          B-cubed, star assign, minhash calibration) + asof join.
+#          Never-checked backlog on rotation: 218 -> 189.
 #
 # The ~100 round-6 additions (retrieval, ML/eval, graph extensions, text
 # statistics, temporal/causal analytics — see git history for the batch
@@ -118,53 +127,54 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "a3_failure_list",
     "e1_error_isolation",
     "datetime_function_battery",
-    # --- round-7 sample fill (positions 22-50), per the r6 verdict:
-    # (a) approx_stats_scale_path — the ONLY query whose latest driver
-    # row is a FAIL (r1 list-typed canonicalizer crash; since fixed and
-    # given a deterministic error-band oracle, README);
-    # (b) the 13 never-driver-checked streaming e2e queries — they guard
-    # the reference's S6/S7/E5 heart (delivery CAS, reverts, sinks);
-    # (c) the r6 retrieval/ML additions with the most novel arithmetic
-    # (BM25, RRF, closed-form OLS, calibration/ECE, Gini stump, kNN-OOD,
-    # kNN label eval) plus the corpus-curation capstone and high-value
-    # never-checked remainder. All pre-proven by tools/gate_sim.py at
-    # sf0.01 before this rotation was committed. ---
-    "approx_stats_scale_path",
-    "streaming_sessionize_e2e",
-    "streaming_stream_join_e2e",
-    "streaming_static_enrich_e2e",
-    "streaming_foreachbatch_sink_e2e",
-    "streaming_incremental_rollup_e2e",
-    "streaming_python_source_e2e",
-    "streaming_python_sink_e2e",
-    "streaming_outer_join_e2e",
-    "streaming_chained_window_agg_e2e",
-    "streaming_late_data_audit_e2e",
-    "streaming_rocksdb_state_e2e",
-    "streaming_neardup_arrival_e2e",
-    "streaming_state_introspection",
-    "text_bm25_topk",
-    "search_rrf_hybrid",
-    "ml_ols_regression_closed_form",
-    "eval_calibration_curve_ece",
-    "ml_gini_decision_stump",
-    "embedding_ood_knn_distance",
-    "corpus_curation_pipeline_v2",
-    "ml_knn_label_eval",
-    "session_window_12h",
-    "quality_classifier_score",
-    "dedup_token_window_exact",
-    "dedup_survivorship_canonical",
-    "embedding_random_projection",
-    "bpe_merge_induction",
-    "sql_lateral_topk_per_customer",
+    # --- round-8 sample fill (positions 22-50), per the r7 verdict:
+    # rotate onto the highest-value never-checked blocks — (a) the
+    # relational closure remainder: the 11 never-checked TPC-H queries
+    # (q2/q9/q11/q12/q13/q15/q16/q19/q20/q21/q22) + the bucketed
+    # co-located join; (b) the queries_advanced sketch/AQP block
+    # (bitmap runtime-filter semi join, exact percentiles, pinned-HLL
+    # accuracy, Bloom prefilter, AQP sampled sum, sketch re-aggregation,
+    # data-quality profile, null-safe join, integrity checksum);
+    # (c) the dedup remainder the verdict named (sorted-neighborhood,
+    # Fellegi-Sunter, prefix-filter Jaccard, simhash Hamming pairs,
+    # B-cubed eval, star cluster-assign, minhash calibration);
+    # (d) the as-of join. All pre-proven by tools/gate_sim.py at sf0.01
+    # before this rotation was committed. ---
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_balance",
+    "q12_ship_delay_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q21_last_supplier_wait",
+    "q22_idle_rich_customers",
+    "bucketed_colocated_join",
+    "bitmap_semi_join_runtime_filter",
+    "agg_exact_percentiles",
+    "agg_hll_accuracy_pinned",
+    "bloom_filter_dedup_prefilter",
+    "aqp_sampled_sum_estimate",
+    "sketch_reaggregate_rollup",
+    "data_quality_profile",
+    "nullsafe_join_dispositions",
+    "table_integrity_checksum",
+    "dedup_sorted_neighborhood",
+    "dedup_fellegi_sunter_linkage",
+    "dedup_prefix_filter_jaccard",
+    "dedup_simhash_hamming_pairs",
+    "eval_dedup_bcubed",
+    "dedup_cluster_assign_star",
+    "dedup_minhash_calibration",
+    "asof_join_last_order",
     # --- positions 51+: never-driver-checked remainder (next rotations) ---
     "zorder_layout_stats",
     "sql_pipe_syntax_rollup",
     "contrastive_pair_sample",
     "snapshot_diff_audit",
     "trending_decay_topk",
-    "sketch_reaggregate_rollup",
     "session_window_dynamic_gap",
     "drift_chisquare_by_type",
     "semantic_search_hydrated",
@@ -179,7 +189,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_cohort_ltv",
     "supplier_pareto_analysis",
     "events_interarrival_histogram",
-    "dedup_simhash_hamming_pairs",
     "market_basket_lift",
     "part_sourcing_hhi",
     "rolling_7d_active_users",
@@ -196,7 +205,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_similarity_topk",
     "window_tumbling_daily",
     "window_sliding_2d_1d",
-    "asof_join_last_order",
     "range_join_event_neighbors",
     "hypertable_rollup",
     "events_funnel",
@@ -221,31 +229,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_gapfill_daily",
     "events_transition_matrix",
     "fk_integrity_audit",
-    "table_integrity_checksum",
-    "data_quality_profile",
-    "nullsafe_join_dispositions",
-    "bitmap_semi_join_runtime_filter",
-    "agg_exact_percentiles",
-    "agg_hll_accuracy_pinned",
     "window_function_battery",
     "window_range_frame_moving_sum",
-    "bucketed_colocated_join",
     "market_basket_pairs",
     "agg_moment_stats",
     "unpivot_nation_metrics",
     "yoy_revenue_growth",
     "rfm_customer_segments",
-    "q2_min_cost_supplier",
-    "q9_profit_by_nation_year",
-    "q11_important_balance",
-    "q12_ship_delay_priority",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    "q21_last_supplier_wait",
-    "q22_idle_rich_customers",
     "full_outer_nation_balance",
     "right_outer_supplier_lines",
     "grouping_sets_priority_status",
@@ -256,14 +246,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "lineitem_fifo_allocation",
     "events_replay_pair_detect",
     "dedup_ttl_within_window",
-    "dedup_minhash_calibration",
-    "dedup_prefix_filter_jaccard",
     "dedup_cluster_size_report",
     "text_lm_surprisal_score",
     "text_filter_ensemble_agreement",
     "corpus_mixture_rebalance_plan",
-    "bloom_filter_dedup_prefilter",
-    "aqp_sampled_sum_estimate",
     "events_trend_slope_by_type",
     "events_cusum_shift_detect",
     "orders_benford_digit_audit",
@@ -284,11 +270,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sql_group_by_all_dialect",
     "sql_correlated_subquery_battery",
     "orders_price_volume_mix",
-    "dedup_cluster_assign_star",
     "dedup_cdc_chunks",
-    "dedup_fellegi_sunter_linkage",
-    "eval_dedup_bcubed",
-    "dedup_sorted_neighborhood",
     "graph_clustering_coefficient",
     "eval_rouge_near_dup_pairs",
     "eval_dedup_method_agreement",
@@ -377,47 +359,47 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "eval_brier_murphy_decomposition",
     "ml_naive_bayes_langid",
     "ml_feature_mutual_information",
-    # --- stale green (oldest green row first) ---
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q4_order_priority",
-    "q8_national_market_share",
-    "sketch_count_min",
-    "sql_api_shared_dialect",
-    "agg_having_priorities",
-    "agg_value_percentiles",
-    "anti_join_customers_without_orders",
-    "array_function_battery",
-    "conditional_bitwise_battery",
-    "e2_corrupt_record_routing",
-    "events_retention_cohort",
-    "json_function_battery",
-    "map_struct_function_battery",
-    "p1_typed_parse_projection",
-    "pivot_status_by_priority",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_volume_shipping",
-    "regex_function_battery",
-    "rollup_returnflag_status",
-    "scalar_function_battery",
-    "semi_join_customers_with_orders",
-    "set_ops_customer_segments",
-    "sink_python_datasource_roundtrip",
-    "skew_replicated_join",
-    "skew_salted_agg",
-    "sort_limit_top_orders",
-    "source_csv_roundtrip",
-    "source_dynamic_partition_pruning",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_partitioned_pruning",
-    "source_python_datasource",
-    "topk_orders_per_customer",
-    "variant_json_shred",
-    "window_running_sum",
+    # --- stale greens, oldest driver row first (r9 refresh targets) ---
+    "q14_promo_revenue",  # r1
+    "q17_small_quantity_revenue",  # r1
+    "q4_order_priority",  # r1
+    "q8_national_market_share",  # r1
+    "sketch_count_min",  # r1
+    "sql_api_shared_dialect",  # r2
+    "agg_having_priorities",  # r3
+    "agg_value_percentiles",  # r3
+    "anti_join_customers_without_orders",  # r3
+    "array_function_battery",  # r3
+    "conditional_bitwise_battery",  # r3
+    "e2_corrupt_record_routing",  # r3
+    "events_retention_cohort",  # r3
+    "json_function_battery",  # r3
+    "map_struct_function_battery",  # r3
+    "p1_typed_parse_projection",  # r3
+    "pivot_status_by_priority",  # r3
+    "q10_returned_items",  # r3
+    "q1_pricing_summary",  # r3
+    "q3_shipping_priority",  # r3
+    "q5_region_revenue",  # r3
+    "q7_volume_shipping",  # r3
+    "regex_function_battery",  # r3
+    "rollup_returnflag_status",  # r3
+    "scalar_function_battery",  # r3
+    "semi_join_customers_with_orders",  # r3
+    "set_ops_customer_segments",  # r3
+    "sink_python_datasource_roundtrip",  # r3
+    "skew_replicated_join",  # r3
+    "skew_salted_agg",  # r3
+    "sort_limit_top_orders",  # r3
+    "source_csv_roundtrip",  # r3
+    "source_dynamic_partition_pruning",  # r3
+    "source_jsonl_roundtrip",  # r3
+    "source_orc_roundtrip",  # r3
+    "source_partitioned_pruning",  # r3
+    "source_python_datasource",  # r3
+    "topk_orders_per_customer",  # r3
+    "variant_json_shred",  # r3
+    "window_running_sum",  # r3
     "ann_recall_eval",
     "dedup_cluster_assign",
     "dedup_embedding_near",
@@ -447,37 +429,65 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "text_token_stats",
     "udaf_weighted_value",
-    # --- fresh green in the latest round (rotate to the back) ---
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
     "cube_priority_status",
-    "graph_node_jaccard_similarity",
-    "events_entropy_by_user",
-    "timeseries_ewma_halflife",
-    "timeseries_holt_forecast",
-    "source_union_schema_harmonize",
-    "graph_shortest_path_bfs",
-    "graph_label_propagation",
-    "graph_deterministic_walks",
-    "graph_pagerank_fixpoint",
-    "graph_kcore_membership",
-    "graph_triangle_enumerate",
-    "embedding_pq_adc_topk",
+    "data_skew_profile",
+    "dedup_simhash_threshold_sweep",
+    "embedding_binary_hamming_topk",
+    "embedding_hard_negative_mine",
     "embedding_matryoshka_recall",
     "embedding_mmr_diverse_topk",
-    "embedding_hard_negative_mine",
-    "embedding_binary_hamming_topk",
-    "dedup_simhash_threshold_sweep",
-    "interval_overlap_join",
-    "sketch_kmv_distinct",
-    "data_skew_profile",
+    "embedding_pq_adc_topk",
     "events_autocorrelation_lags",
-    "text_dsir_importance",
-    "text_ccnet_bucket_mix",
-    "multimodal_phash_near_dup",
+    "events_entropy_by_user",
+    "graph_deterministic_walks",
+    "graph_kcore_membership",
+    "graph_label_propagation",
+    "graph_node_jaccard_similarity",
+    "graph_pagerank_fixpoint",
+    "graph_shortest_path_bfs",
+    "graph_triangle_enumerate",
+    "interval_overlap_join",
     "multimodal_dedup_by_digest",
+    "multimodal_phash_near_dup",
+    "q18_large_volume_customer",
+    "q6_forecast_revenue",
     "semantic_dedup_kmeans",
-    # everything not listed keeps registration order after these.
+    "sketch_kmv_distinct",
+    "source_union_schema_harmonize",
+    "text_ccnet_bucket_mix",
+    "text_dsir_importance",
+    "timeseries_ewma_halflife",
+    "timeseries_holt_forecast",
+    # --- fresh greens (latest round) ---
+    "approx_stats_scale_path",
+    "bpe_merge_induction",
+    "corpus_curation_pipeline_v2",
+    "dedup_survivorship_canonical",
+    "dedup_token_window_exact",
+    "embedding_ood_knn_distance",
+    "embedding_random_projection",
+    "eval_calibration_curve_ece",
+    "ml_gini_decision_stump",
+    "ml_knn_label_eval",
+    "ml_ols_regression_closed_form",
+    "quality_classifier_score",
+    "search_rrf_hybrid",
+    "session_window_12h",
+    "sql_lateral_topk_per_customer",
+    "streaming_chained_window_agg_e2e",
+    "streaming_foreachbatch_sink_e2e",
+    "streaming_incremental_rollup_e2e",
+    "streaming_late_data_audit_e2e",
+    "streaming_neardup_arrival_e2e",
+    "streaming_outer_join_e2e",
+    "streaming_python_sink_e2e",
+    "streaming_python_source_e2e",
+    "streaming_rocksdb_state_e2e",
+    "streaming_sessionize_e2e",
+    "streaming_state_introspection",
+    "streaming_static_enrich_e2e",
+    "streaming_stream_join_e2e",
+    "text_bm25_topk",
 )
 
 

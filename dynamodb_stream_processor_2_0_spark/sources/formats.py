@@ -75,14 +75,16 @@ def write_batch(
 
 
 # All staging dirs created by staged_tmpdir, cleaned by ONE atexit
-# handler (registered lazily on first use). A single module-level
-# registry instead of one atexit entry per call keeps long-lived
-# driver processes from accumulating unbounded atexit entries, and
-# makes the cleanup order explicit: nothing is deleted until the one
-# handler runs, so a Spark read of a cached staged path can never race
-# an earlier per-dir hook during interpreter shutdown.
+# handler, registered unconditionally at import (a no-op on an empty
+# list). A single module-level registry instead of one atexit entry
+# per call keeps long-lived driver processes from accumulating
+# unbounded atexit entries, and makes the cleanup order explicit:
+# nothing is deleted until the one handler runs, so a Spark read of a
+# cached staged path can never race an earlier per-dir hook during
+# interpreter shutdown. Import-time registration also removes the
+# check-then-set race a lazy flag would have if plans ever staged from
+# worker threads (list.append itself is atomic under the GIL).
 _STAGED_DIRS: list[str] = []
-_CLEANUP_REGISTERED = False
 
 
 def _cleanup_staged_dirs() -> None:
@@ -91,6 +93,11 @@ def _cleanup_staged_dirs() -> None:
     for path in _STAGED_DIRS:
         shutil.rmtree(path, ignore_errors=True)
     _STAGED_DIRS.clear()
+
+
+import atexit as _atexit  # noqa: E402  (after the handler it registers)
+
+_atexit.register(_cleanup_staged_dirs)
 
 
 def staged_tmpdir(prefix: str) -> str:
@@ -104,13 +111,8 @@ def staged_tmpdir(prefix: str) -> str:
     leaking across sessions without registering one atexit hook per
     call.
     """
-    import atexit
     import tempfile
 
-    global _CLEANUP_REGISTERED
     path = tempfile.mkdtemp(prefix=prefix)
     _STAGED_DIRS.append(path)
-    if not _CLEANUP_REGISTERED:
-        atexit.register(_cleanup_staged_dirs)
-        _CLEANUP_REGISTERED = True
     return path

@@ -6,7 +6,11 @@ comparator from tests/oracle_harness.py, and prints one status line per
 query plus a JSON summary. Use before a round ends to confirm the
 sample the driver will check is green.
 
-Usage: python tools/gate_sim.py [N] [sf_dir]
+Usage: python tools/gate_sim.py [N] [sf_dir] [out.json]
+
+The per-query result map is written to tools/gate_sim_last.json by
+default; pass a third argument to write elsewhere (e.g.
+tools/gate_sim_full.json for the committed full-depth run).
 """
 
 from __future__ import annotations
@@ -57,7 +61,11 @@ def main() -> None:
 
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     print(json.dumps({"checked": len(results), "failed": n_fail}))
-    out = REPO_ROOT / "tools" / "gate_sim_last.json"
+    out = (
+        Path(sys.argv[3])
+        if len(sys.argv) > 3
+        else REPO_ROOT / "tools" / "gate_sim_last.json"
+    )
     out.write_text(json.dumps(results, indent=1))
     if n_fail:
         sys.exit(1)

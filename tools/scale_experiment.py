@@ -514,6 +514,20 @@ def main() -> None:
          ordfull1, ordfull_n),
         ("adamic_adar", _registered("graph_adamic_adar_linkpred"),
          custsuppdir1, custsuppdir_n),
+        # round-8: retrieval family post-TakeOrderedAndProject fix
+        # (commit 1a84d74) + the interval family's quadratic output
+        # curve — the r7 verdict's item 7.
+        ("bm25_topk", _registered("text_bm25_topk"), docsdir1, docsdir_n),
+        ("rrf_hybrid", _registered("search_rrf_hybrid"), embdir1, embdir_n),
+        ("rake_keywords", _registered("text_rake_keywords"),
+         docsdir1, docsdir_n),
+        ("pmi_collocations", _registered("text_pmi_collocations"),
+         docsdir1, docsdir_n),
+        ("zipf_fit", _registered("text_zipf_fit"), docsdir1, docsdir_n),
+        ("interval_overlap_join", _registered("interval_overlap_join"),
+         evdir1, evdir_n),
+        ("interval_allen_census",
+         _registered("interval_allen_algebra_census"), evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

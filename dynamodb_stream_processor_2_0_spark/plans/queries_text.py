@@ -1689,11 +1689,13 @@ def _filter_ensemble_oracle() -> str:
                CAST(agree * 1000000 // n AS BIGINT) AS po_micro,
                CAST((a * b + (n - a) * (n - b)) * 1000000 // (n * n)
                     AS BIGINT) AS pe_micro,
-               CAST(CASE WHEN agree * n >= a * b + (n - a) * (n - b)
-                         THEN 1 ELSE -1 END
-                    * (abs(agree * n - a * b - (n - a) * (n - b)) * 1000000
-                       // (n * n - a * b - (n - a) * (n - b)))
-                    AS BIGINT) AS kappa_micro
+               CAST(CASE
+                    WHEN n * n = a * b + (n - a) * (n - b) THEN 0
+                    ELSE CASE WHEN agree * n >= a * b + (n - a) * (n - b)
+                              THEN 1 ELSE -1 END
+                         * (abs(agree * n - a * b - (n - a) * (n - b)) * 1000000
+                            // (n * n - a * b - (n - a) * (n - b)))
+                    END AS BIGINT) AS kappa_micro
         FROM pairs
         ORDER BY pair
     """
@@ -1749,6 +1751,12 @@ def text_filter_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     )
     num = "(agree * n - a * b - (n - a) * (n - b))"
     den = "(n * n - a * b - (n - a) * (n - b))"
+    # den = 0 iff both raters are constant (pe = 1) — chance-corrected
+    # agreement is undefined there; report 0 ("no information beyond
+    # chance") instead of dividing by zero. Found by the round-8
+    # planted behavior test: a corpus where two filters keep EVERY doc
+    # crashed BOTH engines identically — the twin-crash class parity
+    # cannot catch. The oracle carries the same guard.
     return pairs.selectExpr(
         "pair",
         "cast(n AS bigint) AS n_docs",
@@ -1756,8 +1764,9 @@ def text_filter_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         "cast(agree * 1000000 div n AS bigint) AS po_micro",
         "cast((a * b + (n - a) * (n - b)) * 1000000 div (n * n) AS bigint)"
         " AS pe_micro",
-        f"cast((CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
-        f" * (abs({num}) * 1000000 div {den}) AS bigint) AS kappa_micro",
+        f"cast(CASE WHEN {den} = 0 THEN 0 ELSE"
+        f" (CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({num}) * 1000000 div {den}) END AS bigint) AS kappa_micro",
     ).orderBy("pair")
 
 

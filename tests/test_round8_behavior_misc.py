@@ -636,3 +636,32 @@ def test_pcm_window_energy_struct_unpack(spark, tmp_path):
         assert r["total_energy"] == sum(sq), d
         assert r["peak_window"] == peak, d
         assert r["peak_energy"] == (energies[peak] if n_win else 0), d
+
+
+def test_corpus_shuffle_interleave_round_robin(spark, tmp_path):
+    """Closes the last parity-only gap: the md5 shuffle key order
+    within each source and the (round, source, doc_id) global
+    interleave are recomputed with hashlib + plain sorts."""
+    docs = [(i, f"text {i}", "en", f"src{i % 3}") for i in range(1, 16)]
+    _write_documents(tmp_path, docs)
+    out = {r["doc_id"]: r for r in _run(spark, "corpus_shuffle_interleave", tmp_path)}
+
+    by_source: dict[str, list] = {}
+    for d, _, _, src in docs:
+        by_source.setdefault(src, []).append(d)
+    pos = {}
+    for src, ids in by_source.items():
+        for p, d in enumerate(
+            sorted(ids, key=lambda d: _md5(f"shuffle:{d}")), start=1
+        ):
+            pos[d] = p
+    global_order = sorted(pos, key=lambda d: (pos[d], out[d]["source"], d))
+    for gp, d in enumerate(global_order, start=1):
+        r = out[d]
+        assert r["shuffle_key"] == _md5(f"shuffle:{d}"), d
+        assert r["pos_in_source"] == pos[d], d
+        assert r["global_pos"] == gp, d
+    # round-robin property: the first |sources| global positions are
+    # one doc from EACH source (every source's rank-1 pick)
+    first = {out[d]["source"] for d in global_order[: len(by_source)]}
+    assert first == set(by_source)

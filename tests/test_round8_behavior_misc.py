@@ -665,3 +665,47 @@ def test_corpus_shuffle_interleave_round_robin(spark, tmp_path):
     # one doc from EACH source (every source's rank-1 pick)
     first = {out[d]["source"] for d in global_order[: len(by_source)]}
     assert first == set(by_source)
+
+
+def test_personalized_pagerank_integer_grid_sequential(spark, tmp_path):
+    """Sequential RWR on the exact 1e12 integer mass grid: truncating
+    divisions at every step (r//od, 17*contrib//20, teleport//n_seeds),
+    3 iterations, seeds = customer nodes 2..8 — recomputed in plain
+    Python dicts and compared rank-for-rank."""
+    edges = [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (1, 2), (6, 3)]
+    _write_purchase_graph(tmp_path, edges)
+    out = {r["rank"]: r for r in
+           _run(spark, "graph_personalized_pagerank", tmp_path)}
+
+    SCALE = 10**12
+    adj: dict[int, set] = {}
+    for c, s in edges:
+        u, v = c * 2, s * 2 + 1
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seeds = [n for n in adj if n % 2 == 0 and n <= 8]
+    ns = len(seeds)
+    rank = {n: (SCALE // ns if n in seeds else 0) for n in adj}
+    od = {n: len(nbrs) for n, nbrs in adj.items()}
+    for _ in range(3):
+        contrib: dict[int, int] = {}
+        for src, nbrs in adj.items():
+            share = rank[src] // od[src]
+            for dst in nbrs:
+                contrib[dst] = contrib.get(dst, 0) + share
+        rank = {
+            n: ((SCALE * 3 // 20) // ns if n in seeds else 0)
+            + (17 * contrib.get(n, 0)) // 20
+            for n in adj
+        }
+    ranked = sorted(((n, r) for n, r in rank.items() if r > 0),
+                    key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(out) == len(ranked)
+    for pos, (node, mass) in enumerate(ranked, start=1):
+        r = out[pos]
+        assert r["node_type"] == ("customer" if node % 2 == 0 else "supplier")
+        assert r["node_key"] == node // 2, pos
+        assert r["ppr_micro"] == mass, pos
+        assert r["is_seed"] == (node % 2 == 0 and node <= 8)
+    # recommendation property: some non-seed node carries positive mass
+    assert any(not r["is_seed"] for r in out.values())

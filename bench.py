@@ -42,6 +42,23 @@ def main() -> None:
     # numbers measure the queries, not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Machine-state calibration: a fixed, data-independent workload
+    # (sum over spark.range — no IO, trivial codegen) timed at sweep
+    # start AND end. Round 8 measured three same-code sweeps drifting
+    # 365 -> 390 -> 424 s with per-query ratios inside the noise band —
+    # a uniform machine-state level shift. The calibration pair lets a
+    # cross-round reader NORMALIZE totals for that shift instead of
+    # guessing: if calibration moved, the machine moved.
+    def calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id)").collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calibration_start = calibrate()
+
     # Sweep order: headline first (fresh JVM — the driver's protocol),
     # then everything else ALPHABETICALLY. Registry dict order rotates
     # every round (the driver-sample rotation in plans/registry.py), so
@@ -201,6 +218,8 @@ def main() -> None:
                 "all_queries_total_sec": round(total, 3),
                 "n_queries": len(timings),
                 "n_regressions_vs_committed": len(regressions),
+                "calibration_start_sec": calibration_start,
+                "calibration_end_sec": calibrate(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

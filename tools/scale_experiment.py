@@ -528,6 +528,26 @@ def main() -> None:
          evdir1, evdir_n),
         ("interval_allen_census",
          _registered("interval_allen_algebra_census"), evdir1, evdir_n),
+        # round-8 second batch: the advanced/relational analytics that
+        # gained planted behavior tests this round — confirming the
+        # rollup/window/prefix-sum shapes grow sublinearly on fixed
+        # cores at 10x rows.
+        ("pareto_skyline", _registered("orders_pareto_skyline"),
+         ordfull1, ordfull_n),
+        ("fifo_allocation", _registered("lineitem_fifo_allocation"),
+         lidir1, lidir_n),
+        ("revenue_gini", _registered("customer_revenue_gini"),
+         ordfull1, ordfull_n),
+        ("supplier_pareto", _registered("supplier_pareto_analysis"),
+         lidir1, lidir_n),
+        ("sourcing_hhi", _registered("part_sourcing_hhi"),
+         lidir1, lidir_n),
+        ("ks_shift", _registered("events_ks_distribution_shift"),
+         evdir1, evdir_n),
+        ("cusum_shift", _registered("events_cusum_shift_detect"),
+         evdir1, evdir_n),
+        ("benford_audit", _registered("orders_benford_digit_audit"),
+         ordfull1, ordfull_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

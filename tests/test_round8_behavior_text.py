@@ -612,3 +612,128 @@ def test_time_to_convert_percentiles(spark, tmp_path):
     assert (r["min_s"], r["max_s"]) == (100, 400)
     assert abs(r["p50_s"] - q_interp(sv, 0.5)) < 1e-9
     assert abs(r["p90_s"] - q_interp(sv, 0.9)) < 1e-9
+
+
+# --- D-class hardening: ops with mild derived arithmetic get real tests ------
+
+
+def test_interarrival_log2_buckets(spark, tmp_path):
+    t0 = dt.datetime.fromisoformat("2024-05-01T00:00:00")
+    gaps = [0, 1, 2, 3, 7, 8, 600]  # includes the zero gap and 2^k edges
+    rows = [(0, t0.isoformat(), 7, "view", 1.0)]
+    t = t0
+    for i, g in enumerate(gaps, start=1):
+        t = t + dt.timedelta(seconds=g)
+        rows.append((i, t.isoformat(), 7, "view", 1.0))
+    _write_events(tmp_path, rows)
+    out = {r["log2_bucket"]: r for r in
+           _run(spark, "events_interarrival_histogram", tmp_path)}
+
+    def bucket(g):
+        return len(bin(g)[2:]) if g > 0 else 1  # length of binary repr; bin(0)='0'
+
+    expect: dict[int, list] = {}
+    for g in gaps:
+        e = expect.setdefault(bucket(g), [0, 10**9, -1])
+        e[0] += 1
+        e[1] = min(e[1], g)
+        e[2] = max(e[2], g)
+    assert set(out) == set(expect)
+    for b, (n, lo, hi) in expect.items():
+        r = out[b]
+        assert (r["n_gaps"], r["min_gap_s"], r["max_gap_s"]) == (n, lo, hi), b
+    # boundary sanity: gaps 0 and 1 share bucket 1; 2,3 -> 2; 7 -> 3; 8 -> 4
+    assert out[1]["n_gaps"] == 2 and out[2]["n_gaps"] == 2
+    assert out[3]["max_gap_s"] == 7 and out[4]["min_gap_s"] == 8
+
+
+def test_yoy_revenue_growth_deltas(spark, tmp_path):
+    # one nation table row + customers + orders in three years
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(_pa.table({
+        "n_nationkey": _pa.array([0, 1], _pa.int32()),
+        "n_name": _pa.array(["AAA", "BBB"], _pa.string()),
+        "n_regionkey": _pa.array([0, 0], _pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    _pq.write_table(_pa.table({
+        "c_custkey": _pa.array([1, 2], _pa.int64()),
+        "c_name": _pa.array(["c1", "c2"], _pa.string()),
+        "c_nationkey": _pa.array([0, 1], _pa.int32()),
+        "c_acctbal": _pa.array([0.0, 0.0], _pa.float64()),
+        "c_mktsegment": _pa.array(["SEG", "SEG"], _pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    _write_orders(tmp_path, [
+        (1, 1, "F", 10.00, "1994-06-01T00:00:00", "X"),
+        (2, 1, "F", 25.00, "1995-06-01T00:00:00", "X"),
+        (3, 1, "F", 15.00, "1996-06-01T00:00:00", "X"),
+        (4, 2, "F", 40.00, "1995-06-01T00:00:00", "X"),
+    ])
+    rows = {(r["nation"], r["yr"]): r for r in
+            _run(spark, "yoy_revenue_growth", tmp_path)}
+    a94, a95, a96 = rows[("AAA", 1994)], rows[("AAA", 1995)], rows[("AAA", 1996)]
+    assert a94["prev_cents"] is None and a94["delta_cents"] is None
+    assert a95["delta_cents"] == 2500 - 1000
+    assert a96["delta_cents"] == 1500 - 2500      # negative delta
+    assert rows[("BBB", 1995)]["prev_cents"] is None
+
+
+def test_retention_cohort_presence_matrix(spark, tmp_path):
+    # Mondays anchor weeks; users across two cohorts with return gaps
+    plan = {  # user -> list of week offsets from 2024-01-01 (Mon)
+        1: [0, 0, 2],      # cohort W0, two events in W0 (distinct'd), back in W2
+        2: [0, 1],         # cohort W0
+        3: [1],            # cohort W1, never returns
+    }
+    rows = []
+    eid = 0
+    t0 = dt.date.fromisoformat("2024-01-01")
+    for u, weeks in plan.items():
+        for w in weeks:
+            day = t0 + dt.timedelta(weeks=w, days=2)
+            rows.append((eid, f"{day.isoformat()}T09:00:00", u, "view", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = {(r["cohort_week"], r["week_offset"]): r["n_active_users"]
+           for r in _run(spark, "events_retention_cohort", tmp_path)}
+    assert out == {
+        ("2024-01-01", 0): 2,   # users 1, 2 active in their cohort week
+        ("2024-01-01", 1): 1,   # user 2
+        ("2024-01-01", 2): 1,   # user 1 returns
+        ("2024-01-08", 0): 1,   # user 3
+    }
+
+
+def test_rfm_ntile_arithmetic_uneven_n(spark, tmp_path):
+    """n = 10 customers: ntile(4) gives buckets of 3,3,2,2 — exercises
+    the hand-implemented bucket arithmetic (first n%4 buckets take
+    n//4+1 rows) against a sequential ntile recomputation."""
+    orders = []
+    ok = 0
+    # customer k: k orders of k dollars, last order on day k -> all
+    # three metrics sort in custkey order (distinct values, no ties)
+    for k in range(1, 11):
+        for j in range(k):
+            ok += 1
+            orders.append((ok, k, "F", float(k),
+                           f"1995-01-{k:02d}T00:00:00", "X"))
+    _write_orders(tmp_path, orders)
+    out = {(r["r_score"], r["f_score"], r["m_score"]): r["n_customers"]
+           for r in _run(spark, "rfm_customer_segments", tmp_path)}
+
+    def ntile4(rank, n):
+        big, small = n // 4 + 1, n // 4
+        cut = (n % 4) * big
+        if rank <= cut:
+            return (rank - 1) // big + 1
+        return n % 4 + (rank - 1 - cut) // small + 1
+
+    # all three metrics rank customers identically (1..10), so every
+    # customer's cell is (t, t, t) with t = ntile4(rank)
+    expect: dict[tuple, int] = {}
+    for rank in range(1, 11):
+        t = ntile4(rank, 10)
+        expect[(t, t, t)] = expect.get((t, t, t), 0) + 1
+    assert out == expect
+    assert expect == {(1, 1, 1): 3, (2, 2, 2): 3, (3, 3, 3): 2, (4, 4, 4): 2}

@@ -79,8 +79,6 @@ DEFINITIONAL = {
     "window_running_sum", "window_function_battery",
     "window_range_frame_moving_sum", "market_basket_pairs",
     "agg_value_percentiles", "agg_exact_percentiles",
-    "yoy_revenue_growth", "rfm_customer_segments",
-    "events_retention_cohort", "events_interarrival_histogram",
     # function batteries: built-in expression transcriptions
     "scalar_function_battery", "array_function_battery",
     "json_function_battery", "regex_function_battery",

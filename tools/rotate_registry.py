@@ -14,7 +14,7 @@ Prints the suggested ordering as a Python tuple body ready to paste
 into plans/registry.py. Intentionally does NOT edit the file: the
 covering set and any hand-tuned priorities deserve review.
 
-Usage: python tools/rotate_registry.py
+Usage: python tools/rotate_registry.py [--stale]
 """
 
 from __future__ import annotations
@@ -84,12 +84,25 @@ def main() -> None:
         f"stale={len(stale)} fresh={len(fresh)}"
     )
     print("# suggested DRIVER_SAMPLE_PRIORITY body:")
-    for section, names in (
-        ("SURVEY §2 covering set (pinned)", covering),
-        ("never driver-checked (fill the sample)", never),
-        ("stale green (oldest first)", stale),
-        ("fresh green (rotate to back)", fresh),
-    ):
+    # --stale: stale-refresh round (the r7 verdict's alternation —
+    # "no query's newest driver row older than r5 by r9"): the oldest
+    # stale greens fill positions 22-50 ahead of the never-checked
+    # block. Default: never-checked first (backlog-burn rounds).
+    if "--stale" in sys.argv:
+        sections = (
+            ("SURVEY §2 covering set (pinned)", covering),
+            ("stale green, oldest first (fill the sample)", stale),
+            ("never driver-checked (next rotations)", never),
+            ("fresh green (rotate to back)", fresh),
+        )
+    else:
+        sections = (
+            ("SURVEY §2 covering set (pinned)", covering),
+            ("never driver-checked (fill the sample)", never),
+            ("stale green (oldest first)", stale),
+            ("fresh green (rotate to back)", fresh),
+        )
+    for section, names in sections:
         print(f"    # --- {section} ---")
         for n in names:
             print(f'    "{n}",')

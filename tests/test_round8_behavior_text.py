@@ -737,3 +737,76 @@ def test_rfm_ntile_arithmetic_uneven_n(spark, tmp_path):
         expect[(t, t, t)] = expect.get((t, t, t), 0) + 1
     assert out == expect
     assert expect == {(1, 1, 1): 3, (2, 2, 2): 3, (3, 3, 3): 2, (4, 4, 4): 2}
+
+
+def test_f3_null_pass_three_valued_logic(spark, tmp_path):
+    """The reference's F3/F4 semantics (index.js:167-184): a record
+    whose flag is ABSENT must PASS the negated filter — SQL's default
+    3VL would silently drop it (NOT(NULL OR ...) = NULL = drop). The
+    planted corpus pins every branch: divisible-by-10 drop,
+    divisible-by-13 drop, other-value pass, null/absent PASS."""
+    rows = [
+        (1, "2024-01-01T00:00:00", 1, "view", 1.0, _json.dumps({"k": 20})),   # drop (%10)
+        (2, "2024-01-01T00:00:00", 2, "view", 1.0, _json.dumps({"k": 26})),   # drop (%13)
+        (3, "2024-01-01T00:00:00", 3, "view", 1.0, _json.dumps({"k": 7})),    # pass
+        (4, "2024-01-01T00:00:00", 4, "view", 1.0, "{}"),                     # absent -> PASS
+        (5, "2024-01-01T00:00:00", 5, "view", 1.0, _json.dumps({"k": "x"})),  # uncastable -> PASS
+        (6, "2024-01-01T00:00:00", 6, "view", 1.0, _json.dumps({"k": 0})),    # 0 % 10 == 0 -> drop
+    ]
+    _write_events_props(tmp_path, rows)
+    out = {r["event_id"]: r["k_raw"] for r in _run(spark, "f3_null_pass_filter", tmp_path)}
+    assert set(out) == {3, 4, 5}
+    assert out[3] == 7 and out[4] is None and out[5] is None
+
+
+def test_d5_first_occurrence_tiebreak(spark, tmp_path):
+    """First-claim-wins on (user, type): ties on ts break by event_id —
+    the deterministic claim order the reference's conditional write
+    enforces (index.js:457-477)."""
+    rows = [
+        (9, "2024-01-01T00:00:00", 1, "view", 1.0),   # same ts as event 4 ...
+        (4, "2024-01-01T00:00:00", 1, "view", 1.0),   # ... smaller id WINS
+        (5, "2024-01-02T00:00:00", 1, "view", 1.0),   # later: loses
+        (6, "2024-01-01T00:00:00", 1, "click", 1.0),  # other type: own winner
+        (7, "2023-12-31T00:00:00", 2, "view", 1.0),   # other user
+    ]
+    _write_events(tmp_path, rows)
+    out = {(r["user_id"], r["event_type"]): r["event_id"]
+           for r in _run(spark, "d5_first_occurrence_dedup", tmp_path)}
+    assert out == {(1, "view"): 4, (1, "click"): 6, (2, "view"): 7}
+
+
+def test_cdc_upsert_latest_wins_tiebreak(spark, tmp_path):
+    """Latest-wins compaction: ties on ts break by HIGHEST event_id
+    (DESC, DESC) and the superseded version count is carried."""
+    rows = [
+        (1, "2024-01-01T00:00:00", 1, "pending", 1.00),
+        (2, "2024-01-03T00:00:00", 1, "active", 2.00),    # same ts as 3 ...
+        (3, "2024-01-03T00:00:00", 1, "done", 4.00),      # ... higher id WINS
+        (4, "2024-01-05T00:00:00", 2, "active", 8.00),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r["user_id"]: r for r in _run(spark, "cdc_upsert_compaction", tmp_path)}
+    assert out[1]["last_event_type"] == "done"
+    assert out[1]["last_value_cents"] == 400
+    assert out[1]["n_versions"] == 3
+    assert out[1]["last_ts_iso"] == "2024-01-03T00:00:00"
+    assert out[2]["n_versions"] == 1
+
+
+def _write_events_props(tmp, rows):
+    """events writer where every row carries an explicit props JSON."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp / "events.parquet"))

@@ -95,14 +95,14 @@ DEFINITIONAL = {
     # transcriptions of index.js semantics (filters, key building,
     # regex validation, JSON encode/decode, struct/array shaping) —
     # pinned in the driver covering set with a green row every round
-    "f1_change_type_filter", "f3_null_pass_filter",
+    "f1_change_type_filter",
     "p1_typed_parse_projection", "p5_key_building", "f8_email_validation",
     "p7_nested_document_build", "p8_array_transform_slice",
     "p10_priority_routing", "a2_existence_per_key", "a3_failure_list",
     "p11_envelope_json", "e1_error_isolation", "s1_stream_record_parse",
     "pipeline_disposition_ledger", "d2_cdc_old_new_diff",
-    "d3_state_lookup_routing", "d5_first_occurrence_dedup",
-    "e2_corrupt_record_routing", "cdc_upsert_compaction",
+    "d3_state_lookup_routing",
+    "e2_corrupt_record_routing",
 }
 
 # The query's own gate is an end-to-end mechanism proof (stages its own

@@ -97,6 +97,18 @@ _loaded = False
 #          Fellegi-Sunter, prefix-filter Jaccard, simhash Hamming pairs,
 #          B-cubed, star assign, minhash calibration) + asof join.
 #          Never-checked backlog on rotation: 218 -> 189.
+#   r9:    covering set + the STALE-GREEN refresh the r8 verdict ordered
+#          (rotate_registry.py --stale, oldest row first): the five r1
+#          rows (q14/q17/q4/q8/sketch_count_min), the r2 row
+#          (sql_api_shared_dialect), then the r3 block (function
+#          batteries, TPC-H core q1/q3/q5/q7/q10, set ops, skew
+#          salting/replication, all source/sink format roundtrips,
+#          partition pruning, topk window) — 29 slots against the 40
+#          r1-r3 stale rows; ~11 r3 rows remain for r10 (the verdict's
+#          restated target: stale=0 by r10). Never-checked backlog
+#          unchanged at 189 this round by design (alternation rule);
+#          the never-checked block resumes at position 51, relational/
+#          text/advanced first.
 #
 # The ~100 round-6 additions (retrieval, ML/eval, graph extensions, text
 # statistics, temporal/causal analytics — see git history for the batch
@@ -105,7 +117,7 @@ _loaded = False
 # never-checked block below, highest value first.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- SURVEY §2 covering set (every op S1-E5 has a query here) ---
+    # --- SURVEY §2 covering set (pinned) ---
     "pipeline_disposition_summary",
     "pipeline_disposition_ledger",
     "s1_stream_record_parse",
@@ -127,49 +139,135 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "a3_failure_list",
     "e1_error_isolation",
     "datetime_function_battery",
-    # --- round-8 sample fill (positions 22-50), per the r7 verdict:
-    # rotate onto the highest-value never-checked blocks — (a) the
-    # relational closure remainder: the 11 never-checked TPC-H queries
-    # (q2/q9/q11/q12/q13/q15/q16/q19/q20/q21/q22) + the bucketed
-    # co-located join; (b) the queries_advanced sketch/AQP block
-    # (bitmap runtime-filter semi join, exact percentiles, pinned-HLL
-    # accuracy, Bloom prefilter, AQP sampled sum, sketch re-aggregation,
-    # data-quality profile, null-safe join, integrity checksum);
-    # (c) the dedup remainder the verdict named (sorted-neighborhood,
-    # Fellegi-Sunter, prefix-filter Jaccard, simhash Hamming pairs,
-    # B-cubed eval, star cluster-assign, minhash calibration);
-    # (d) the as-of join. All pre-proven by tools/gate_sim.py at sf0.01
-    # before this rotation was committed. ---
-    "q2_min_cost_supplier",
-    "q9_profit_by_nation_year",
-    "q11_important_balance",
-    "q12_ship_delay_priority",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_dominant_supplier",
-    "q21_last_supplier_wait",
-    "q22_idle_rich_customers",
-    "bucketed_colocated_join",
-    "bitmap_semi_join_runtime_filter",
-    "agg_exact_percentiles",
-    "agg_hll_accuracy_pinned",
-    "bloom_filter_dedup_prefilter",
-    "aqp_sampled_sum_estimate",
-    "sketch_reaggregate_rollup",
-    "data_quality_profile",
-    "nullsafe_join_dispositions",
-    "table_integrity_checksum",
-    "dedup_sorted_neighborhood",
-    "dedup_fellegi_sunter_linkage",
-    "dedup_prefix_filter_jaccard",
-    "dedup_simhash_hamming_pairs",
-    "eval_dedup_bcubed",
-    "dedup_cluster_assign_star",
-    "dedup_minhash_calibration",
-    "asof_join_last_order",
-    # --- positions 51+: never-driver-checked remainder (next rotations) ---
+    # --- stale green, oldest first (fill the sample) ---
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q4_order_priority",
+    "q8_national_market_share",
+    "sketch_count_min",
+    "sql_api_shared_dialect",
+    "agg_having_priorities",
+    "agg_value_percentiles",
+    "anti_join_customers_without_orders",
+    "array_function_battery",
+    "conditional_bitwise_battery",
+    "e2_corrupt_record_routing",
+    "events_retention_cohort",
+    "json_function_battery",
+    "map_struct_function_battery",
+    "p1_typed_parse_projection",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q7_volume_shipping",
+    "regex_function_battery",
+    "rollup_returnflag_status",
+    "scalar_function_battery",
+    "semi_join_customers_with_orders",
+    "set_ops_customer_segments",
+    "sink_python_datasource_roundtrip",
+    "skew_replicated_join",
+    "skew_salted_agg",
+    "sort_limit_top_orders",
+    "source_csv_roundtrip",
+    "source_dynamic_partition_pruning",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_pruning",
+    "source_python_datasource",
+    "topk_orders_per_customer",
+    "variant_json_shred",
+    "window_running_sum",
+    "ann_recall_eval",
+    "dedup_cluster_assign",
+    "dedup_embedding_near",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_paragraph_exact",
+    "dedup_shingle_containment",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "embedding_ann_multiprobe",
+    "embedding_cosine_topk",
+    "embedding_int8_quant_topk",
+    "fuzzy_match_blocked_levenshtein",
+    "grouped_pandas_robust_outliers",
+    "multimodal_arrow_digest",
+    "multimodal_binary_meta",
+    "recursive_order_chain_walk",
+    "streaming_dedup_watermark_e2e",
+    "streaming_window_agg_e2e",
+    "text_bpe_token_count",
+    "text_gopher_repetition",
+    "text_langid_heuristic",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_token_stats",
+    "udaf_weighted_value",
+    "cube_priority_status",
+    "data_skew_profile",
+    "dedup_simhash_threshold_sweep",
+    "embedding_binary_hamming_topk",
+    "embedding_hard_negative_mine",
+    "embedding_matryoshka_recall",
+    "embedding_mmr_diverse_topk",
+    "embedding_pq_adc_topk",
+    "events_autocorrelation_lags",
+    "events_entropy_by_user",
+    "graph_deterministic_walks",
+    "graph_kcore_membership",
+    "graph_label_propagation",
+    "graph_node_jaccard_similarity",
+    "graph_pagerank_fixpoint",
+    "graph_shortest_path_bfs",
+    "graph_triangle_enumerate",
+    "interval_overlap_join",
+    "multimodal_dedup_by_digest",
+    "multimodal_phash_near_dup",
+    "q18_large_volume_customer",
+    "q6_forecast_revenue",
+    "semantic_dedup_kmeans",
+    "sketch_kmv_distinct",
+    "source_union_schema_harmonize",
+    "text_ccnet_bucket_mix",
+    "text_dsir_importance",
+    "timeseries_ewma_halflife",
+    "timeseries_holt_forecast",
+    "approx_stats_scale_path",
+    "bpe_merge_induction",
+    "corpus_curation_pipeline_v2",
+    "dedup_survivorship_canonical",
+    "dedup_token_window_exact",
+    "embedding_ood_knn_distance",
+    "embedding_random_projection",
+    "eval_calibration_curve_ece",
+    "ml_gini_decision_stump",
+    "ml_knn_label_eval",
+    "ml_ols_regression_closed_form",
+    "quality_classifier_score",
+    "search_rrf_hybrid",
+    "session_window_12h",
+    "sql_lateral_topk_per_customer",
+    "streaming_chained_window_agg_e2e",
+    "streaming_foreachbatch_sink_e2e",
+    "streaming_incremental_rollup_e2e",
+    "streaming_late_data_audit_e2e",
+    "streaming_neardup_arrival_e2e",
+    "streaming_outer_join_e2e",
+    "streaming_python_sink_e2e",
+    "streaming_python_source_e2e",
+    "streaming_rocksdb_state_e2e",
+    "streaming_sessionize_e2e",
+    "streaming_state_introspection",
+    "streaming_static_enrich_e2e",
+    "streaming_stream_join_e2e",
+    "text_bm25_topk",
+    # --- never driver-checked (next rotations) ---
     "zorder_layout_stats",
     "sql_pipe_syntax_rollup",
     "contrastive_pair_sample",
@@ -359,135 +457,36 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "eval_brier_murphy_decomposition",
     "ml_naive_bayes_langid",
     "ml_feature_mutual_information",
-    # --- stale greens, oldest driver row first (r9 refresh targets) ---
-    "q14_promo_revenue",  # r1
-    "q17_small_quantity_revenue",  # r1
-    "q4_order_priority",  # r1
-    "q8_national_market_share",  # r1
-    "sketch_count_min",  # r1
-    "sql_api_shared_dialect",  # r2
-    "agg_having_priorities",  # r3
-    "agg_value_percentiles",  # r3
-    "anti_join_customers_without_orders",  # r3
-    "array_function_battery",  # r3
-    "conditional_bitwise_battery",  # r3
-    "e2_corrupt_record_routing",  # r3
-    "events_retention_cohort",  # r3
-    "json_function_battery",  # r3
-    "map_struct_function_battery",  # r3
-    "p1_typed_parse_projection",  # r3
-    "pivot_status_by_priority",  # r3
-    "q10_returned_items",  # r3
-    "q1_pricing_summary",  # r3
-    "q3_shipping_priority",  # r3
-    "q5_region_revenue",  # r3
-    "q7_volume_shipping",  # r3
-    "regex_function_battery",  # r3
-    "rollup_returnflag_status",  # r3
-    "scalar_function_battery",  # r3
-    "semi_join_customers_with_orders",  # r3
-    "set_ops_customer_segments",  # r3
-    "sink_python_datasource_roundtrip",  # r3
-    "skew_replicated_join",  # r3
-    "skew_salted_agg",  # r3
-    "sort_limit_top_orders",  # r3
-    "source_csv_roundtrip",  # r3
-    "source_dynamic_partition_pruning",  # r3
-    "source_jsonl_roundtrip",  # r3
-    "source_orc_roundtrip",  # r3
-    "source_partitioned_pruning",  # r3
-    "source_python_datasource",  # r3
-    "topk_orders_per_customer",  # r3
-    "variant_json_shred",  # r3
-    "window_running_sum",  # r3
-    "ann_recall_eval",
-    "dedup_cluster_assign",
-    "dedup_embedding_near",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_paragraph_exact",
-    "dedup_shingle_containment",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "embedding_ann_multiprobe",
-    "embedding_cosine_topk",
-    "embedding_int8_quant_topk",
-    "fuzzy_match_blocked_levenshtein",
-    "grouped_pandas_robust_outliers",
-    "multimodal_arrow_digest",
-    "multimodal_binary_meta",
-    "recursive_order_chain_walk",
-    "streaming_dedup_watermark_e2e",
-    "streaming_window_agg_e2e",
-    "text_bpe_token_count",
-    "text_gopher_repetition",
-    "text_langid_heuristic",
-    "text_pii_redaction",
-    "text_quality_score",
-    "text_token_stats",
-    "udaf_weighted_value",
-    "cube_priority_status",
-    "data_skew_profile",
-    "dedup_simhash_threshold_sweep",
-    "embedding_binary_hamming_topk",
-    "embedding_hard_negative_mine",
-    "embedding_matryoshka_recall",
-    "embedding_mmr_diverse_topk",
-    "embedding_pq_adc_topk",
-    "events_autocorrelation_lags",
-    "events_entropy_by_user",
-    "graph_deterministic_walks",
-    "graph_kcore_membership",
-    "graph_label_propagation",
-    "graph_node_jaccard_similarity",
-    "graph_pagerank_fixpoint",
-    "graph_shortest_path_bfs",
-    "graph_triangle_enumerate",
-    "interval_overlap_join",
-    "multimodal_dedup_by_digest",
-    "multimodal_phash_near_dup",
-    "q18_large_volume_customer",
-    "q6_forecast_revenue",
-    "semantic_dedup_kmeans",
-    "sketch_kmv_distinct",
-    "source_union_schema_harmonize",
-    "text_ccnet_bucket_mix",
-    "text_dsir_importance",
-    "timeseries_ewma_halflife",
-    "timeseries_holt_forecast",
-    # --- fresh greens (latest round) ---
-    "approx_stats_scale_path",
-    "bpe_merge_induction",
-    "corpus_curation_pipeline_v2",
-    "dedup_survivorship_canonical",
-    "dedup_token_window_exact",
-    "embedding_ood_knn_distance",
-    "embedding_random_projection",
-    "eval_calibration_curve_ece",
-    "ml_gini_decision_stump",
-    "ml_knn_label_eval",
-    "ml_ols_regression_closed_form",
-    "quality_classifier_score",
-    "search_rrf_hybrid",
-    "session_window_12h",
-    "sql_lateral_topk_per_customer",
-    "streaming_chained_window_agg_e2e",
-    "streaming_foreachbatch_sink_e2e",
-    "streaming_incremental_rollup_e2e",
-    "streaming_late_data_audit_e2e",
-    "streaming_neardup_arrival_e2e",
-    "streaming_outer_join_e2e",
-    "streaming_python_sink_e2e",
-    "streaming_python_source_e2e",
-    "streaming_rocksdb_state_e2e",
-    "streaming_sessionize_e2e",
-    "streaming_state_introspection",
-    "streaming_static_enrich_e2e",
-    "streaming_stream_join_e2e",
-    "text_bm25_topk",
+    # --- fresh green (rotate to back) ---
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_balance",
+    "q12_ship_delay_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_dominant_supplier",
+    "q21_last_supplier_wait",
+    "q22_idle_rich_customers",
+    "bucketed_colocated_join",
+    "bitmap_semi_join_runtime_filter",
+    "agg_exact_percentiles",
+    "agg_hll_accuracy_pinned",
+    "bloom_filter_dedup_prefilter",
+    "aqp_sampled_sum_estimate",
+    "sketch_reaggregate_rollup",
+    "data_quality_profile",
+    "nullsafe_join_dispositions",
+    "table_integrity_checksum",
+    "dedup_sorted_neighborhood",
+    "dedup_fellegi_sunter_linkage",
+    "dedup_prefix_filter_jaccard",
+    "dedup_simhash_hamming_pairs",
+    "eval_dedup_bcubed",
+    "dedup_cluster_assign_star",
+    "dedup_minhash_calibration",
+    "asof_join_last_order",
 )
 
 

@@ -141,6 +141,7 @@ def main() -> None:
     full_out = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL_OUT", str(REPO_ROOT / "BENCH_full_latest.json")
     )
+    calibration_end = calibrate()  # sweep over; pair persisted for normalization
     with open(full_out, "w") as fh:
         json.dump(
             {
@@ -149,6 +150,8 @@ def main() -> None:
                 "steady_sec": timings,
                 "cold_first_run_sec": cold_timings,
                 "headline_cold_position_sec": cold_position,
+                "calibration_start_sec": calibration_start,
+                "calibration_end_sec": calibration_end,
             },
             fh,
             indent=1,
@@ -166,6 +169,9 @@ def main() -> None:
     # ±30% is protocol noise, not a regression. Disable (e.g. for
     # scratch runs at another SF) with SPARK_GRAFT_BENCH_NO_TRIPWIRE=1.
     regressions: dict[str, list[float]] = {}
+    tripwire_compared = False  # distinguish "checked, none" from "not checked"
+    steady_ratio: float | None = None
+    normalized_ratio: float | None = None
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_TRIPWIRE"):
         import subprocess
 
@@ -184,6 +190,43 @@ def main() -> None:
             float(sf) if sf.replace(".", "").isdigit() else sf
         ):
             prev_steady = prev.get("steady_sec", {})
+            tripwire_compared = True
+            # Calibration-normalized total ratio (r8 VERDICT item 6):
+            # raw_ratio = this sweep's steady total vs the committed one
+            # over the INTERSECTION of query names (so an added query
+            # doesn't read as a regression); calib_ratio = this machine's
+            # calibration pair vs the committed pair. normalized =
+            # raw / calib — a value near 1.0 means "same code speed, the
+            # level moved with the machine"; null when the committed
+            # artifact predates the calibration fields.
+            common = sorted(set(timings) & set(prev_steady))
+            if common:
+                raw_ratio = sum(timings[n] for n in common) / max(
+                    sum(prev_steady[n] for n in common), 1e-9
+                )
+                steady_ratio = round(raw_ratio, 3)
+                prev_cal = (
+                    prev.get("calibration_start_sec"),
+                    prev.get("calibration_end_sec"),
+                )
+                if all(prev_cal):
+                    calib_ratio = ((calibration_start + calibration_end) / 2) / (
+                        (prev_cal[0] + prev_cal[1]) / 2
+                    )
+                    normalized_ratio = round(raw_ratio / max(calib_ratio, 1e-9), 3)
+                    print(
+                        f"# steady total vs committed: {raw_ratio:.3f}x raw, "
+                        f"{normalized_ratio:.3f}x calibration-normalized "
+                        f"(machine ratio {calib_ratio:.3f}x)",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(
+                        f"# steady total vs committed: {raw_ratio:.3f}x raw "
+                        "(committed artifact has no calibration pair; "
+                        "normalized ratio unavailable)",
+                        file=sys.stderr,
+                    )
             for name, dt in sorted(timings.items()):
                 base = prev_steady.get(name)
                 if base and dt > 1.5 * base and dt - base > 0.5:
@@ -217,9 +260,20 @@ def main() -> None:
                 "queries_cold_position": cold_position,
                 "all_queries_total_sec": round(total, 3),
                 "n_queries": len(timings),
-                "n_regressions_vs_committed": len(regressions),
+                # null when the tripwire did not actually compare against a
+                # committed baseline (disabled / no artifact / sf mismatch),
+                # so a cross-round reader can tell "checked, none" from
+                # "not checked" (r8 ADVICE item 2).
+                "n_regressions_vs_committed": (
+                    len(regressions) if tripwire_compared else None
+                ),
                 "calibration_start_sec": calibration_start,
-                "calibration_end_sec": calibrate(),
+                "calibration_end_sec": calibration_end,
+                # total-steady ratio vs the committed artifact, raw and
+                # divided by the machine-state calibration ratio; null
+                # when no comparison happened (same rule as the tripwire)
+                "steady_total_ratio_vs_committed": steady_ratio,
+                "calibration_normalized_ratio_vs_committed": normalized_ratio,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -171,6 +171,23 @@ def test_tercile_identity_matches_sql_ntile(n):
     assert formula == _sql_ntile(n, 3)
 
 
+def test_tercile_identity_guards_the_registered_query():
+    """Pin the linkage: the ntile(3) identity proven above is
+    load-bearing for exactly the registered query named here — a
+    rename or removal must break this file rather than silently
+    orphan the property."""
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    registry._load()
+    spec = registry.REGISTRY["text_ccnet_bucket_mix"]
+    assert spec.fn.__module__.endswith("queries_ops_analytics")
+    # the rewrite under test is present in the plan source
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    assert "global_rank" in src and "(gr - 1) * 3 div n" in src
+
+
 def test_ntile_identity_is_not_general():
     """Why ccnet pins K=3: at n=7, k=5 SQL ntile is [1,1,2,3,4,5,5]-
     shaped (extras contiguous in the FIRST buckets) while the floor

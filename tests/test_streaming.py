@@ -325,13 +325,15 @@ def test_session_window_stream_matches_batch(spark, sf_dir, staged):
         for r in spark.table("sessions").selectExpr("user_id", "w", "n").collect()
     }
     assert got, "expected at least one closed session"
+    # compare against the REGISTERED batch query itself (not an inline
+    # re-derivation), so the golden twin is pinned to what the driver
+    # actually gates:
+    from dynamodb_stream_processor_2_0_spark.plans import registry
+
+    registry._load()
     batch = {
-        (r.user_id, r["w"]["start"]): r.n
-        for r in load_table(spark, sf_dir, "events")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (r.user_id, r.session_start): r.n_events
+        for r in registry.REGISTRY["session_window_12h"].fn(spark, sf_dir).collect()
     }
     # append mode only emits watermark-closed sessions; each must match
     for key, n in got.items():

@@ -142,7 +142,12 @@ def build() -> str:
             continue
         text = f.read_text()
         for q in registry.REGISTRY:
-            if re.search(rf"\b{re.escape(q)}\b", text):
+            # Require a QUOTED usage ("name" / 'name'), not a bare word
+            # match: a docstring or comment mention must not promote a
+            # query from G to B.  Tests reference queries as string
+            # literals (_run(spark, "name", ...), REGISTRY["name"]), so
+            # quoted-usage is the honest signal. (r8 ADVICE item 1.)
+            if re.search(rf"[\"']{re.escape(q)}[\"']", text):
                 refs.setdefault(q, []).append(f.name)
 
     def classify(q: str) -> tuple[str, str]:

@@ -66,6 +66,9 @@ def main() -> None:
         if len(sys.argv) > 3
         else REPO_ROOT / "tools" / "gate_sim_last.json"
     )
+    # parent may not exist for a custom out-path; never lose the
+    # per-query map after a full (expensive) run (r8 ADVICE item 3)
+    out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=1))
     if n_fail:
         sys.exit(1)

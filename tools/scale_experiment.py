@@ -548,6 +548,22 @@ def main() -> None:
          evdir1, evdir_n),
         ("benford_audit", _registered("orders_benford_digit_audit"),
          ordfull1, ordfull_n),
+        # round-9: the causal/eval family remainder (r8 verdict item 7) —
+        # completing measured 10x coverage of queries_causal_eval; the
+        # already-covered members are shapley_attribution, diff_in_diff,
+        # cuped_variance, xcorr_leadlag, markov_eval, markov_removal,
+        # poisson_bootstrap_ci, signflip_fdr, kaplan_meier,
+        # sequential_patterns above.
+        ("gap_survival_curve", _registered("customer_gap_survival_curve"),
+         ordfull1, ordfull_n),
+        ("time_decay_attribution", _registered("attribution_time_decay"),
+         evdir1, evdir_n),
+        ("ab_proportion_test", _registered("events_ab_proportion_test"),
+         evdir1, evdir_n),
+        ("auc_mann_whitney", _registered("eval_auc_mann_whitney"),
+         docsdir1, docsdir_n),
+        ("vshape_pattern_match", _registered("events_pattern_vshape_match"),
+         evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

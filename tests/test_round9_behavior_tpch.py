@@ -38,6 +38,8 @@ NATION = [  # (n_nationkey, n_name, n_regionkey)
     (2, "NATION_2", 0),
     (3, "NATION_3", 0),
     (4, "NATION_4", 1),
+    (5, "NATION_5", 1),  # suppliers only -> full-outer right-only row
+    (6, "NATION_6", 1),  # customers only -> full-outer left-only row
 ]
 
 SUPPLIER = [  # (s_suppkey, s_name, s_nationkey, s_acctbal)
@@ -46,6 +48,7 @@ SUPPLIER = [  # (s_suppkey, s_name, s_nationkey, s_acctbal)
     (3, "Supp#3", 3, 75.0),
     (13, "Supp#13", 4, 5.0),  # suppkey % 13 == 0 -> q16 NOT IN exclusion
     (5, "Supp#5", 1, 50.0),  # acctbal ties Supp#2 -> q2 suppkey tiebreak
+    (6, "Supp#6", 5, 20.0),  # nation with no customers; ships nothing
 ]
 
 PART = [  # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
@@ -62,6 +65,7 @@ CUSTOMER = [  # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     (3, "Cust#3", 3, -50.0, "BUILDING"),  # negative -> out of q22 threshold avg
     (4, "Cust#4", 4, 7000.0, "MACHINERY"),
     (5, "Cust#5", 1, 6000.0, "BUILDING"),
+    (6, "Cust#6", 6, 100.0, "HOUSEHOLD"),  # nation with no suppliers; no orders
 ]
 
 ORDERS = [  # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
@@ -77,6 +81,21 @@ ORDERS = [  # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, 
     (109, 2, "F", 1500.0, "1996-03-01", "1-URGENT"),
     (110, 5, "O", 2500.0, "1997-11-20", "2-HIGH"),
     (111, 3, "O", 3200.0, "1998-03-01", "1-URGENT"),
+    # 1999 block: outside every TPC-H date window; no lineitems. Gives
+    # agg_having a >5 group, makes sort_limit's LIMIT 20 bite (24 orders),
+    # and plants 'P' status rows for the pivot.
+    (120, 4, "O", 100.0, "1999-01-05", "5-LOW"),
+    (121, 4, "O", 200.0, "1999-01-10", "5-LOW"),
+    (122, 4, "O", 300.0, "1999-02-01", "5-LOW"),
+    (123, 4, "O", 400.0, "1999-02-15", "5-LOW"),
+    (124, 4, "O", 500.0, "1999-03-01", "5-LOW"),
+    (125, 4, "O", 600.0, "1999-03-10", "5-LOW"),
+    (126, 5, "O", 700.0, "1999-04-01", "5-LOW"),
+    (127, 5, "O", 800.0, "1999-04-15", "5-LOW"),
+    (128, 1, "O", 900.0, "1999-05-01", "5-LOW"),
+    (129, 2, "O", 1000.0, "1999-05-10", "5-LOW"),
+    (130, 5, "P", 1100.0, "1999-06-01", "4-NOT SPECIFIED"),
+    (131, 3, "P", 1200.0, "1999-06-15", "4-NOT SPECIFIED"),
 ]
 
 LINEITEM = [  # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

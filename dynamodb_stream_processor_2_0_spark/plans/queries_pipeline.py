@@ -328,38 +328,39 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tag-don't-drop rule (F12) applied to parse errors.",
 )
 def e2_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json + columnNameOfCorruptRecord is the engine's row-level
-    try/except: the malformed payload lands in the _corrupt column and
-    every typed field is NULL — no task failure, no Python in the loop.
-    One corrupt row per 97 exercises both branches of every downstream
-    expression. The corruption is keyed to event_id so Spark and the
-    oracle mangle identical rows."""
+    """Row-level parse-error isolation with JSON-PARSE semantics, not
+    schema-coercion semantics: 'corrupt' means the payload is not valid
+    JSON (the reference's JSON.parse throw, index.js:53-80) — a payload
+    that parses but carries a wrong-typed field stays 'parsed' with a
+    NULL field, exactly like try_cast after a successful parse. The
+    PERMISSIVE from_json + columnNameOfCorruptRecord form used before
+    round 9 flagged the wrong-typed case too (from_json treats a
+    non-coercible field as a corrupt record), silently diverging from
+    both the reference and the oracle on inputs the testdata never
+    contains — caught by the planted '{"k": "x"}' row in
+    tests/test_round9_behavior_events.py. from_json into
+    map<string,string> is the validity probe (NULL iff unparseable; a
+    JSON scalar would also read NULL, which is fine — every envelope is
+    an object); the typed field is a try_cast on the extracted string,
+    the same expression shape the oracle uses. One corrupt row per 97
+    exercises both branches; the corruption is keyed to event_id so
+    Spark and the oracle mangle identical rows."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
     payload = F.when(
         F.col("event_id") % 97 == 0, F.substring("props", 1, 3)
     ).otherwise(F.col("props"))
-    parsed = ev.select(
+    staged = ev.select("event_id", "user_id", payload.alias("payload"))
+    ok = F.from_json(F.col("payload"), "map<string,string>").isNotNull()
+    return staged.select(
         "event_id",
         "user_id",
-        F.from_json(
-            payload,
-            "k int, _corrupt string",
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ).alias("j"),
-        payload.alias("payload"),
-    )
-    return parsed.select(
-        "event_id",
-        "user_id",
-        F.when(F.col("j._corrupt").isNull(), "parsed")
-        .otherwise("corrupt")
-        .alias("disposition"),
-        F.col("j.k").alias("k"),
-        F.when(F.col("j._corrupt").isNotNull(), F.col("payload")).alias(
-            "corrupt_payload"
-        ),
+        F.when(ok, "parsed").otherwise("corrupt").alias("disposition"),
+        F.when(
+            ok, F.expr("try_cast(get_json_object(payload, '$.k') AS int)")
+        ).alias("k"),
+        F.when(~ok, F.col("payload")).alias("corrupt_payload"),
     )
 
 

@@ -781,13 +781,23 @@ def map_struct_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "variant_json_shred",
     oracle="""
+        WITH guarded AS (
+            SELECT event_id,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN props END AS jp
+            FROM events
+            WHERE event_id < 4000
+        )
         SELECT event_id,
-               (props IS NOT NULL AND json_valid(props)) AS parsed_ok,
-               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-               CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                    THEN 'BIGINT' END AS k_kind
-        FROM events
-        WHERE event_id < 4000
+               jp IS NOT NULL AS parsed_ok,
+               TRY_CAST(json_extract_string(jp, '$.k') AS INTEGER) AS k,
+               CASE WHEN json_extract_string(jp, '$.k') IS NOT NULL
+                    THEN CASE json_type(jp, '$.k')
+                         WHEN 'VARCHAR' THEN 'STRING'
+                         WHEN 'UBIGINT' THEN 'BIGINT'
+                         ELSE json_type(jp, '$.k') END
+               END AS k_kind
+        FROM guarded
         ORDER BY event_id
     """,
     tags=("scalar", "variant", "P2", "spark4"),
@@ -800,17 +810,23 @@ def map_struct_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fields shred — the 100 TB semi-structured scan pattern.",
 )
 def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_variant_get, not variant_get: a wrong-typed field (e.g.
+    '{"k": "x"}') must shred to NULL, not kill the task with
+    INVALID_VARIANT_CAST — the same fail-open rule as try_parse_json
+    for unparseable rows. (Caught by the planted wrong-typed row in
+    tests/test_round9_behavior_pipeline.py; variant_get crashed the
+    whole job on data the testdata never contains.) k_kind reports the
+    variant's actual JSON type — the oracle mirrors it via DuckDB
+    json_type with VARCHAR->STRING spelling normalization."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
     v = F.try_parse_json("props")
+    kv = F.try_variant_get(v, "$.k", "variant")
     return (
         ev.select(
             "event_id",
             v.isNotNull().alias("parsed_ok"),
-            F.variant_get(v, "$.k", "int").alias("k"),
-            F.when(
-                F.variant_get(v, "$.k", "variant").isNotNull(),
-                F.schema_of_variant(F.variant_get(v, "$.k", "variant")),
-            ).alias("k_kind"),
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.when(kv.isNotNull(), F.schema_of_variant(kv)).alias("k_kind"),
         )
         .orderBy("event_id")
     )

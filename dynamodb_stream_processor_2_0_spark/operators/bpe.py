@@ -66,13 +66,18 @@ def bpe_round(words: DataFrame) -> tuple[DataFrame, tuple[str, str, int]]:
             )
         ).alias("ab"),
     )
-    top = (
+    top_rows = (
         pairs.groupBy("ab.a", "ab.b")
         .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not top_rows:
+        # nothing mergeable (empty corpus / all single-symbol words):
+        # signal exhaustion instead of IndexError on the pick
+        return words, None
+    top = top_rows[0]
     a, b, cnt = top["a"], top["b"], int(top["cnt"])
 
     pos = words.select(
@@ -134,7 +139,7 @@ def vocab_stats(words: DataFrame) -> tuple[int, int]:
     total = words.select(
         F.sum(F.col("freq") * F.size("syms")).alias("t")
     ).collect()[0]["t"]
-    return int(types), int(total)
+    return int(types), int(total or 0)
 
 
 def bpe_induction(
@@ -145,7 +150,10 @@ def bpe_induction(
     words = words_with_freq(docs).localCheckpoint()
     rows = []
     for r in range(1, rounds + 1):
-        words, (a, b, cnt) = bpe_round(words)
+        words, merge = bpe_round(words)
+        if merge is None:
+            break  # merge space exhausted (tools/hostile_sweep.py)
+        a, b, cnt = merge
         words = words.localCheckpoint()
         types, total = vocab_stats(words)
         rows.append((r, a, b, cnt, types, total))

@@ -122,6 +122,21 @@ def kmeans_assignments(
     # consumer (a global sort-free analog of the write a clustering
     # pass would stage anyway).
     q = with_quant_vec(emb.select(id_col, vec_col), scale, vec_col).localCheckpoint()
+    # Vector hygiene before the matmul kernel: ragged batches (a short,
+    # empty, or NULL vector mixed into the corpus) turn np.array(...)
+    # inhomogeneous and kill the worker; an empty corpus leaves no
+    # seeds at all. Malformed rows are dropped (the documented
+    # embedding_vector_hygiene rule); an empty/all-malformed corpus
+    # assigns nothing. (tools/hostile_sweep.py nulls + empty worlds)
+    dim_row = q.agg(F.max(F.size("qvec")).alias("d")).collect()
+    dim = dim_row[0]["d"] if dim_row else None
+    if not dim or dim <= 0:
+        return (
+            emb.select(id_col, vec_col)
+            .withColumn("cluster", F.lit(None).cast("int"))
+            .filter(F.lit(False))
+        )
+    q = q.filter(F.size("qvec") == dim)
     seeds = (
         q.select(id_col, "qvec", F.md5(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h", id_col)

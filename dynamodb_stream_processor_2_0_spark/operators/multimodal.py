@@ -20,6 +20,14 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+
+def _as_bytes(p) -> bytes:
+    """NULL-tolerant payload coercion for the Pandas kernels: a NULL
+    media payload decodes as the empty payload instead of killing the
+    Python worker with TypeError (tools/hostile_sweep.py nulls world) —
+    the per-record fail-open rule (E1) applied to binary columns."""
+    return b"" if p is None else bytes(p)
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -100,11 +108,11 @@ def decode_image_batch(
         import pandas as pd
 
         for pdf in batches:
-            metas = [decoder(bytes(p)) for p in pdf[payload_col]]
+            metas = [decoder(_as_bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "n_bytes": [len(_as_bytes(p)) for p in pdf[payload_col]],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],
                     "channels": [m["channels"] for m in metas],
@@ -132,7 +140,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
+                raw = _as_bytes(payload)
                 chunks = [
                     raw[i : i + chunk_bytes] for i in range(0, len(raw), chunk_bytes)
                 ]
@@ -209,7 +217,7 @@ def resize_images(
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "resized": [
-                        resizer(bytes(p), width, height) for p in pdf[payload_col]
+                        resizer(_as_bytes(p), width, height) for p in pdf[payload_col]
                     ],
                 }
             )
@@ -257,7 +265,7 @@ def pcm_window_energy(
                 "peak_energy": [],
             }
             for p in pdf[payload_col]:
-                raw = bytes(p)
+                raw = _as_bytes(p)
                 n = len(raw) // 2
                 s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
                 sq = s * s
@@ -299,7 +307,7 @@ def pcm_window_energies(
         for pdf in batches:
             ids, ws, es = [], [], []
             for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                raw = bytes(p)
+                raw = _as_bytes(p)
                 n = len(raw) // 2
                 s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
                 sq = s * s
@@ -397,7 +405,7 @@ def frame_signatures(
         for pdf in batches:
             ids, idxs, sigs, inten = [], [], [], []
             for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                raw = bytes(p)
+                raw = _as_bytes(p)
                 n_f = len(raw) // _SC_FRAME_BYTES
                 if n_f == 0:
                     continue
@@ -464,7 +472,7 @@ def scene_cut_detect(
                 "mean_ham_milli": [],
             }
             for p in pdf[payload_col]:
-                raw = bytes(p)
+                raw = _as_bytes(p)
                 n = len(raw) // _SC_FRAME_BYTES
                 if n == 0:
                     out["n_frames"].append(0)
@@ -545,7 +553,7 @@ def audio_vad_segments(
                 "first_active": [],
             }
             for p in pdf[payload_col]:
-                raw = bytes(p)
+                raw = _as_bytes(p)
                 n = len(raw) // 2
                 s = np.frombuffer(raw, dtype="<i2", count=n).astype(
                     np.int64

@@ -80,8 +80,15 @@ def cosine_topk(
     scored = (
         cand.join(F.broadcast(qry), F.col("cand_id") != F.col("query_id"))
         .withColumn(
+            # try_divide: a zero-norm (or zero-length) vector has no
+            # cosine — NULL (ranks last under DESC in both engines, the
+            # oracle's x/0 is NULL too) instead of an ANSI div-by-zero
+            # job kill (tools/hostile_sweep.py nulls world)
             "cosine",
-            _dot_fold("query_vec", "cand_vec") / (F.col("query_norm") * F.col("cand_norm")),
+            F.try_divide(
+                _dot_fold("query_vec", "cand_vec"),
+                F.col("query_norm") * F.col("cand_norm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -167,8 +174,15 @@ def lsh_bucket_topk(
             (F.col("bucket") == F.col("qbucket")) & (F.col("cand_id") != F.col("query_id")),
         )
         .withColumn(
+            # try_divide: a zero-norm (or zero-length) vector has no
+            # cosine — NULL (ranks last under DESC in both engines, the
+            # oracle's x/0 is NULL too) instead of an ANSI div-by-zero
+            # job kill (tools/hostile_sweep.py nulls world)
             "cosine",
-            _dot_fold("query_vec", "cand_vec") / (F.col("query_norm") * F.col("cand_norm")),
+            F.try_divide(
+                _dot_fold("query_vec", "cand_vec"),
+                F.col("query_norm") * F.col("cand_norm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")

@@ -1946,7 +1946,8 @@ def events_ks_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             "d_scaled",
-            "cast(d_scaled * 1000000 div (n1 * n2) AS bigint) AS d_micro",
+            "cast(CASE WHEN n1 * n2 = 0 THEN NULL"
+            " ELSE d_scaled * 1000000 div (n1 * n2) END AS bigint) AS d_micro",
             "cast(d_scaled AS decimal(38,0)) * d_scaled * 1000000"
             " > cast(1844772 AS decimal(38,0)) * (n1 + n2) * n1 * n2"
             " AS reject_5pct",

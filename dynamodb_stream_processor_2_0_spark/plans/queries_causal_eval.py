@@ -318,11 +318,19 @@ def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "c_a",
         "c_b",
-        F.expr("c_a * 1000 div n_a").alias("rate_a_milli"),
-        F.expr("c_b * 1000 div n_b").alias("rate_b_milli"),
-        F.expr("c_b * 1000 div n_b - c_a * 1000 div n_a").alias(
-            "lift_milli"
-        ),
+        # empty-bucket guard: an all-odd (or all-even) user population
+        # leaves one arm with n = 0; `div` must yield NULL like the
+        # oracle's `//`, not an ANSI job kill (tools/hostile_sweep.py)
+        F.expr(
+            "CASE WHEN n_a = 0 THEN NULL ELSE c_a * 1000 div n_a END"
+        ).alias("rate_a_milli"),
+        F.expr(
+            "CASE WHEN n_b = 0 THEN NULL ELSE c_b * 1000 div n_b END"
+        ).alias("rate_b_milli"),
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+            " ELSE c_b * 1000 div n_b - c_a * 1000 div n_a END"
+        ).alias("lift_milli"),
         F.expr(
             "10000 * cast(c_a * n_b - c_b * n_a AS DECIMAL(38,0))"
             " * cast(c_a * n_b - c_b * n_a AS DECIMAL(38,0))"
@@ -404,14 +412,17 @@ def eval_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank_sum_pos"),
     )
     u = "(rank_sum_pos - n_pos * (n_pos + 1) div 2)"
+    # single-class guard: AUC is undefined without both classes
+    # (n_pos * n_neg = 0) — NULL like the oracle's `//`, not a job kill
+    guard = "CASE WHEN n_pos * n_neg = 0 THEN NULL ELSE {expr} END"
     return agg.select(
         "n_pos",
         "n_neg",
         F.expr(u).cast("long").alias("u_statistic"),
-        F.expr(f"{u} * 1000 div (n_pos * n_neg)")
+        F.expr(guard.format(expr=f"{u} * 1000 div (n_pos * n_neg)"))
         .cast("long")
         .alias("auc_permille"),
-        F.expr(f"{u} * 2000 div (n_pos * n_neg) - 1000")
+        F.expr(guard.format(expr=f"{u} * 2000 div (n_pos * n_neg) - 1000"))
         .cast("long")
         .alias("gini_milli"),
     )
@@ -575,9 +586,10 @@ _SHAPLEY_LATTICE = """
     SELECT CASE channel_bit WHEN 1 THEN 'click' WHEN 2 THEN 'error'
                 WHEN 4 THEN 'signup' ELSE 'view' END AS channel,
            c.credit24,
-           CAST((CASE WHEN c.credit24 < 0 THEN -1 ELSE 1 END)
-                * (abs(c.credit24) * 1000 {fdiv} (24 * t.v_full))
-                AS BIGINT) AS credit_permille,
+           CAST(CASE WHEN t.v_full = 0 THEN NULL
+                     ELSE (CASE WHEN c.credit24 < 0 THEN -1 ELSE 1 END)
+                          * (abs(c.credit24) * 1000 {fdiv} (24 * t.v_full))
+                END AS BIGINT) AS credit_permille,
            (e.credit_sum = 24 * t.v_full) AS efficiency_holds
     FROM credit c CROSS JOIN total t CROSS JOIN eff e
     ORDER BY channel
@@ -1093,13 +1105,17 @@ def events_poisson_bootstrap_ci(
     means = cells.filter(F.col("wn") > 0).select(
         "event_type", F.expr("sw div wn").alias("m")
     )
+    # try_element_at: tiny groups can drop zero-weight replicates below
+    # 31 (P[Poisson(1) total weight = 0] is real for 2-3 rows), and the
+    # order statistic must then be NULL like the oracle's out-of-range
+    # list index — not an ANSI INVALID_ARRAY_INDEX job kill
     ci = means.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
         F.expr(
-            "CAST(element_at(sort_array(collect_list(m)), 2) AS BIGINT)"
+            "CAST(try_element_at(sort_array(collect_list(m)), 2) AS BIGINT)"
         ).alias("ci_lo_cents"),
         F.expr(
-            "CAST(element_at(sort_array(collect_list(m)), 31) AS BIGINT)"
+            "CAST(try_element_at(sort_array(collect_list(m)), 31) AS BIGINT)"
         ).alias("ci_hi_cents"),
     )
     pt = ev.groupBy("event_type").agg(

@@ -365,10 +365,14 @@ def graph_degree_assortativity(
     )
     return shifted.select(
         F.col("n").alias("n_directed_edges"),
+        # regular-graph guard: every-degree-equal means vx = vy = 0 and
+        # assortativity is undefined — NULL like the oracle's `//`, not
+        # an ANSI div-by-zero job kill (tools/hostile_sweep.py)
         F.expr(
-            "(CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+            "CASE WHEN cast(vxq as decimal(38,0)) * vyq = 0 THEN NULL ELSE"
+            " (CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
             " * cast((cast(numq as decimal(38,0)) * numq * 1000000)"
-            " div (cast(vxq as decimal(38,0)) * vyq) as bigint)"
+            " div (cast(vxq as decimal(38,0)) * vyq) as bigint) END"
         ).alias("r_squared_signed_micro"),
         (F.col("num") < 0).alias("disassortative"),
     )

@@ -533,12 +533,17 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_h",
         "w",
-        F.expr(f"CAST({_NEYMAN_BUDGET} * w div wt AS BIGINT)").alias(
-            "base"
-        ),
-        F.expr(f"CAST(({_NEYMAN_BUDGET} * w) % wt AS BIGINT)").alias(
-            "rem"
-        ),
+        # wt = 0 guard: all-constant strata have zero Neyman weight
+        # everywhere and the allocation is undefined — NULL, not an
+        # ANSI div/mod-by-zero job kill (tools/hostile_sweep.py)
+        F.expr(
+            f"CAST(CASE WHEN wt = 0 THEN NULL"
+            f" ELSE {_NEYMAN_BUDGET} * w div wt END AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST(CASE WHEN wt = 0 THEN NULL"
+            f" ELSE ({_NEYMAN_BUDGET} * w) % wt END AS BIGINT)"
+        ).alias("rem"),
     )
     other = F.broadcast(
         seats.select(

@@ -131,11 +131,13 @@ _OLS_SOLVE = """
            n AS n_rows,
            CAST(k AS BIGINT) AS digits_dropped,
            CAST(sy {fdiv} n AS BIGINT) AS mean_price_cents,
-           CAST((CASE WHEN (num1 < 0) != (det < 0) THEN -1 ELSE 1 END)
-                * ((abs(num1) * 1000) {fdiv} abs(det)) AS BIGINT)
+           CAST(CASE WHEN det = 0 THEN NULL ELSE
+                (CASE WHEN (num1 < 0) != (det < 0) THEN -1 ELSE 1 END)
+                * ((abs(num1) * 1000) {fdiv} abs(det)) END AS BIGINT)
                AS b1_cents_per_qty_milli,
-           CAST((CASE WHEN (num2 < 0) != (det < 0) THEN -1 ELSE 1 END)
-                * ((abs(num2) * 1000) {fdiv} abs(det)) AS BIGINT)
+           CAST(CASE WHEN det = 0 THEN NULL ELSE
+                (CASE WHEN (num2 < 0) != (det < 0) THEN -1 ELSE 1 END)
+                * ((abs(num2) * 1000) {fdiv} abs(det)) END AS BIGINT)
                AS b2_cents_per_permille_milli
     FROM (
         SELECT *,
@@ -1354,9 +1356,11 @@ def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         "cand_label",
         "cand_id",
-        (
-            _dot_fold("test_vec", "cand_vec")
-            / (F.col("test_norm") * F.col("cand_norm"))
+        # try_divide: zero-norm vectors score NULL (ranks last), they
+        # must not kill the eval (tools/hostile_sweep.py nulls world)
+        F.try_divide(
+            _dot_fold("test_vec", "cand_vec"),
+            F.col("test_norm") * F.col("cand_norm"),
         ).alias("cosine"),
     )
     wrank = W.partitionBy("test_id").orderBy(

@@ -185,8 +185,10 @@ def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Hash straight off the Arrow (offsets, data) buffers: the
             # lengths come from the offsets vector and each md5 reads a
             # zero-copy memoryview slice of the shared data buffer — no
-            # per-row as_py() bytes materialization.
-            assert payloads.null_count == 0, "payload column must be non-null"
+            # per-row as_py() bytes materialization. NULL payloads
+            # digest to NULL (the oracle's md5(NULL)), masked off the
+            # same offsets walk — a hard assert here killed the worker
+            # on null rows (tools/hostile_sweep.py nulls world).
             off_dtype = (
                 np.int64 if pa.types.is_large_binary(payloads.type) else np.int32
             )
@@ -194,14 +196,25 @@ def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.offset : payloads.offset + len(payloads) + 1
             ]
             data = memoryview(payloads.buffers()[2])
+            valid = (
+                payloads.is_valid().to_pylist()
+                if payloads.null_count
+                else [True] * len(payloads)
+            )
             md5s = [
                 hashlib.md5(data[offsets[i] : offsets[i + 1]]).hexdigest()
+                if valid[i]
+                else None
+                for i in range(len(payloads))
+            ]
+            n_bytes = [
+                int(offsets[i + 1] - offsets[i]) if valid[i] else None
                 for i in range(len(payloads))
             ]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
-                    pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
                     pa.array(md5s, pa.string()),
                 ],
                 ["doc_id", "n_bytes", "payload_md5"],

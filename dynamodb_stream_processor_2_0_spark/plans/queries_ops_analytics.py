@@ -1857,8 +1857,9 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p99_est").cast("long").alias("p99_est"),
             "p99_exact",
             F.expr(
-                "(CASE WHEN p50_est >= p50_exact THEN 1 ELSE -1 END)"
-                " * (abs(p50_est - p50_exact) * 1000 div p50_exact)"
+                "CASE WHEN p50_exact = 0 THEN NULL ELSE"
+                " (CASE WHEN p50_est >= p50_exact THEN 1 ELSE -1 END)"
+                " * (abs(p50_est - p50_exact) * 1000 div p50_exact) END"
             )
             .cast("long")
             .alias("p50_err_permille"),

@@ -252,7 +252,15 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_stream_processor_2_0_spark.sources import formats
 
     path = _stage_partitioned_events(spark, sf_dir)
-    df = formats.read_batch(spark, path, fmt="parquet")
+    # explicit schema: no footer-inference pass at scale, and an empty
+    # staged dataset (zero partition dirs) still reads as an empty
+    # relation instead of UNABLE_TO_INFER_SCHEMA (tools/hostile_sweep.py)
+    df = formats.read_batch(
+        spark,
+        path,
+        fmt="parquet",
+        schema="event_id long, user_id long, value_cents long, event_type string",
+    )
     return df.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "event_type", "value_cents"
     )
@@ -672,7 +680,12 @@ def source_dynamic_partition_pruning(
     from dynamodb_stream_processor_2_0_spark.sources import formats
 
     path = _stage_partitioned_events(spark, sf_dir)
-    fact = formats.read_batch(spark, path, fmt="parquet")
+    fact = formats.read_batch(
+        spark,
+        path,
+        fmt="parquet",
+        schema="event_id long, user_id long, value_cents long, event_type string",
+    )
     ev = load_table(spark, sf_dir, "events")
     total = ev.count()
     dim = (

@@ -651,8 +651,9 @@ def schema_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_violations",
                 (F.col("n_violations") == 0).alias("holds"),
                 F.expr(
-                    "CAST(1000 * (n_lhs_distinct - n_violations)"
-                    " div n_lhs_distinct AS BIGINT)"
+                    "CAST(CASE WHEN n_lhs_distinct = 0 THEN NULL"
+                    " ELSE 1000 * (n_lhs_distinct - n_violations)"
+                    " div n_lhs_distinct END AS BIGINT)"
                 ).alias("coverage_permille"),
             )
         )
@@ -881,9 +882,10 @@ def schema_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_distinct") == F.col("n_rows"))
             & (F.col("n_nulls") == 0)
         ).alias("is_key"),
-        F.expr("CAST(1000 * n_distinct div n_rows AS BIGINT)").alias(
-            "uniqueness_permille"
-        ),
+        F.expr(
+            "CAST(CASE WHEN n_rows = 0 THEN NULL"
+            " ELSE 1000 * n_distinct div n_rows END AS BIGINT)"
+        ).alias("uniqueness_permille"),
     ).orderBy("table_name", "column_name")
 
 # --- synthetic-data fidelity audit -----------------------------------------------

@@ -1870,12 +1870,18 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = F.col("s2").cast("double") - s1d * F.col("s1") / F.col("n")
     covy = F.col("sxy").cast("double") - s1d * F.col("sy1") / F.col("n")
     vary = F.col("sy2").cast("double") - sy1d * F.col("sy1") / F.col("n")
+    # try_divide, not /: a single-row group (n-1 = 0) or a zero-variance
+    # group (sqrt = 0) must yield NULL like the DuckDB oracle (x/0 is
+    # NULL there), not kill the job under ANSI — the degenerate-world
+    # crash class from tools/hostile_sweep.py.
     return m.select(
         "event_type",
         "n",
         (s1d / (F.lit(100.0) * F.col("n"))).alias("mean_value"),
-        (var_num / (F.lit(10000.0) * (F.col("n") - 1))).alias("var_value"),
-        (covy / F.sqrt(var_num * vary)).alias("corr_value_k"),
+        F.try_divide(var_num, F.lit(10000.0) * (F.col("n") - 1)).alias(
+            "var_value"
+        ),
+        F.try_divide(covy, F.sqrt(var_num * vary)).alias("corr_value_k"),
     ).orderBy("event_type")
 
 

@@ -824,8 +824,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_terms"),
         F.expr(
-            "(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
-            " * (abs(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE"
+            " (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)) END"
         )
         .cast("long")
         .alias("zipf_slope_milli"),
@@ -1149,8 +1150,9 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "vocab_size",
         F.expr(
-            "(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
-            " * (abs(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx))"
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE"
+            " (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)) END"
         )
         .cast("long")
         .alias("heaps_beta_milli"),
@@ -1476,20 +1478,25 @@ def text_js_divergence_sources(
             " ELSE CAST(0 AS DECIMAL(38,0)) END"
         ).alias("hq_term"),
     )
+    # nq = 0 guard: a single-source corpus has an empty "rest" side, so
+    # H(Q) and H(M) are undefined — NULL like the oracle's `//`, not an
+    # ANSI div-by-zero job kill (tools/hostile_sweep.py degenerate world)
     ent = terms.groupBy("source", "np", "nq").agg(
         F.expr("CAST(sum(hp_term) div np AS BIGINT)").alias(
             "h_p_millibits"
         ),
-        F.expr("CAST(sum(hq_term) div nq AS BIGINT)").alias(
-            "h_q_millibits"
-        ),
         F.expr(
-            "CAST(sum(CASE WHEN cm > 0"
+            "CAST(CASE WHEN nq = 0 THEN NULL"
+            " ELSE sum(hq_term) div nq END AS BIGINT)"
+        ).alias("h_q_millibits"),
+        F.expr(
+            "CAST(CASE WHEN nq = 0 THEN NULL ELSE"
+            " sum(CASE WHEN cm > 0"
             " THEN CAST(cm AS DECIMAL(38,0)) * 1000"
             "      * (length(bin((2 * CAST(np AS DECIMAL(38,0)) * nq)"
             "         div cm)) - 1)"
             " ELSE CAST(0 AS DECIMAL(38,0)) END)"
-            " div (2 * CAST(np AS DECIMAL(38,0)) * nq) AS BIGINT)"
+            " div (2 * CAST(np AS DECIMAL(38,0)) * nq) END AS BIGINT)"
         ).alias("h_m_millibits"),
     )
     return ent.select(

@@ -429,7 +429,9 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_j",
             "n_vectors",
             cov.alias("cov"),
-            (cov / F.sqrt(var_i * var_j)).alias("corr"),
+            # try_divide: a zero-variance dimension (all-equal values)
+            # yields corr NULL like the oracle's x/0, not a job kill
+            F.try_divide(cov, F.sqrt(var_i * var_j)).alias("corr"),
         )
     )
 
@@ -558,10 +560,14 @@ def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # expression-built packing: shiftleft needs a literal bit count, so
     # build the two words as explicit 32-term sums (JVM-side, map-only).
+    # try_element_at, not element_at: a vector shorter than 64 dims must
+    # pack its missing tail as zero bits (NULL > 0 is false), matching
+    # the oracle's out-of-range-list NULL — element_at kills the job
+    # under ANSI (tools/hostile_sweep.py degenerate world).
     def packed_word(base: int) -> F.Column:
         terms = [
             F.when(
-                F.element_at("embedding", base + d + 1) > 0,
+                F.try_element_at("embedding", F.lit(base + d + 1)) > 0,
                 F.lit(1 << d).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             for d in range(32)
@@ -710,13 +716,15 @@ def embedding_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "a",
             "b",
-            (
+            # try_divide: zero-norm shortlist members yield NULL pairwise
+            # sim (greatest() then ignores it) instead of a job kill
+            F.try_divide(
                 F.expr(
                     "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) "
                     "* CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
                     "(acc, v) -> acc + v)"
-                )
-                / (F.col("na") * F.col("nb"))
+                ),
+                F.col("na") * F.col("nb"),
             ).alias("sim"),
         )
         .localCheckpoint()
@@ -875,7 +883,13 @@ _PCA_NORM_BITS = 14
 _PCA_TOPD = 5
 
 _PCA_SIGN_DIV_D = "(CASE WHEN {a} >= 0 THEN 1 ELSE -1 END) * (abs({a}) // {b})"
-_PCA_SIGN_DIV_S = "(CASE WHEN {a} >= 0 THEN 1 ELSE -1 END) * (abs({a}) div {b})"
+# zero-denominator guard: an all-equal embedding column centers to the
+# zero vector, so vmax/nv can be 0 — NULL (the oracle's // semantics),
+# not an ANSI div-by-zero job kill (tools/hostile_sweep.py)
+_PCA_SIGN_DIV_S = (
+    "(CASE WHEN {b} = 0 THEN NULL ELSE "
+    "(CASE WHEN {a} >= 0 THEN 1 ELSE -1 END) * (abs({a}) div {b}) END)"
+)
 _PCA_SHIFT_D = (
     "(CASE WHEN {v} >= 0 THEN 1 ELSE -1 END) * (abs({v}) >> {s})"
 )
@@ -1219,9 +1233,9 @@ def embedding_ann_ivf_nprobe_sweep(
             "query_id",
             F.col("cand_id").alias("neighbor_id"),
             "cell_rn",
-            (
-                S._dot_fold("query_vec", "cand_vec")
-                / (F.col("query_norm") * F.col("cand_norm"))
+            F.try_divide(
+                S._dot_fold("query_vec", "cand_vec"),
+                F.col("query_norm") * F.col("cand_norm"),
             ).alias("cosine"),
         )
         .localCheckpoint(eager=False)
@@ -1250,7 +1264,8 @@ def embedding_ann_ivf_nprobe_sweep(
                 F.count(F.lit(1)).cast("long").alias("n_exact"),
                 F.count("hit").cast("long").alias("n_hits"),
                 F.expr(
-                    "cast(count(hit) * 1000 div count(*) as bigint)"
+                    "cast(CASE WHEN count(*) = 0 THEN NULL ELSE"
+                    " count(hit) * 1000 div count(*) END as bigint)"
                 ).alias("recall_permille"),
             )
             .crossJoin(F.broadcast(n_cand))
@@ -1555,17 +1570,20 @@ def _ch_report_sql(fdiv: str, big: str) -> str:
             FROM perc p
         ), gstat AS (
             SELECT CAST(sum(n_c) AS BIGINT) AS n,
-                   CAST(sum((w * 1000) {fdiv} n_c) AS {big}) AS ssw_milli
+                   CAST(sum(CASE WHEN n_c = 0 THEN NULL
+                            ELSE (w * 1000) {fdiv} n_c END) AS {big})
+                       AS ssw_milli
             FROM wc
         ), gd AS (
             SELECT dim, CAST(sum(sv) AS BIGINT) AS gv FROM percd
             GROUP BY dim
         ), tot AS (
             SELECT g.n,
+                   CASE WHEN g.n = 0 THEN NULL ELSE
                    ((CAST(g.n AS {big})
                          * (SELECT sum(ssq) FROM perc)
                      - (SELECT CAST(sum(CAST(gv AS {big}) * gv) AS {big})
-                        FROM gd)) * 1000) {fdiv} g.n AS sst_milli,
+                        FROM gd)) * 1000) {fdiv} g.n END AS sst_milli,
                    g.ssw_milli
             FROM gstat g
         )
@@ -1574,9 +1592,10 @@ def _ch_report_sql(fdiv: str, big: str) -> str:
                CAST(sst_milli AS BIGINT) AS sst_milli,
                CAST(ssw_milli AS BIGINT) AS ssw_milli,
                CAST(sst_milli - ssw_milli AS BIGINT) AS ssb_milli,
-               CAST(((sst_milli - ssw_milli) * (n - {_CH_K}))
-                    {fdiv} (ssw_milli * ({_CH_K} - 1)) AS BIGINT)
-                   AS ch_index
+               CAST(CASE WHEN ssw_milli = 0 THEN NULL
+                         ELSE ((sst_milli - ssw_milli) * (n - {_CH_K}))
+                              {fdiv} (ssw_milli * ({_CH_K} - 1))
+                    END AS BIGINT) AS ch_index
         FROM tot
     """
 
@@ -2072,8 +2091,15 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000)"
         " AS BIGINT)"
     )
-    seed = emb.orderBy("vec_id").limit(1)
-    centers = [(1, seed.collect()[0]["vec_id"], None)]
+    seed_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        # empty corpus: no coreset, not an IndexError on the seed pick
+        return spark.createDataFrame(
+            [],
+            "iteration int, center_vec_id long, chosen_dist_micro long,"
+            " final_radius_micro long",
+        )
+    centers = [(1, seed_rows[0]["vec_id"], None)]
     cents_df = emb.filter(F.col("vec_id") == centers[0][1])
 
     def min_dist(cdf):

@@ -566,6 +566,15 @@ def graph_pagerank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: the fixpoint is the empty ranking, not a driver
+        # ZeroDivisionError on SCALE // n_nodes (tools/hostile_sweep.py)
+        return outdeg.select(
+            F.lit("customer").alias("node_type"),
+            F.col("node").alias("node_key"),
+            F.col("od").alias("rank_micro"),
+            F.col("od").alias("out_degree"),
+        ).filter(F.lit(False))
     # Fold the static out-degree INTO the rank relation: r carries
     # (node, od, rank), so each iteration needs exactly ONE edges||r
     # join + one groupBy(dst) — the r||outdeg join (dangling mass) and
@@ -1296,6 +1305,16 @@ def graph_personalized_pagerank(
         (F.col("node") % 2 == 0) & (F.col("node") <= _PPR_SEED_MAX)
     )
     n_seeds = seeds.count()
+    if n_seeds == 0:
+        # no seeds (empty graph or none in the seed range): empty
+        # ranking, not ZeroDivisionError (tools/hostile_sweep.py)
+        return nodes.select(
+            F.lit(1).alias("rank"),
+            F.lit("customer").alias("node_type"),
+            F.col("node").alias("node_key"),
+            F.col("node").alias("ppr_micro"),
+            F.lit(False).alias("is_seed"),
+        ).filter(F.lit(False))
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("od")
     )

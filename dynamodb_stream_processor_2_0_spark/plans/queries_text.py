@@ -742,7 +742,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source, count(*) AS n_s FROM documents GROUP BY source
         ), weighted AS (
             SELECT source, n_s,
-                   CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                   CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
                         THEN 2.0 ELSE 1.0 END AS wgt
             FROM counts
         ), tot AS (
@@ -780,7 +780,8 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = counts.withColumn(
         "wgt",
         F.when(
-            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2.0)
+            F.expr("try_cast(substring(source, 4, 10) AS int)") % 2 == 0,
+            F.lit(2.0),
         ).otherwise(F.lit(1.0)),
     )
     tot = weighted.agg(
@@ -1761,8 +1762,10 @@ def text_filter_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         "pair",
         "cast(n AS bigint) AS n_docs",
         "cast(agree AS bigint) AS n_agree",
-        "cast(agree * 1000000 div n AS bigint) AS po_micro",
-        "cast((a * b + (n - a) * (n - b)) * 1000000 div (n * n) AS bigint)"
+        "cast(CASE WHEN n = 0 THEN NULL"
+        " ELSE agree * 1000000 div n END AS bigint) AS po_micro",
+        "cast(CASE WHEN n = 0 THEN NULL ELSE"
+        " (a * b + (n - a) * (n - b)) * 1000000 div (n * n) END AS bigint)"
         " AS pe_micro",
         f"cast(CASE WHEN {den} = 0 THEN 0 ELSE"
         f" (CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"

@@ -456,6 +456,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("st")
     ).distinct()
     n_states = states.count()
+    if n_states == 0:
+        # no events -> no chain: empty result, not ZeroDivisionError
+        return states.select(
+            F.col("st").alias("event_type"),
+            F.lit(None).cast("long").alias("stationary_micro"),
+        )
     p = states.withColumn("mass", F.lit(_MK_SCALE // n_states))
     for _ in range(_MK_ITERS):
         contrib = (

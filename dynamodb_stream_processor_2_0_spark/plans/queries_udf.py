@@ -259,7 +259,10 @@ def grouped_pandas_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         # one call per shuffle partition; chunks of the partition are
         # concatenated FIRST (a group may span Arrow chunks — the same
         # trap the delivery state machine fixed in round 2)
-        whole = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return  # empty partition: pd.concat([]) would raise
+        whole = pd.concat(chunks, ignore_index=True)
         if len(whole):
             yield pd.concat(
                 [stats(g) for _, g in whole.groupby("user_id", sort=False)],

@@ -128,12 +128,15 @@ class DynamoDBWireReader(DataSourceReader):
                 if not f.startswith(("_", "."))
             )
             parts.append(WireShardPartition(int(entry.split("=", 1)[1]), files))
-        if not parts and not any(
-            e.startswith("shard=") for e in os.listdir(self.path)
-        ):
-            raise ValueError(
-                f"dynamodb_stream_wire: no shard=* dirs under {self.path}"
-            )
+        if not parts:
+            # Every shard pruned, or a legitimately EMPTY dataset wrote
+            # no shard dirs at all (a wrong path still fails loudly:
+            # os.listdir above raises on a missing directory). An EMPTY
+            # partition list makes Spark invoke read(None) and the task
+            # dies with an AttributeError — return one empty sentinel
+            # partition so the plan legitimately yields zero rows
+            # instead (tools/hostile_sweep.py degenerate/empty worlds).
+            parts.append(WireShardPartition(-1, []))
         return parts
 
     def read(self, partition: WireShardPartition):

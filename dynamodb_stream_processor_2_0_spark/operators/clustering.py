@@ -128,7 +128,18 @@ def kmeans_assignments(
     # seeds at all. Malformed rows are dropped (the documented
     # embedding_vector_hygiene rule); an empty/all-malformed corpus
     # assigns nothing. (tools/hostile_sweep.py nulls + empty worlds)
-    dim_row = q.agg(F.max(F.size("qvec")).alias("d")).collect()
+    # The canonical dimension is the MODAL positive vector length (ties
+    # to the larger), not the max: with max, a single corrupt over-long
+    # vector would drop every well-formed row — inverting the hygiene
+    # intent. One 1-row agg either way.
+    dim_row = (
+        q.filter(F.size("qvec") > 0)
+        .groupBy(F.size("qvec").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("d"))
+        .limit(1)
+        .collect()
+    )
     dim = dim_row[0]["d"] if dim_row else None
     if not dim or dim <= 0:
         return (

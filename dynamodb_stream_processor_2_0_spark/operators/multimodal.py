@@ -21,12 +21,19 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
-def _as_bytes(p) -> bytes:
+def _as_bytes(p) -> bytes | None:
     """NULL-tolerant payload coercion for the Pandas kernels: a NULL
-    media payload decodes as the empty payload instead of killing the
-    Python worker with TypeError (tools/hostile_sweep.py nulls world) —
-    the per-record fail-open rule (E1) applied to binary columns."""
-    return b"" if p is None else bytes(p)
+    media payload stays None (never killing the Python worker with
+    TypeError — tools/hostile_sweep.py nulls world), everything else
+    is normalized to bytes.
+
+    NULL convention (matches the SQL oracles and the arrow-digest
+    kernel): wide-form per-document kernels emit NULL metric columns
+    for a NULL payload (``length(NULL)``/``md5(NULL)`` semantics);
+    long-form explode-style kernels emit zero rows for it (SQL
+    ``explode`` over NULL semantics). An EMPTY payload (b"") is a
+    real value and keeps its zero/empty metrics."""
+    return None if p is None else bytes(p)
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -108,15 +115,21 @@ def decode_image_batch(
         import pandas as pd
 
         for pdf in batches:
-            metas = [decoder(_as_bytes(p)) for p in pdf[payload_col]]
+            raws = [_as_bytes(p) for p in pdf[payload_col]]
+            # NULL payload -> NULL metadata (wide-form convention)
+            metas = [None if r is None else decoder(r) for r in raws]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(_as_bytes(p)) for p in pdf[payload_col]],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "channels": [m["channels"] for m in metas],
-                    "feature": [m["feature"] for m in metas],
+                    "n_bytes": [None if r is None else len(r) for r in raws],
+                    "width": [None if m is None else m["width"] for m in metas],
+                    "height": [None if m is None else m["height"] for m in metas],
+                    "channels": [
+                        None if m is None else m["channels"] for m in metas
+                    ],
+                    "feature": [
+                        None if m is None else m["feature"] for m in metas
+                    ],
                 }
             )
 
@@ -141,6 +154,8 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = _as_bytes(payload)
+                if raw is None:  # NULL payload -> zero frames (long-form)
+                    continue
                 chunks = [
                     raw[i : i + chunk_bytes] for i in range(0, len(raw), chunk_bytes)
                 ]
@@ -217,7 +232,13 @@ def resize_images(
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "resized": [
-                        resizer(_as_bytes(p), width, height) for p in pdf[payload_col]
+                        # NULL payload -> NULL output image (wide-form);
+                        # width/height stay: they are the requested target,
+                        # not a payload-derived metric.
+                        None
+                        if (raw := _as_bytes(p)) is None
+                        else resizer(raw, width, height)
+                        for p in pdf[payload_col]
                     ],
                 }
             )
@@ -266,6 +287,13 @@ def pcm_window_energy(
             }
             for p in pdf[payload_col]:
                 raw = _as_bytes(p)
+                if raw is None:  # NULL payload -> NULL metrics (wide-form)
+                    out["n_samples"].append(None)
+                    out["n_windows"].append(None)
+                    out["total_energy"].append(None)
+                    out["peak_window"].append(None)
+                    out["peak_energy"].append(None)
+                    continue
                 n = len(raw) // 2
                 s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
                 sq = s * s
@@ -308,6 +336,8 @@ def pcm_window_energies(
             ids, ws, es = [], [], []
             for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
                 raw = _as_bytes(p)
+                if raw is None:  # NULL payload -> zero rows (long-form)
+                    continue
                 n = len(raw) // 2
                 s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.int64)
                 sq = s * s
@@ -406,6 +436,8 @@ def frame_signatures(
             ids, idxs, sigs, inten = [], [], [], []
             for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
                 raw = _as_bytes(p)
+                if raw is None:  # NULL payload -> zero rows (long-form)
+                    continue
                 n_f = len(raw) // _SC_FRAME_BYTES
                 if n_f == 0:
                     continue
@@ -473,6 +505,12 @@ def scene_cut_detect(
             }
             for p in pdf[payload_col]:
                 raw = _as_bytes(p)
+                if raw is None:  # NULL payload -> NULL metrics (wide-form)
+                    out["n_frames"].append(None)
+                    out["n_cuts"].append(None)
+                    out["first_cut_idx"].append(None)
+                    out["mean_ham_milli"].append(None)
+                    continue
                 n = len(raw) // _SC_FRAME_BYTES
                 if n == 0:
                     out["n_frames"].append(0)
@@ -554,6 +592,13 @@ def audio_vad_segments(
             }
             for p in pdf[payload_col]:
                 raw = _as_bytes(p)
+                if raw is None:  # NULL payload -> NULL metrics (wide-form)
+                    out["n_windows"].append(None)
+                    out["n_active"].append(None)
+                    out["n_segments"].append(None)
+                    out["longest_segment"].append(None)
+                    out["first_active"].append(None)
+                    continue
                 n = len(raw) // 2
                 s = np.frombuffer(raw, dtype="<i2", count=n).astype(
                     np.int64

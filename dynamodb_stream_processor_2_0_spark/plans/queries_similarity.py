@@ -1263,6 +1263,10 @@ def embedding_ann_ivf_nprobe_sweep(
                 F.lit(p).cast("int").alias("nprobe"),
                 F.count(F.lit(1)).cast("long").alias("n_exact"),
                 F.count("hit").cast("long").alias("n_hits"),
+                # GLOBAL agg (no groupBy): on an empty exact set this
+                # still emits one row with count(*)=0, and ANSI `div 0`
+                # would error — the CASE guard is live, not dead
+                # (tools/hostile_sweep.py empty world).
                 F.expr(
                     "cast(CASE WHEN count(*) = 0 THEN NULL ELSE"
                     " count(hit) * 1000 div count(*) END as bigint)"

@@ -109,6 +109,14 @@ _loaded = False
 #          unchanged at 189 this round by design (alternation rule);
 #          the never-checked block resumes at position 51, relational/
 #          text/advanced first.
+#   r10:   covering set + the LAST 11 stale-r3 rows (stale=0 when they
+#          land: skew salting, sort/topk, every source roundtrip +
+#          pruning, the rewritten variant_json_shred, window_running_sum)
+#          + the first 18 never-checked queries_relational rows (incl.
+#          market_basket_lift, one of the two bench tripwires — a
+#          driver-measured row settles it). Never-checked backlog on
+#          rotation: 189 -> 171. Relational remainder (3), text (21),
+#          advanced (19) queue next.
 #
 # The ~100 round-6 additions (retrieval, ML/eval, graph extensions, text
 # statistics, temporal/causal analytics — see git history for the batch
@@ -139,36 +147,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "a3_failure_list",
     "e1_error_isolation",
     "datetime_function_battery",
-    # --- stale green, oldest first (fill the sample) ---
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q4_order_priority",
-    "q8_national_market_share",
-    "sketch_count_min",
-    "sql_api_shared_dialect",
-    "agg_having_priorities",
-    "agg_value_percentiles",
-    "anti_join_customers_without_orders",
-    "array_function_battery",
-    "conditional_bitwise_battery",
-    "e2_corrupt_record_routing",
-    "events_retention_cohort",
-    "json_function_battery",
-    "map_struct_function_battery",
-    "p1_typed_parse_projection",
-    "pivot_status_by_priority",
-    "q10_returned_items",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_volume_shipping",
-    "regex_function_battery",
-    "rollup_returnflag_status",
-    "scalar_function_battery",
-    "semi_join_customers_with_orders",
-    "set_ops_customer_segments",
-    "sink_python_datasource_roundtrip",
-    "skew_replicated_join",
+    # --- r10 rotation: the 11 remaining stale-r3 rows (stale=0 goal) ---
     "skew_salted_agg",
     "sort_limit_top_orders",
     "source_csv_roundtrip",
@@ -180,6 +159,198 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "topk_orders_per_customer",
     "variant_json_shred",
     "window_running_sum",
+    # --- r10 rotation: never driver-checked, queries_relational first ---
+    "sql_pipe_syntax_rollup",
+    "supplier_pareto_analysis",
+    "market_basket_lift",
+    "part_sourcing_hhi",
+    "customer_revenue_gini",
+    "window_function_battery",
+    "window_range_frame_moving_sum",
+    "market_basket_pairs",
+    "agg_moment_stats",
+    "unpivot_nation_metrics",
+    "yoy_revenue_growth",
+    "rfm_customer_segments",
+    "full_outer_nation_balance",
+    "right_outer_supplier_lines",
+    "grouping_sets_priority_status",
+    "relational_division_all_quarters",
+    "lineitem_fifo_allocation",
+    "events_replay_pair_detect",
+    # --- never driver-checked (next rotations: relational remainder, text, advanced, ...) ---
+    "sql_group_by_all_dialect",
+    "sql_correlated_subquery_battery",
+    "orders_price_volume_mix",
+    "corpus_shard_manifest",
+    "text_langid_confusion_matrix",
+    "sample_priority_weighted",
+    "dataset_split_assign",
+    "text_line_dedup_clean",
+    "text_ngram_topk",
+    "text_length_histogram",
+    "text_tfidf_topk",
+    "text_token_packing",
+    "text_benchmark_contamination",
+    "doc_chunk_tokens",
+    "corpus_curation_pipeline",
+    "corpus_mixture_sample",
+    "corpus_shuffle_interleave",
+    "sample_stratified_documents",
+    "sample_quota_per_source",
+    "text_lm_surprisal_score",
+    "text_filter_ensemble_agreement",
+    "corpus_mixture_rebalance_plan",
+    "corpus_temperature_mixture_plan",
+    "text_kneser_ney_bigram_lm",
+    "zorder_layout_stats",
+    "drift_chisquare_by_type",
+    "zorder_vs_linear_skipping",
+    "agg_winsorized_stats",
+    "timeseries_twap_per_user",
+    "pii_pseudonymize_consistent",
+    "data_contract_check",
+    "rolling_7d_active_users",
+    "events_dau_wau_stickiness",
+    "events_error_spike_detection",
+    "sql_scripting_coverage_walk",
+    "events_trend_slope_by_type",
+    "events_cusum_shift_detect",
+    "orders_benford_digit_audit",
+    "customer_weighted_median_balance",
+    "events_ks_distribution_shift",
+    "orders_pareto_skyline",
+    "orders_seasonality_index",
+    "events_bot_regularity_score",
+    "events_streak_islands",
+    "events_markov_stationary",
+    "supplier_delay_control_chart",
+    "events_theil_sen_trend",
+    "timeseries_rolling_median_7d",
+    "timeseries_seasonal_decompose",
+    "events_anomaly_mad",
+    "timeseries_croston_forecast",
+    "events_psi_drift",
+    "forecast_mase_eval",
+    "events_changepoint_binary_seg",
+    "events_mann_kendall_test",
+    "events_periodogram_fixed",
+    "events_seasonal_residual_anomaly",
+    "events_slo_burn_rate",
+    "customer_gap_survival_curve",
+    "attribution_time_decay",
+    "events_ab_proportion_test",
+    "eval_auc_mann_whitney",
+    "events_pattern_vshape_match",
+    "attribution_shapley_exact",
+    "events_sequential_patterns",
+    "customer_kaplan_meier_survival",
+    "events_poisson_bootstrap_ci",
+    "events_diff_in_diff",
+    "events_signflip_fdr",
+    "events_cuped_variance_reduction",
+    "events_cross_correlation_leadlag",
+    "events_markov_next_event_eval",
+    "attribution_markov_removal",
+    "rfm_migration_matrix",
+    "sketch_kmv_intersection",
+    "sketch_kmv_difference",
+    "orders_littles_law_identity",
+    "scd2_asof_enrich",
+    "orders_open_backlog_daily",
+    "sketch_histogram_quantiles",
+    "fk_cascade_impact_analysis",
+    "lineitem_abc_xyz_classification",
+    "sketch_cm_join_size_estimate",
+    "storage_compaction_bin_packing",
+    "interval_allen_algebra_census",
+    "supplier_queue_delay_lindley",
+    "events_value_drawdown",
+    "snapshot_diff_audit",
+    "trending_decay_topk",
+    "events_sessionized_funnel",
+    "events_cohort_ltv",
+    "events_interarrival_histogram",
+    "events_time_to_convert",
+    "timeseries_similarity_topk",
+    "scd2_user_state_build",
+    "timeseries_gapfill_daily",
+    "events_transition_matrix",
+    "fk_integrity_audit",
+    "graph_personalized_pagerank",
+    "graph_hits_hubs_authorities",
+    "semantic_search_hydrated",
+    "embedding_covariance_stats",
+    "embedding_label_centroids",
+    "embedding_vector_hygiene",
+    "embedding_pca_power_iteration",
+    "embedding_ann_ivf_nprobe_sweep",
+    "embedding_centroid_drift",
+    "eval_ndcg_ranking",
+    "eval_clustering_calinski_harabasz",
+    "quality_text_embedding_alignment",
+    "embedding_isotropy_audit",
+    "embedding_kcenter_coreset",
+    "sql_udf_temp_function",
+    "sql_parameterized_query",
+    "privacy_k_anonymity_audit",
+    "privacy_l_diversity_audit",
+    "schema_fd_discovery",
+    "privacy_t_closeness_audit",
+    "schema_ind_discovery",
+    "privacy_dp_sensitivity_report",
+    "schema_key_discovery",
+    "privacy_synthetic_fidelity_audit",
+    "text_rake_keywords",
+    "text_vocab_oov_rate",
+    "text_pmi_collocations",
+    "text_term_burstiness",
+    "text_zipf_fit",
+    "text_winnowing_fingerprints",
+    "text_heaps_law_fit",
+    "text_quantile_normalize_sources",
+    "text_chao1_vocab_richness",
+    "text_js_divergence_sources",
+    "contrastive_pair_sample",
+    "dedup_ttl_within_window",
+    "dedup_cluster_size_report",
+    "dedup_cdc_chunks",
+    "graph_clustering_coefficient",
+    "eval_rouge_near_dup_pairs",
+    "eval_dedup_method_agreement",
+    "graph_ktruss_edges",
+    "corpus_dup_rate_by_source",
+    "multimodal_pcm_window_energy",
+    "multimodal_image_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize_digest",
+    "multimodal_scene_cut_detect",
+    "multimodal_audio_vad_segments",
+    "multimodal_audio_landmark_match",
+    "multimodal_shot_keyframes",
+    "session_window_dynamic_gap",
+    "window_tumbling_daily",
+    "window_sliding_2d_1d",
+    "range_join_event_neighbors",
+    "hypertable_rollup",
+    "events_funnel",
+    "ml_hashed_linear_scorer",
+    "ml_conformal_interval_coverage",
+    "eval_brier_murphy_decomposition",
+    "ml_naive_bayes_langid",
+    "ml_feature_mutual_information",
+    "graph_degree_assortativity",
+    "graph_betweenness_seeded",
+    "graph_modularity_score",
+    "graph_adamic_adar_linkpred",
+    "cdc_retraction_aggregate",
+    "source_schema_evolution_merge",
+    "source_python_pushdown_pruning",
+    "udtf_token_positions",
+    "timeseries_dtw_weekly_similarity",
+    "events_haar_energy",
+    "sample_neyman_allocation",
+    # --- stale green, oldest round first (re-confirm after the never-checked grind) ---
     "ann_recall_eval",
     "dedup_cluster_assign",
     "dedup_embedding_near",
@@ -267,199 +438,22 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_static_enrich_e2e",
     "streaming_stream_join_e2e",
     "text_bm25_topk",
-    # --- never driver-checked (next rotations) ---
-    "zorder_layout_stats",
-    "sql_pipe_syntax_rollup",
-    "contrastive_pair_sample",
-    "snapshot_diff_audit",
-    "trending_decay_topk",
-    "session_window_dynamic_gap",
-    "drift_chisquare_by_type",
-    "semantic_search_hydrated",
-    "zorder_vs_linear_skipping",
-    "agg_winsorized_stats",
-    "timeseries_twap_per_user",
-    "multimodal_pcm_window_energy",
-    "events_sessionized_funnel",
-    "pii_pseudonymize_consistent",
-    "data_contract_check",
-    "corpus_shard_manifest",
-    "events_cohort_ltv",
-    "supplier_pareto_analysis",
-    "events_interarrival_histogram",
-    "market_basket_lift",
-    "part_sourcing_hhi",
-    "rolling_7d_active_users",
-    "events_dau_wau_stickiness",
-    "events_error_spike_detection",
-    "customer_revenue_gini",
-    "events_time_to_convert",
-    "text_langid_confusion_matrix",
-    "sample_priority_weighted",
-    "dataset_split_assign",
-    "embedding_covariance_stats",
-    "text_line_dedup_clean",
-    "sql_scripting_coverage_walk",
-    "timeseries_similarity_topk",
-    "window_tumbling_daily",
-    "window_sliding_2d_1d",
-    "range_join_event_neighbors",
-    "hypertable_rollup",
-    "events_funnel",
-    "udtf_token_positions",
-    "multimodal_image_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize_digest",
-    "text_ngram_topk",
-    "text_length_histogram",
-    "text_tfidf_topk",
-    "text_token_packing",
-    "text_benchmark_contamination",
-    "doc_chunk_tokens",
-    "corpus_curation_pipeline",
-    "corpus_mixture_sample",
-    "corpus_shuffle_interleave",
-    "sample_stratified_documents",
-    "sample_quota_per_source",
-    "embedding_label_centroids",
-    "embedding_vector_hygiene",
-    "scd2_user_state_build",
-    "timeseries_gapfill_daily",
-    "events_transition_matrix",
-    "fk_integrity_audit",
-    "window_function_battery",
-    "window_range_frame_moving_sum",
-    "market_basket_pairs",
-    "agg_moment_stats",
-    "unpivot_nation_metrics",
-    "yoy_revenue_growth",
-    "rfm_customer_segments",
-    "full_outer_nation_balance",
-    "right_outer_supplier_lines",
-    "grouping_sets_priority_status",
-    "cdc_retraction_aggregate",
-    "source_schema_evolution_merge",
-    "source_python_pushdown_pruning",
-    "relational_division_all_quarters",
-    "lineitem_fifo_allocation",
-    "events_replay_pair_detect",
-    "dedup_ttl_within_window",
-    "dedup_cluster_size_report",
-    "text_lm_surprisal_score",
-    "text_filter_ensemble_agreement",
-    "corpus_mixture_rebalance_plan",
-    "events_trend_slope_by_type",
-    "events_cusum_shift_detect",
-    "orders_benford_digit_audit",
-    "customer_weighted_median_balance",
-    "events_ks_distribution_shift",
-    "orders_pareto_skyline",
-    "orders_seasonality_index",
-    "events_bot_regularity_score",
-    "events_streak_islands",
-    "rfm_migration_matrix",
-    "sql_udf_temp_function",
-    "customer_gap_survival_curve",
-    "events_markov_stationary",
-    "supplier_delay_control_chart",
-    "attribution_time_decay",
-    "sql_parameterized_query",
-    "events_haar_energy",
-    "sql_group_by_all_dialect",
-    "sql_correlated_subquery_battery",
-    "orders_price_volume_mix",
-    "dedup_cdc_chunks",
-    "graph_clustering_coefficient",
-    "eval_rouge_near_dup_pairs",
-    "eval_dedup_method_agreement",
-    "graph_ktruss_edges",
-    "corpus_dup_rate_by_source",
-    "corpus_temperature_mixture_plan",
-    "text_kneser_ney_bigram_lm",
-    "multimodal_scene_cut_detect",
-    "multimodal_audio_vad_segments",
-    "multimodal_audio_landmark_match",
-    "multimodal_shot_keyframes",
-    "timeseries_dtw_weekly_similarity",
-    "graph_personalized_pagerank",
-    "graph_hits_hubs_authorities",
-    "embedding_pca_power_iteration",
-    "embedding_ann_ivf_nprobe_sweep",
-    "embedding_centroid_drift",
-    "eval_ndcg_ranking",
-    "eval_clustering_calinski_harabasz",
-    "quality_text_embedding_alignment",
-    "embedding_isotropy_audit",
-    "embedding_kcenter_coreset",
-    "graph_degree_assortativity",
-    "graph_betweenness_seeded",
-    "events_theil_sen_trend",
-    "timeseries_rolling_median_7d",
-    "sketch_kmv_intersection",
-    "privacy_k_anonymity_audit",
-    "privacy_l_diversity_audit",
-    "sketch_kmv_difference",
-    "schema_fd_discovery",
-    "orders_littles_law_identity",
-    "timeseries_seasonal_decompose",
-    "scd2_asof_enrich",
-    "events_anomaly_mad",
-    "orders_open_backlog_daily",
-    "timeseries_croston_forecast",
-    "sketch_histogram_quantiles",
-    "fk_cascade_impact_analysis",
-    "lineitem_abc_xyz_classification",
-    "events_psi_drift",
-    "events_ab_proportion_test",
-    "forecast_mase_eval",
-    "sketch_cm_join_size_estimate",
-    "eval_auc_mann_whitney",
-    "events_changepoint_binary_seg",
-    "storage_compaction_bin_packing",
-    "graph_modularity_score",
-    "events_pattern_vshape_match",
-    "interval_allen_algebra_census",
-    "events_mann_kendall_test",
-    "attribution_shapley_exact",
-    "events_sequential_patterns",
-    "privacy_t_closeness_audit",
-    "customer_kaplan_meier_survival",
-    "supplier_queue_delay_lindley",
-    "events_value_drawdown",
-    "events_poisson_bootstrap_ci",
-    "events_diff_in_diff",
-    "events_signflip_fdr",
-    "events_cuped_variance_reduction",
-    "events_cross_correlation_leadlag",
-    "events_markov_next_event_eval",
-    "schema_ind_discovery",
-    "privacy_dp_sensitivity_report",
-    "attribution_markov_removal",
-    "events_periodogram_fixed",
-    "schema_key_discovery",
-    "privacy_synthetic_fidelity_audit",
-    "events_seasonal_residual_anomaly",
-    "events_slo_burn_rate",
-    "graph_adamic_adar_linkpred",
-    "sample_neyman_allocation",
-    "text_rake_keywords",
-    "text_vocab_oov_rate",
-    "text_pmi_collocations",
-    "text_term_burstiness",
-    "text_zipf_fit",
-    "text_winnowing_fingerprints",
-    "text_heaps_law_fit",
-    "text_quantile_normalize_sources",
-    "text_chao1_vocab_richness",
-    "text_js_divergence_sources",
-    "ml_hashed_linear_scorer",
-    "ml_conformal_interval_coverage",
-    "eval_brier_murphy_decomposition",
-    "ml_naive_bayes_langid",
-    "ml_feature_mutual_information",
-    # --- fresh green (rotate to back) ---
-    "q2_min_cost_supplier",
-    "q9_profit_by_nation_year",
+    "agg_exact_percentiles",
+    "agg_hll_accuracy_pinned",
+    "aqp_sampled_sum_estimate",
+    "asof_join_last_order",
+    "bitmap_semi_join_runtime_filter",
+    "bloom_filter_dedup_prefilter",
+    "bucketed_colocated_join",
+    "data_quality_profile",
+    "dedup_cluster_assign_star",
+    "dedup_fellegi_sunter_linkage",
+    "dedup_minhash_calibration",
+    "dedup_prefix_filter_jaccard",
+    "dedup_simhash_hamming_pairs",
+    "dedup_sorted_neighborhood",
+    "eval_dedup_bcubed",
+    "nullsafe_join_dispositions",
     "q11_important_balance",
     "q12_ship_delay_priority",
     "q13_order_count_distribution",
@@ -469,24 +463,40 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "q20_dominant_supplier",
     "q21_last_supplier_wait",
     "q22_idle_rich_customers",
-    "bucketed_colocated_join",
-    "bitmap_semi_join_runtime_filter",
-    "agg_exact_percentiles",
-    "agg_hll_accuracy_pinned",
-    "bloom_filter_dedup_prefilter",
-    "aqp_sampled_sum_estimate",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
     "sketch_reaggregate_rollup",
-    "data_quality_profile",
-    "nullsafe_join_dispositions",
     "table_integrity_checksum",
-    "dedup_sorted_neighborhood",
-    "dedup_fellegi_sunter_linkage",
-    "dedup_prefix_filter_jaccard",
-    "dedup_simhash_hamming_pairs",
-    "eval_dedup_bcubed",
-    "dedup_cluster_assign_star",
-    "dedup_minhash_calibration",
-    "asof_join_last_order",
+    # --- fresh green in the latest round (rotate to the back) ---
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q4_order_priority",
+    "q8_national_market_share",
+    "sketch_count_min",
+    "sql_api_shared_dialect",
+    "agg_having_priorities",
+    "agg_value_percentiles",
+    "anti_join_customers_without_orders",
+    "array_function_battery",
+    "conditional_bitwise_battery",
+    "e2_corrupt_record_routing",
+    "events_retention_cohort",
+    "json_function_battery",
+    "map_struct_function_battery",
+    "p1_typed_parse_projection",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q7_volume_shipping",
+    "regex_function_battery",
+    "rollup_returnflag_status",
+    "scalar_function_battery",
+    "semi_join_customers_with_orders",
+    "set_ops_customer_segments",
+    "sink_python_datasource_roundtrip",
+    "skew_replicated_join",
 )
 
 

@@ -115,7 +115,22 @@ class DynamoDBWireReader(DataSourceReader):
         pushFilters entirely for such plans."""
         preds, self._shard_preds = self._shard_preds, []
         parts = []
-        for entry in sorted(os.listdir(self.path)):
+        entries = sorted(os.listdir(self.path))
+        has_shard_dirs = any(e.startswith("shard=") for e in entries)
+        # A directory that exists, is non-empty, and has NO shard=* entry
+        # (ignoring marker/hidden files) is a wrong path (e.g. a mistyped
+        # sibling dir of unrelated files), not an empty dataset — fail
+        # loudly instead of silently reading zero rows. A dir with only
+        # _SUCCESS/dot markers, or with shard dirs that all get pruned,
+        # is a legitimate zero-row read.
+        if not has_shard_dirs and any(
+            not e.startswith(("_", ".")) for e in entries
+        ):
+            raise ValueError(
+                f"{self.path!r} is not a wire dataset: it contains files "
+                "but no shard=* directories (wrong path?)"
+            )
+        for entry in entries:
             if not entry.startswith("shard="):
                 continue
             shard_no = int(entry.split("=", 1)[1])

@@ -214,8 +214,6 @@ def build_nulls(tmp: str) -> None:
 
 
 def build_empty(tmp: str) -> None:
-    for name, builder in (("region", build_nulls),):
-        pass
     t = pa.timestamp("us")
     _write(tmp, "region", {"r_regionkey": pa.array([], pa.int32()), "r_name": pa.array([], pa.string())})
     _write(tmp, "nation", {"n_nationkey": pa.array([], pa.int32()), "n_name": pa.array([], pa.string()), "n_regionkey": pa.array([], pa.int32())})

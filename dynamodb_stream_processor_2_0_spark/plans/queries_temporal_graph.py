@@ -1300,7 +1300,23 @@ def graph_personalized_pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # nodes and outdeg are consumed by EVERY iteration — checkpoint
+    # both once (node-count-sized, one shuffle each) instead of
+    # re-deriving the distinct/groupBy from edges per iteration; the
+    # n_seeds count below materializes them along with edges, so the
+    # loop starts from three flat cached inputs. (r10: the PPR bench
+    # tripwire profile traced its cost variance to exactly this
+    # re-derivation + lineage growth.)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("od"))
+        .localCheckpoint(eager=False)
+    )
     seeds = nodes.filter(
         (F.col("node") % 2 == 0) & (F.col("node") <= _PPR_SEED_MAX)
     )
@@ -1315,9 +1331,6 @@ def graph_personalized_pagerank(
             F.col("node").alias("ppr_micro"),
             F.lit(False).alias("is_seed"),
         ).filter(F.lit(False))
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("od")
-    )
     seed_flag = F.broadcast(seeds.withColumn("is_seed", F.lit(1)))
     r = (
         nodes.join(seed_flag, "node", "left")

@@ -246,30 +246,34 @@ def main() -> None:
     spark = get_spark("hostile-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Positive per-query evidence, not just failures: the committed
+    # artifact records EVERY probed query's status per world ("pass",
+    # or row count "pass:<n>", or the crash message), so "N/N x 3
+    # worlds" is verifiable from the file rather than asserted (r9
+    # verdict item 3 — the old failures-only map committed as {}).
+    statuses: dict[str, dict[str, str]] = {}
     failures: dict[str, dict[str, str]] = {}
     for world in worlds:
         tmp = tempfile.mkdtemp(prefix=f"hostile_{world}_")
         WORLDS[world](tmp)
+        statuses[world] = {}
         for name in registry.all_queries():
             spec = registry.get(name)
             if "streaming" in spec.tags and not include_streaming:
                 continue
             try:
-                spec.fn(spark, tmp).collect()
+                n_rows = len(spec.fn(spark, tmp).collect())
+                statuses[world][name] = f"pass:{n_rows}"
             except Exception as exc:  # noqa: BLE001 - sweep reports all
-                msg = f"{type(exc).__name__}: {str(exc)[:200]}"
+                msg = f"FAIL {type(exc).__name__}: {str(exc)[:200]}"
+                statuses[world][name] = msg
                 failures.setdefault(world, {})[name] = msg
                 print(f"FAIL [{world}] {name}: {msg}")
-        done = sum(
-            1
-            for n in registry.all_queries()
-            if include_streaming
-            or "streaming" not in registry.get(n).tags
-        )
+        done = len(statuses[world])
         n_fail = len(failures.get(world, {}))
         print(f"# world={world}: {done - n_fail}/{done} pass, {n_fail} crash")
     out = REPO_ROOT / "tools" / "hostile_sweep_last.json"
-    out.write_text(json.dumps(failures, indent=1, sort_keys=True))
+    out.write_text(json.dumps(statuses, indent=1, sort_keys=True))
     print(json.dumps({w: len(f) for w, f in failures.items()}))
     if failures:
         sys.exit(1)

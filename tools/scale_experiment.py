@@ -564,6 +564,24 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("vshape_pattern_match", _registered("events_pattern_vshape_match"),
          evdir1, evdir_n),
+        # round-10: the graph-family remainder (r9 verdict item 8) — the
+        # most expensive family without measured growth rows: seeded
+        # Brandes betweenness, k-core peeling, triangle enumeration, and
+        # personalized PageRank, all frontier-join/rollup shapes over
+        # the purchase graph. Already-covered members: pagerank_fixpoint,
+        # graph_bfs, graph_lpa, graph_walks, graph_node_jaccard,
+        # graph_hits, graph_modularity, clustering_coeff, ktruss,
+        # adamic_adar above.
+        ("graph_betweenness", _registered("graph_betweenness_seeded"),
+         graphdir1, graphdir_n),
+        ("graph_kcore", _registered("graph_kcore_membership"),
+         graphdir1, graphdir_n),
+        # triangle enumeration runs over the MinHash-LSH candidate-pair
+        # graph on documents (queries_dedup.py), not the purchase graph
+        ("graph_triangles", _registered("graph_triangle_enumerate"),
+         docsdir1, docsdir_n),
+        ("graph_ppr", _registered("graph_personalized_pagerank"),
+         graphdir1, graphdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

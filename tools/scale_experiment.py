@@ -582,6 +582,37 @@ def main() -> None:
          docsdir1, docsdir_n),
         ("graph_ppr", _registered("graph_personalized_pagerank"),
          graphdir1, graphdir_n),
+        # round-10 second batch: (a) the Pandas-UDF lane — the engine's
+        # four deliberate Arrow-batched Python operators, measured so
+        # the "UDFs are the slow path" posture carries growth numbers,
+        # not just a rule; (b) the event-time window / session / as-of
+        # family from queries_streaming_batch + timeseries_ext.
+        ("udaf_weighted", _registered("udaf_weighted_value"),
+         evdir1, evdir_n),
+        ("udtf_tokens", _registered("udtf_token_positions"),
+         docsdir1, docsdir_n),
+        ("dtw_weekly", _registered("timeseries_dtw_weekly_similarity"),
+         evdir1, evdir_n),
+        ("pandas_outliers", _registered("grouped_pandas_robust_outliers"),
+         evdir1, evdir_n),
+        ("range_join_neighbors", _registered("range_join_event_neighbors"),
+         evdir1, evdir_n),
+        ("hypertable_rollup", _registered("hypertable_rollup"),
+         evdir1, evdir_n),
+        ("events_funnel", _registered("events_funnel"),
+         evdir1, evdir_n),
+        ("window_sliding_2d1d", _registered("window_sliding_2d_1d"),
+         evdir1, evdir_n),
+        ("session_dynamic_gap", _registered("session_window_dynamic_gap"),
+         evdir1, evdir_n),
+        ("rolling_median_7d", _registered("timeseries_rolling_median_7d"),
+         evdir1, evdir_n),
+        ("seasonal_decompose", _registered("timeseries_seasonal_decompose"),
+         evdir1, evdir_n),
+        ("anomaly_mad", _registered("events_anomaly_mad"),
+         evdir1, evdir_n),
+        ("scd2_asof_enrich", _registered("scd2_asof_enrich"),
+         evdir1, evdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

@@ -334,6 +334,33 @@ def main() -> None:
                {"l_orderkey": 10**9, "l_suppkey": 10**6}, n_copies, 32),
         "lineitem")
 
+    def _stage_world(n, parts):
+        """Full ten-table world: facts scaled Nx with id shifts, dims
+        (region/nation/part/supplier) constant — the realistic scale-up
+        shape for the schema-discovery / FK-impact ops that walk every
+        table."""
+        d = _tf.mkdtemp(prefix="scale_world_")
+        facts = {
+            "customer": {"c_custkey": 10**8},
+            "orders": {"o_orderkey": 10**9, "o_custkey": 10**8},
+            "lineitem": {"l_orderkey": 10**9},
+            "events": {"user_id": 10**7, "event_id": 10**8},
+            "documents": {"doc_id": 10**7},
+            "embeddings": {"vec_id": 10**7},
+        }
+        for t in ("region", "nation", "part", "supplier"):
+            load_table(spark, sf, t).write.mode("overwrite").parquet(
+                f"{d}/{t}.parquet"
+            )
+        for t, strides in facts.items():
+            scaled(load_table(spark, sf, t), strides, n, parts).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/{t}.parquet")
+        return d
+
+    worlddir1 = _stage_world(1, 8)
+    worlddir_n = _stage_world(n_copies, 32)
+
     def _stage_ord_li(ords, lis):
         d = _tf.mkdtemp(prefix="scale_ordli_")
         ords.write.mode("overwrite").parquet(f"{d}/orders.parquet")
@@ -613,6 +640,40 @@ def main() -> None:
          evdir1, evdir_n),
         ("scd2_asof_enrich", _registered("scd2_asof_enrich"),
          evdir1, evdir_n),
+        # round-10 third batch: schema discovery (candidate-lattice
+        # walks over all ten tables), sketch set algebra, prefix-sum
+        # analytics, FK impact, distinct-count windows, text plumbing —
+        # the last families without measured rows.
+        ("schema_fd", _registered("schema_fd_discovery"),
+         worlddir1, worlddir_n),
+        ("schema_ind", _registered("schema_ind_discovery"),
+         worlddir1, worlddir_n),
+        ("schema_key", _registered("schema_key_discovery"),
+         worlddir1, worlddir_n),
+        ("fk_cascade", _registered("fk_cascade_impact_analysis"),
+         worlddir1, worlddir_n),
+        ("k_anonymity", _registered("privacy_k_anonymity_audit"),
+         custdir1, custdir_n),
+        ("kmv_intersection", _registered("sketch_kmv_intersection"),
+         evdir1, evdir_n),
+        ("histogram_quantiles", _registered("sketch_histogram_quantiles"),
+         evdir1, evdir_n),
+        ("littles_law", _registered("orders_littles_law_identity"),
+         ordlidir1, ordlidir_n),
+        ("open_backlog", _registered("orders_open_backlog_daily"),
+         ordlidir1, ordlidir_n),
+        ("rolling_7d_active", _registered("rolling_7d_active_users"),
+         evdir1, evdir_n),
+        ("dau_wau", _registered("events_dau_wau_stickiness"),
+         evdir1, evdir_n),
+        ("error_spike", _registered("events_error_spike_detection"),
+         evdir1, evdir_n),
+        ("drift_chisquare", _registered("drift_chisquare_by_type"),
+         evdir1, evdir_n),
+        ("line_dedup_clean", _registered("text_line_dedup_clean"),
+         docsdir1, docsdir_n),
+        ("token_packing", _registered("text_token_packing"),
+         docsdir1, docsdir_n),
     ]
     for label, fn, d1, dn in cases:
         if only and not any(s in label for s in only):

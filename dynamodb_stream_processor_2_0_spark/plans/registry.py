@@ -117,6 +117,17 @@ _loaded = False
 #          driver-measured row settles it). Never-checked backlog on
 #          rotation: 189 -> 171. Relational remainder (3), text (21),
 #          advanced (19) queue next.
+#   r11:   covering set + the relational remainder (sql_group_by_all_dialect,
+#          sql_correlated_subquery_battery, orders_price_volume_mix) + the
+#          full 21-row queries_text/corpus block (the largest never-checked
+#          module block: langid confusion, token packing, TF-IDF, KN bigram
+#          LM, contamination, curation capstones, mixture/shard/split plans)
+#          + the first 5 queries_advanced rows (zorder_layout_stats,
+#          drift_chisquare_by_type, zorder_vs_linear_skipping,
+#          agg_winsorized_stats, timeseries_twap_per_user). Never-checked
+#          backlog on rotation: 171 -> 142 (unlocks the <150 freeze-exit
+#          rule). Next stale frontier once never-checked clears (~r13):
+#          the r5 block (oldest remaining greens), per the r10 verdict.
 #
 # The ~100 round-6 additions (retrieval, ML/eval, graph extensions, text
 # statistics, temporal/causal analytics — see git history for the batch
@@ -147,38 +158,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "a3_failure_list",
     "e1_error_isolation",
     "datetime_function_battery",
-    # --- r10 rotation: the 11 remaining stale-r3 rows (stale=0 goal) ---
-    "skew_salted_agg",
-    "sort_limit_top_orders",
-    "source_csv_roundtrip",
-    "source_dynamic_partition_pruning",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_partitioned_pruning",
-    "source_python_datasource",
-    "topk_orders_per_customer",
-    "variant_json_shred",
-    "window_running_sum",
-    # --- r10 rotation: never driver-checked, queries_relational first ---
-    "sql_pipe_syntax_rollup",
-    "supplier_pareto_analysis",
-    "market_basket_lift",
-    "part_sourcing_hhi",
-    "customer_revenue_gini",
-    "window_function_battery",
-    "window_range_frame_moving_sum",
-    "market_basket_pairs",
-    "agg_moment_stats",
-    "unpivot_nation_metrics",
-    "yoy_revenue_growth",
-    "rfm_customer_segments",
-    "full_outer_nation_balance",
-    "right_outer_supplier_lines",
-    "grouping_sets_priority_status",
-    "relational_division_all_quarters",
-    "lineitem_fifo_allocation",
-    "events_replay_pair_detect",
-    # --- never driver-checked (next rotations: relational remainder, text, advanced, ...) ---
+    # --- never driver-checked (fill the sample) ---
     "sql_group_by_all_dialect",
     "sql_correlated_subquery_battery",
     "orders_price_volume_mix",
@@ -350,7 +330,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_dtw_weekly_similarity",
     "events_haar_energy",
     "sample_neyman_allocation",
-    # --- stale green, oldest round first (re-confirm after the never-checked grind) ---
+    # --- stale green (oldest first) ---
     "ann_recall_eval",
     "dedup_cluster_assign",
     "dedup_embedding_near",
@@ -467,13 +447,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "sketch_reaggregate_rollup",
     "table_integrity_checksum",
-    # --- fresh green in the latest round (rotate to the back) ---
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q4_order_priority",
-    "q8_national_market_share",
-    "sketch_count_min",
-    "sql_api_shared_dialect",
     "agg_having_priorities",
     "agg_value_percentiles",
     "anti_join_customers_without_orders",
@@ -486,17 +459,53 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "p1_typed_parse_projection",
     "pivot_status_by_priority",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_region_revenue",
     "q7_volume_shipping",
+    "q8_national_market_share",
     "regex_function_battery",
     "rollup_returnflag_status",
     "scalar_function_battery",
     "semi_join_customers_with_orders",
     "set_ops_customer_segments",
     "sink_python_datasource_roundtrip",
+    "sketch_count_min",
     "skew_replicated_join",
+    "sql_api_shared_dialect",
+    # --- fresh green (rotate to back) ---
+    "skew_salted_agg",
+    "sort_limit_top_orders",
+    "source_csv_roundtrip",
+    "source_dynamic_partition_pruning",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_pruning",
+    "source_python_datasource",
+    "topk_orders_per_customer",
+    "variant_json_shred",
+    "window_running_sum",
+    "sql_pipe_syntax_rollup",
+    "supplier_pareto_analysis",
+    "market_basket_lift",
+    "part_sourcing_hhi",
+    "customer_revenue_gini",
+    "window_function_battery",
+    "window_range_frame_moving_sum",
+    "market_basket_pairs",
+    "agg_moment_stats",
+    "unpivot_nation_metrics",
+    "yoy_revenue_growth",
+    "rfm_customer_segments",
+    "full_outer_nation_balance",
+    "right_outer_supplier_lines",
+    "grouping_sets_priority_status",
+    "relational_division_all_quarters",
+    "lineitem_fifo_allocation",
+    "events_replay_pair_detect",
 )
 
 

@@ -131,7 +131,13 @@ def kmeans_assignments(
     # The canonical dimension is the MODAL positive vector length (ties
     # to the larger), not the max: with max, a single corrupt over-long
     # vector would drop every well-formed row — inverting the hygiene
-    # intent. One 1-row agg either way.
+    # intent. One 1-row agg either way. Trade-off (accepted): if CORRUPT
+    # vectors ever OUTNUMBER well-formed ones at a single uniform wrong
+    # length (e.g. a majority truncated to the same short width), the
+    # mode selects the corrupt width and drops the well-formed minority
+    # — the dual failure. No heuristic separates the two without an
+    # expected-dimension hint; callers that know the model width should
+    # pre-filter F.size(vec) == expected_dim before clustering.
     dim_row = (
         q.filter(F.size("qvec") > 0)
         .groupBy(F.size("qvec").alias("d"))

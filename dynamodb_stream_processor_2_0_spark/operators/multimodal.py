@@ -32,8 +32,21 @@ def _as_bytes(p) -> bytes | None:
     for a NULL payload (``length(NULL)``/``md5(NULL)`` semantics);
     long-form explode-style kernels emit zero rows for it (SQL
     ``explode`` over NULL semantics). An EMPTY payload (b"") is a
-    real value and keeps its zero/empty metrics."""
+    real value and keeps its zero/empty metrics.
+
+    WORKER-IMPORTABILITY: do NOT reference this from inside a
+    mapInPandas/mapInArrow closure — cloudpickle pickles module-level
+    functions BY REFERENCE, so the Python workers would need this
+    package on their own sys.path, which a driver session launched
+    from another cwd does not guarantee (the same rationale as the
+    nested by-value decoder copies below). Each kernel defines the
+    one-line by-value twin ``_ab`` locally instead; this module-level
+    original stays as the documented convention + driver-side uses."""
     return None if p is None else bytes(p)
+
+
+# one-line body every kernel copies locally (keep in sync):
+#     _ab = lambda p: None if p is None else bytes(p)
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -114,8 +127,10 @@ def decode_image_batch(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
-            raws = [_as_bytes(p) for p in pdf[payload_col]]
+            raws = [_ab(p) for p in pdf[payload_col]]
             # NULL payload -> NULL metadata (wide-form convention)
             metas = [None if r is None else decoder(r) for r in raws]
             yield pd.DataFrame(
@@ -150,10 +165,12 @@ def sample_frames(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = _as_bytes(payload)
+                raw = _ab(payload)
                 if raw is None:  # NULL payload -> zero frames (long-form)
                     continue
                 chunks = [
@@ -225,6 +242,8 @@ def resize_images(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -236,7 +255,7 @@ def resize_images(
                         # width/height stay: they are the requested target,
                         # not a payload-derived metric.
                         None
-                        if (raw := _as_bytes(p)) is None
+                        if (raw := _ab(p)) is None
                         else resizer(raw, width, height)
                         for p in pdf[payload_col]
                     ],
@@ -276,6 +295,8 @@ def pcm_window_energy(
         import numpy as np
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
@@ -286,7 +307,7 @@ def pcm_window_energy(
                 "peak_energy": [],
             }
             for p in pdf[payload_col]:
-                raw = _as_bytes(p)
+                raw = _ab(p)
                 if raw is None:  # NULL payload -> NULL metrics (wide-form)
                     out["n_samples"].append(None)
                     out["n_windows"].append(None)
@@ -332,10 +353,12 @@ def pcm_window_energies(
         import numpy as np
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
             ids, ws, es = [], [], []
             for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                raw = _as_bytes(p)
+                raw = _ab(p)
                 if raw is None:  # NULL payload -> zero rows (long-form)
                     continue
                 n = len(raw) // 2
@@ -357,7 +380,11 @@ def pcm_window_energies(
 
 def pcm_window_energy_oracle_sql(window: int = 16, table: str = "documents") -> str:
     """Byte-exact SQL twin: hex(encode(text)) exposes the payload bytes
-    (UTF-8-multibyte safe); samples are little-endian int16 pairs."""
+    (UTF-8-multibyte safe); samples are little-endian int16 pairs.
+
+    NULL convention (matches the kernel, wide-form): a NULL payload
+    yields NULL metrics — the COALESCE fallbacks (0 / -1) apply only to
+    real-but-empty payloads, guarded by ``h.h IS NULL``."""
     return f"""
         WITH hexed AS (
             SELECT doc_id, hex(encode(text)) AS h,
@@ -388,12 +415,16 @@ def pcm_window_energy_oracle_sql(window: int = 16, table: str = "documents") -> 
         )
         SELECT h.doc_id,
                h.n_samples,
-               COALESCE((SELECT count(*) FROM wins x
-                         WHERE x.doc_id = h.doc_id), 0) AS n_windows,
-               COALESCE((SELECT CAST(sum(energy) AS BIGINT) FROM wins x
-                         WHERE x.doc_id = h.doc_id), 0) AS total_energy,
-               COALESCE(p.peak_window, -1) AS peak_window,
-               COALESCE(p.peak_energy, 0) AS peak_energy
+               CASE WHEN h.h IS NULL THEN NULL ELSE
+                   COALESCE((SELECT count(*) FROM wins x
+                             WHERE x.doc_id = h.doc_id), 0) END AS n_windows,
+               CASE WHEN h.h IS NULL THEN NULL ELSE
+                   COALESCE((SELECT CAST(sum(energy) AS BIGINT) FROM wins x
+                             WHERE x.doc_id = h.doc_id), 0) END AS total_energy,
+               CASE WHEN h.h IS NULL THEN NULL ELSE
+                   COALESCE(p.peak_window, -1) END AS peak_window,
+               CASE WHEN h.h IS NULL THEN NULL ELSE
+                   COALESCE(p.peak_energy, 0) END AS peak_energy
         FROM hexed h LEFT JOIN peaks p USING (doc_id)
     """
 
@@ -432,10 +463,12 @@ def frame_signatures(
         import numpy as np
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
             ids, idxs, sigs, inten = [], [], [], []
             for did, p in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                raw = _as_bytes(p)
+                raw = _ab(p)
                 if raw is None:  # NULL payload -> zero rows (long-form)
                     continue
                 n_f = len(raw) // _SC_FRAME_BYTES
@@ -491,6 +524,8 @@ def scene_cut_detect(
         import numpy as np
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         popcount8 = np.array(
             [bin(x).count("1") for x in range(256)], dtype=np.int64
         )
@@ -504,7 +539,7 @@ def scene_cut_detect(
                 "mean_ham_milli": [],
             }
             for p in pdf[payload_col]:
-                raw = _as_bytes(p)
+                raw = _ab(p)
                 if raw is None:  # NULL payload -> NULL metrics (wide-form)
                     out["n_frames"].append(None)
                     out["n_cuts"].append(None)
@@ -581,6 +616,8 @@ def audio_vad_segments(
         import numpy as np
         import pandas as pd
 
+        _ab = lambda p: None if p is None else bytes(p)  # by-value twin of _as_bytes
+
         for pdf in batches:
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
@@ -591,7 +628,7 @@ def audio_vad_segments(
                 "first_active": [],
             }
             for p in pdf[payload_col]:
-                raw = _as_bytes(p)
+                raw = _ab(p)
                 if raw is None:  # NULL payload -> NULL metrics (wide-form)
                     out["n_windows"].append(None)
                     out["n_active"].append(None)
@@ -646,7 +683,11 @@ def audio_vad_segments(
 
 def audio_vad_oracle_sql(window: int = 16, table: str = "documents") -> str:
     """Byte-exact SQL twin of audio_vad_segments: the pcm energy CTEs
-    plus gaps-and-islands over the strictly-above-mean windows."""
+    plus gaps-and-islands over the strictly-above-mean windows.
+
+    NULL convention (matches the kernel, wide-form): NULL payload ->
+    NULL metrics; 0 / -1 fallbacks apply only to real-but-empty
+    payloads (``hx.h IS NULL`` guard)."""
     return f"""
         WITH hexed AS (
             SELECT doc_id, hex(encode(text)) AS h,
@@ -693,11 +734,16 @@ def audio_vad_oracle_sql(window: int = 16, table: str = "documents") -> str:
             FROM act GROUP BY doc_id
         )
         SELECT hx.doc_id,
-               COALESCE(t.nw, 0) AS n_windows,
-               COALESCE(p.n_active, 0) AS n_active,
-               COALESCE(p.n_segments, 0) AS n_segments,
-               COALESCE(p.longest_segment, 0) AS longest_segment,
-               COALESCE(f.first_active, -1) AS first_active
+               CASE WHEN hx.h IS NULL THEN NULL
+                    ELSE COALESCE(t.nw, 0) END AS n_windows,
+               CASE WHEN hx.h IS NULL THEN NULL
+                    ELSE COALESCE(p.n_active, 0) END AS n_active,
+               CASE WHEN hx.h IS NULL THEN NULL
+                    ELSE COALESCE(p.n_segments, 0) END AS n_segments,
+               CASE WHEN hx.h IS NULL THEN NULL
+                    ELSE COALESCE(p.longest_segment, 0) END AS longest_segment,
+               CASE WHEN hx.h IS NULL THEN NULL
+                    ELSE COALESCE(f.first_active, -1) END AS first_active
         FROM hexed hx
         LEFT JOIN tot t USING (doc_id)
         LEFT JOIN per_doc p USING (doc_id)
@@ -707,7 +753,11 @@ def audio_vad_oracle_sql(window: int = 16, table: str = "documents") -> str:
 
 
 def scene_cut_oracle_sql(table: str = "documents") -> str:
-    """Byte-exact SQL twin of scene_cut_detect via hex(encode(text))."""
+    """Byte-exact SQL twin of scene_cut_detect via hex(encode(text)).
+
+    NULL convention (matches the kernel, wide-form): NULL payload ->
+    NULL metrics; 0 / -1 fallbacks apply only to real-but-short
+    payloads (``h.n_frames IS NULL`` guard)."""
     fb, nb = _SC_FRAME_BYTES, _SC_BLOCKS
     bpb = fb // nb
     return f"""
@@ -744,13 +794,16 @@ def scene_cut_oracle_sql(table: str = "documents") -> str:
         )
         SELECT h.doc_id,
                CAST(h.n_frames AS BIGINT) AS n_frames,
-               CAST(COALESCE(sum(CASE WHEN m.ham > {_SC_CUT_BITS}
-                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+               CAST(CASE WHEN h.n_frames IS NULL THEN NULL ELSE
+                    COALESCE(sum(CASE WHEN m.ham > {_SC_CUT_BITS}
+                                      THEN 1 ELSE 0 END), 0) END AS BIGINT)
                    AS n_cuts,
-               CAST(COALESCE(min(CASE WHEN m.ham > {_SC_CUT_BITS}
-                                      THEN m.frame END), -1) AS BIGINT)
+               CAST(CASE WHEN h.n_frames IS NULL THEN NULL ELSE
+                    COALESCE(min(CASE WHEN m.ham > {_SC_CUT_BITS}
+                                      THEN m.frame END), -1) END AS BIGINT)
                    AS first_cut_idx,
-               CAST(CASE WHEN h.n_frames >= 2
+               CAST(CASE WHEN h.n_frames IS NULL THEN NULL
+                    WHEN h.n_frames >= 2
                     THEN COALESCE(sum(m.ham), 0) * 1000 // (h.n_frames - 1)
                     ELSE 0 END AS BIGINT) AS mean_ham_milli
         FROM hexed h

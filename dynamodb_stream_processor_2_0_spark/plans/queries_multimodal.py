@@ -49,7 +49,8 @@ def _md5_byte_sql(k: int) -> str:
                CAST(octet_length(payload) AS INTEGER) AS n_bytes,
                CAST(64 + {_md5_byte_sql(0)} % 192 AS INTEGER) AS width,
                CAST(64 + {_md5_byte_sql(1)} % 192 AS INTEGER) AS height,
-               3 AS channels,
+               CAST(CASE WHEN payload IS NULL THEN NULL ELSE 3 END
+                    AS INTEGER) AS channels,
                CAST({_md5_byte_sql(2)} AS INTEGER) AS f0_byte,
                CAST({_md5_byte_sql(9)} AS INTEGER) AS f7_byte
         FROM bin
@@ -117,13 +118,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH bin AS (
             SELECT doc_id, encode(text) AS payload FROM documents
         ), resized AS (
+            -- NULL payload -> row kept with NULL resized bytes (wide-form
+            -- kernel convention); EMPTY payload -> 4096 zero bytes (the
+            -- resizer's bytes(w*h) branch). Both mirror resize_images.
             SELECT doc_id,
-                   unhex(substr(repeat(hex(payload),
+                   CASE WHEN payload IS NULL THEN NULL
+                        WHEN octet_length(payload) = 0
+                            THEN unhex(repeat('00', 4096))
+                        ELSE unhex(substr(repeat(hex(payload),
                                        CAST(4096 // octet_length(payload) + 1
                                             AS INTEGER)),
-                                1, 8192)) AS rbytes
+                                1, 8192)) END AS rbytes
             FROM bin
-            WHERE octet_length(payload) > 0
         )
         SELECT doc_id, 64 AS width, 64 AS height,
                CAST(octet_length(rbytes) AS INTEGER) AS n_resized_bytes,

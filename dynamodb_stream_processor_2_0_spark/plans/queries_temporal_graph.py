@@ -1302,9 +1302,11 @@ def graph_personalized_pagerank(
     )
     # nodes and outdeg are consumed by EVERY iteration — checkpoint
     # both once (node-count-sized, one shuffle each) instead of
-    # re-deriving the distinct/groupBy from edges per iteration; the
-    # n_seeds count below materializes them along with edges, so the
-    # loop starts from three flat cached inputs. (r10: the PPR bench
+    # re-deriving the distinct/groupBy from edges per iteration. The
+    # n_seeds count below materializes edges+nodes (seeds' lineage);
+    # outdeg is NOT in that lineage, so it checkpoints eagerly here —
+    # otherwise the first iteration's join would still pay the groupBy
+    # derivation this block exists to hoist. (r10: the PPR bench
     # tripwire profile traced its cost variance to exactly this
     # re-derivation + lineage growth.)
     nodes = (
@@ -1315,7 +1317,7 @@ def graph_personalized_pagerank(
     outdeg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("od"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     seeds = nodes.filter(
         (F.col("node") % 2 == 0) & (F.col("node") <= _PPR_SEED_MAX)

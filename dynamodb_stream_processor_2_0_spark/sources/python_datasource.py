@@ -253,7 +253,21 @@ class WireReplayStreamReader(DataSourceStreamReader):
             )
         self.path = path
         self.chunks = []
-        for entry in sorted(os.listdir(path)):
+        entries = sorted(os.listdir(path))
+        # Same wrong-path convention as the batch reader's partitions():
+        # a non-empty directory with NO chunk=* entries (ignoring
+        # marker/hidden files) is a mistyped path, not an empty stream —
+        # fail loudly instead of silently yielding zero micro-batches.
+        # A dir with only _SUCCESS/dot markers is a legitimate empty
+        # stream.
+        if not any(e.startswith("chunk=") for e in entries) and any(
+            not e.startswith(("_", ".")) for e in entries
+        ):
+            raise ValueError(
+                f"{path!r} is not a wire replay dataset: it contains "
+                "files but no chunk=* directories (wrong path?)"
+            )
+        for entry in entries:
             if entry.startswith("chunk="):
                 d = os.path.join(path, entry)
                 files = sorted(

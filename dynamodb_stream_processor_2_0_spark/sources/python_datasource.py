@@ -15,6 +15,7 @@ from parsing, and keeping the per-row Python work to line IO only.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -172,7 +173,21 @@ def register_wire_datasource(spark) -> None:
     filter pushdown: DynamoDBWireReader implements pushFilters(), and
     Spark refuses to plan a pushFilters reader while
     spark.sql.python.filterPushdown.enabled is false — so the conf is
-    part of registering the source, not a per-query concern."""
+    part of registering the source, not a per-query concern.
+
+    WORKER-IMPORTABILITY: ``spark.dataSource.register`` pickles the
+    DataSource CLASS by reference (module.qualname), so Spark's Python
+    planner/worker processes must import this package — which a
+    session launched from another cwd cannot (they inherit the launch
+    cwd, not the driver's sys.path inserts). Registering this module
+    for BY-VALUE pickling with Spark's vendored cloudpickle makes the
+    class definition travel inside the pickle instead; on a real
+    cluster this is the difference between "works only with --py-files
+    deployment" and "works from any client". Process-global and
+    idempotent."""
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     sid = id(spark)
     if sid not in _REGISTERED:

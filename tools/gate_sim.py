@@ -6,7 +6,11 @@ comparator from tests/oracle_harness.py, and prints one status line per
 query plus a JSON summary. Use before a round ends to confirm the
 sample the driver will check is green.
 
-Usage: python tools/gate_sim.py [N] [sf_dir] [out.json]
+Usage: python tools/gate_sim.py [N] [sf_dir] [out.json] [--plain]
+
+--plain uses a PLAIN SparkSession (Spark-4 defaults, non-UTC timezone)
+instead of the engine's get_spark — the strictest driver simulation;
+combine with a /tmp cwd so worker-importability bugs surface too.
 
 The per-query result map is written to tools/gate_sim_last.json by
 default; pass a third argument to write elsewhere (e.g.
@@ -28,15 +32,36 @@ sys.path.insert(0, str(REPO_ROOT / "tests"))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    n = int(args[0]) if len(args) > 0 else 50
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     import oracle_harness as H
 
     from dynamodb_stream_processor_2_0_spark.plans import registry
-    from dynamodb_stream_processor_2_0_spark.session import get_spark
 
-    spark = get_spark("gate-sim")
+    if plain:
+        # Strictest driver simulation: a PLAIN session — default configs
+        # (Spark-4 defaults: ANSI on, AQE on, shuffle.partitions=200),
+        # a NON-UTC timezone, and whatever cwd this process launched
+        # from. Catches config the engine must set at runtime (e.g.
+        # load_table's nanosAsLong sniff) and worker-importability bugs
+        # (run from /tmp: cloudpickle by-reference references die in the
+        # workers — the r11 multimodal/python-datasource class).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .appName("gate-sim-plain")
+            .getOrCreate()
+        )
+    else:
+        from dynamodb_stream_processor_2_0_spark.session import get_spark
+
+        spark = get_spark("gate-sim")
     spark.sparkContext.setLogLevel("ERROR")
 
     names = list(registry.all_queries())[:n]
@@ -62,8 +87,8 @@ def main() -> None:
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     print(json.dumps({"checked": len(results), "failed": n_fail}))
     out = (
-        Path(sys.argv[3])
-        if len(sys.argv) > 3
+        Path(args[2])
+        if len(args) > 2
         else REPO_ROOT / "tools" / "gate_sim_last.json"
     )
     # parent may not exist for a custom out-path; never lose the

@@ -57,7 +57,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # Second probe: MEMORY BANDWIDTH. The spark.range probe is a tight
+    # codegen loop (CPU/JIT-shaped); the r10 and r11 pca adjudications
+    # both dead-ended at "a memory-bandwidth-shaped machine-state shift
+    # the CPU-loop calibration cannot see" — this probe sees it. One
+    # 1.6 GB numpy array summed 3x, min kept: pure streaming reads,
+    # no JVM, no allocator churn after the first rep.
+    def calibrate_membw() -> float:
+        import numpy as np
+
+        arr = np.ones(200_000_000, dtype=np.float64)  # 1.6 GB
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.add.reduce(arr))
+            best = min(best, time.perf_counter() - t0)
+        del arr
+        return round(best, 3)
+
     calibration_start = calibrate()
+    calibration_membw_start = calibrate_membw()
 
     # Sweep order: headline first (fresh JVM — the driver's protocol),
     # then everything else ALPHABETICALLY. Registry dict order rotates
@@ -142,6 +161,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_FULL_OUT", str(REPO_ROOT / "BENCH_full_latest.json")
     )
     calibration_end = calibrate()  # sweep over; pair persisted for normalization
+    calibration_membw_end = calibrate_membw()
     with open(full_out, "w") as fh:
         json.dump(
             {
@@ -152,6 +172,8 @@ def main() -> None:
                 "headline_cold_position_sec": cold_position,
                 "calibration_start_sec": calibration_start,
                 "calibration_end_sec": calibration_end,
+                "calibration_membw_start_sec": calibration_membw_start,
+                "calibration_membw_end_sec": calibration_membw_end,
             },
             fh,
             indent=1,
@@ -269,6 +291,8 @@ def main() -> None:
                 ),
                 "calibration_start_sec": calibration_start,
                 "calibration_end_sec": calibration_end,
+                "calibration_membw_start_sec": calibration_membw_start,
+                "calibration_membw_end_sec": calibration_membw_end,
                 # total-steady ratio vs the committed artifact, raw and
                 # divided by the machine-state calibration ratio; null
                 # when no comparison happened (same rule as the tripwire)

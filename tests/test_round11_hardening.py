@@ -111,6 +111,33 @@ def test_ppr_outdeg_checkpoint_is_eager():
     )
 
 
+def test_datasource_module_registered_for_by_value_pickling(spark):
+    """spark.dataSource.register pickles the DataSource CLASS by
+    reference (module.qualname), which dies in Spark's Python planner
+    process whenever the session launches from a cwd that cannot
+    import this package (found live in r11: the whole 5-query
+    python-datasource family crashed from /tmp). The AST lint in
+    test_worker_importability.py only sees nested FUNCTIONS, so this
+    class-shaped hazard gets its own pin: registering the wire source
+    must put its module on cloudpickle's by-value registry."""
+    from pyspark import cloudpickle as cp
+
+    from dynamodb_stream_processor_2_0_spark.sources import (
+        python_datasource as PDS,
+    )
+
+    PDS.register_wire_datasource(spark)
+    registry = {
+        m if isinstance(m, str) else m.__name__
+        for m in cp.list_registry_pickle_by_value()
+    }
+    assert PDS.__name__ in registry, (
+        "python_datasource must be registered for by-value pickling — "
+        "without it the DataSource classes pickle by reference and the "
+        "planner worker needs the repo on its own sys.path"
+    )
+
+
 def test_wire_replay_stream_reader_rejects_wrong_path(tmp_path):
     from dynamodb_stream_processor_2_0_spark.sources.python_datasource import (
         WireReplayStreamReader,

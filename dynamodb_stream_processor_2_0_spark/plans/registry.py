@@ -128,6 +128,23 @@ _loaded = False
 #          backlog on rotation: 171 -> 142 (unlocks the <150 freeze-exit
 #          rule). Next stale frontier once never-checked clears (~r13):
 #          the r5 block (oldest remaining greens), per the r10 verdict.
+#   r12:   covering set + the next 29 never-checked rows per the r11
+#          verdict: the queries_advanced remainder (14: pii pseudonymize,
+#          data contract, rolling DAU/WAU family, CUSUM/KS/Benford/
+#          Pareto/seasonality/bot-regularity), the full queries_graph_ops
+#          block (4: assortativity, seeded betweenness, modularity,
+#          Adamic-Adar), the full queries_ml block (5: hashed linear
+#          scorer, conformal coverage, Brier-Murphy, NB langid, feature
+#          MI), and the complete queries_streaming_batch block (6:
+#          session/tumbling/sliding windows, range join, hypertable
+#          rollup, funnel). Never-checked backlog on rotation:
+#          142 -> 113. STALE-FRONTIER SUCCESSION (per the r10/r11
+#          verdicts): once never-checked clears (~r16), the refresh
+#          target is the r5 block — the oldest remaining greens (29
+#          rows: covering-set debut + dedup/ANN/text/multimodal/UDF
+#          core, e.g. dedup_exact_hash, dedup_minhash_lsh, ann_*,
+#          text_quality_score, multimodal plumbing) — oldest row first
+#          via `rotate_registry.py --stale`.
 #
 # The ~100 round-6 additions (retrieval, ML/eval, graph extensions, text
 # statistics, temporal/causal analytics — see git history for the batch
@@ -158,36 +175,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "a3_failure_list",
     "e1_error_isolation",
     "datetime_function_battery",
-    # --- never driver-checked (fill the sample) ---
-    "sql_group_by_all_dialect",
-    "sql_correlated_subquery_battery",
-    "orders_price_volume_mix",
-    "corpus_shard_manifest",
-    "text_langid_confusion_matrix",
-    "sample_priority_weighted",
-    "dataset_split_assign",
-    "text_line_dedup_clean",
-    "text_ngram_topk",
-    "text_length_histogram",
-    "text_tfidf_topk",
-    "text_token_packing",
-    "text_benchmark_contamination",
-    "doc_chunk_tokens",
-    "corpus_curation_pipeline",
-    "corpus_mixture_sample",
-    "corpus_shuffle_interleave",
-    "sample_stratified_documents",
-    "sample_quota_per_source",
-    "text_lm_surprisal_score",
-    "text_filter_ensemble_agreement",
-    "corpus_mixture_rebalance_plan",
-    "corpus_temperature_mixture_plan",
-    "text_kneser_ney_bigram_lm",
-    "zorder_layout_stats",
-    "drift_chisquare_by_type",
-    "zorder_vs_linear_skipping",
-    "agg_winsorized_stats",
-    "timeseries_twap_per_user",
+    # --- never driver-checked (fill the sample): r12 = queries_advanced
+    #     remainder (14) + graph_ops (4) + ml (5) + the complete
+    #     queries_streaming_batch block (6) = positions 22-50 ---
     "pii_pseudonymize_consistent",
     "data_contract_check",
     "rolling_7d_active_users",
@@ -202,6 +192,22 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "orders_pareto_skyline",
     "orders_seasonality_index",
     "events_bot_regularity_score",
+    "graph_degree_assortativity",
+    "graph_betweenness_seeded",
+    "graph_modularity_score",
+    "graph_adamic_adar_linkpred",
+    "ml_hashed_linear_scorer",
+    "ml_conformal_interval_coverage",
+    "eval_brier_murphy_decomposition",
+    "ml_naive_bayes_langid",
+    "ml_feature_mutual_information",
+    "session_window_dynamic_gap",
+    "window_tumbling_daily",
+    "window_sliding_2d_1d",
+    "range_join_event_neighbors",
+    "hypertable_rollup",
+    "events_funnel",
+    # --- never driver-checked (next rotations) ---
     "events_streak_islands",
     "events_markov_stationary",
     "supplier_delay_control_chart",
@@ -308,21 +314,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_vad_segments",
     "multimodal_audio_landmark_match",
     "multimodal_shot_keyframes",
-    "session_window_dynamic_gap",
-    "window_tumbling_daily",
-    "window_sliding_2d_1d",
-    "range_join_event_neighbors",
-    "hypertable_rollup",
-    "events_funnel",
-    "ml_hashed_linear_scorer",
-    "ml_conformal_interval_coverage",
-    "eval_brier_murphy_decomposition",
-    "ml_naive_bayes_langid",
-    "ml_feature_mutual_information",
-    "graph_degree_assortativity",
-    "graph_betweenness_seeded",
-    "graph_modularity_score",
-    "graph_adamic_adar_linkpred",
     "cdc_retraction_aggregate",
     "source_schema_evolution_merge",
     "source_python_pushdown_pruning",
@@ -476,7 +467,18 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "sketch_count_min",
     "skew_replicated_join",
     "sql_api_shared_dialect",
-    # --- fresh green (rotate to back) ---
+    "agg_moment_stats",
+    "customer_revenue_gini",
+    "events_replay_pair_detect",
+    "full_outer_nation_balance",
+    "grouping_sets_priority_status",
+    "lineitem_fifo_allocation",
+    "market_basket_lift",
+    "market_basket_pairs",
+    "part_sourcing_hhi",
+    "relational_division_all_quarters",
+    "rfm_customer_segments",
+    "right_outer_supplier_lines",
     "skew_salted_agg",
     "sort_limit_top_orders",
     "source_csv_roundtrip",
@@ -485,27 +487,45 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "source_orc_roundtrip",
     "source_partitioned_pruning",
     "source_python_datasource",
-    "topk_orders_per_customer",
-    "variant_json_shred",
-    "window_running_sum",
     "sql_pipe_syntax_rollup",
     "supplier_pareto_analysis",
-    "market_basket_lift",
-    "part_sourcing_hhi",
-    "customer_revenue_gini",
+    "topk_orders_per_customer",
+    "unpivot_nation_metrics",
+    "variant_json_shred",
     "window_function_battery",
     "window_range_frame_moving_sum",
-    "market_basket_pairs",
-    "agg_moment_stats",
-    "unpivot_nation_metrics",
+    "window_running_sum",
     "yoy_revenue_growth",
-    "rfm_customer_segments",
-    "full_outer_nation_balance",
-    "right_outer_supplier_lines",
-    "grouping_sets_priority_status",
-    "relational_division_all_quarters",
-    "lineitem_fifo_allocation",
-    "events_replay_pair_detect",
+    # --- fresh green (rotate to back) ---
+    "sql_group_by_all_dialect",
+    "sql_correlated_subquery_battery",
+    "orders_price_volume_mix",
+    "corpus_shard_manifest",
+    "text_langid_confusion_matrix",
+    "sample_priority_weighted",
+    "dataset_split_assign",
+    "text_line_dedup_clean",
+    "text_ngram_topk",
+    "text_length_histogram",
+    "text_tfidf_topk",
+    "text_token_packing",
+    "text_benchmark_contamination",
+    "doc_chunk_tokens",
+    "corpus_curation_pipeline",
+    "corpus_mixture_sample",
+    "corpus_shuffle_interleave",
+    "sample_stratified_documents",
+    "sample_quota_per_source",
+    "text_lm_surprisal_score",
+    "text_filter_ensemble_agreement",
+    "corpus_mixture_rebalance_plan",
+    "corpus_temperature_mixture_plan",
+    "text_kneser_ney_bigram_lm",
+    "zorder_layout_stats",
+    "drift_chisquare_by_type",
+    "zorder_vs_linear_skipping",
+    "agg_winsorized_stats",
+    "timeseries_twap_per_user",
 )
 
 

@@ -17,6 +17,17 @@ references to module-level defs. Driver-side-only closures (decorator
 factories, foreachBatch callbacks — those execute in the driver
 process, where the package IS importable) are allowlisted explicitly
 so a new worker-pickled closure cannot silently reopen the class.
+
+r12 extension (closing the r11 ADVICE gap): the lint also flags names
+bound at module level by PACKAGE-INTERNAL imports — both
+``from ..operators.x import helper`` (relative, or absolute under the
+package root) and ``import dynamodb_stream_processor_2_0_spark.m as
+m`` used as ``m.helper`` inside a nested function. Those pickle by
+reference exactly like same-file defs: cloudpickle stores
+(module, qualname) and the worker import dies from a hostile cwd.
+External imports (pyspark, numpy, ...) are fine — workers can import
+those without the repo on sys.path — so only package-internal bindings
+are collected.
 """
 
 from __future__ import annotations
@@ -36,7 +47,40 @@ DRIVER_SIDE_ALLOWLIST = {
     # foreachBatch callback: Structured Streaming invokes it in the
     # driver with a batch DataFrame — never shipped to workers
     ("streaming/sinks.py", "write", "envelope"),
+    # plan-builder helper: called once at plan-construction time in the
+    # driver (pure Catalyst expressions, no UDF); the `dedup` module
+    # reference is resolved before any task is serialized
+    ("plans/queries_dedup.py", "prefix_pairs", "dedup"),
 }
+
+
+PKG_NAME = "dynamodb_stream_processor_2_0_spark"
+
+
+def _internal_import_bindings(tree: ast.Module) -> set[str]:
+    """Names bound at module level by package-internal imports.
+
+    ``from . import x`` / ``from ..operators.x import helper`` (any
+    relative level) and ``from dynamodb_stream_processor_2_0_spark.x
+    import helper`` all bind names that cloudpickle serializes BY
+    REFERENCE when used inside a nested (worker-pickled) function.
+    ``import dynamodb_stream_processor_2_0_spark.x as m`` binds a module
+    alias whose attribute access inside a closure has the same failure
+    mode — the alias name itself is collected; the Name-load check
+    catches ``m`` wherever it appears (including as ``m.helper``).
+    """
+    bound: set[str] = set()
+    for n in tree.body:
+        if isinstance(n, ast.ImportFrom):
+            if n.level > 0 or (n.module or "").split(".")[0] == PKG_NAME:
+                bound |= {a.asname or a.name for a in n.names if a.name != "*"}
+        elif isinstance(n, ast.Import):
+            for a in n.names:
+                if a.name.split(".")[0] == PKG_NAME:
+                    # `import pkg.sub` binds `pkg`; `import pkg.sub as m`
+                    # binds `m`
+                    bound.add(a.asname or a.name.split(".")[0])
+    return bound
 
 
 def _violations() -> list[str]:
@@ -49,6 +93,7 @@ def _violations() -> list[str]:
             for n in tree.body
             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
         }
+        flagged = mod_defs | _internal_import_bindings(tree)
 
         class V(ast.NodeVisitor):
             def __init__(self):
@@ -64,7 +109,7 @@ def _violations() -> list[str]:
                         if (
                             isinstance(sub, ast.Name)
                             and isinstance(sub.ctx, ast.Load)
-                            and sub.id in mod_defs
+                            and sub.id in flagged
                             and sub.id not in args
                             and sub.id not in seen
                         ):
@@ -103,6 +148,7 @@ def test_allowlist_entries_still_exist():
             for n in tree.body
             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
         }
+        flagged = mod_defs | _internal_import_bindings(tree)
 
         class V(ast.NodeVisitor):
             def __init__(self):
@@ -112,7 +158,7 @@ def test_allowlist_entries_still_exist():
                 self.depth += 1
                 if self.depth >= 2:
                     for sub in ast.walk(node):
-                        if isinstance(sub, ast.Name) and sub.id in mod_defs:
+                        if isinstance(sub, ast.Name) and sub.id in flagged:
                             live.add((rel, node.name, sub.id))
                 self.generic_visit(node)
                 self.depth -= 1

@@ -68,16 +68,21 @@ def materialize(spark) -> None:
     SYNTH.mkdir(parents=True, exist_ok=True)
     from dynamodb_stream_processor_2_0_spark.sources.catalog import load_table
 
+    # Skip keys on the _SUCCESS marker INSIDE the table dir, not the dir
+    # itself: Spark creates the dir before the write completes, so a run
+    # killed mid-write leaves a partial table that a dir-exists check
+    # would silently treat as complete, skewing growth numbers (r11
+    # ADVICE). mode("overwrite") rewrites any _SUCCESS-less partial.
     for name in PASSTHROUGH_TABLES:
         out = SYNTH / f"{name}.parquet"
-        if out.exists():
+        if (out / "_SUCCESS").exists():
             continue
         df = spark.read.parquet(f"{SF01}/{name}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(str(out))
 
     for name in SCALED_TABLES:
         out = SYNTH / f"{name}.parquet"
-        if out.exists():
+        if (out / "_SUCCESS").exists():
             continue
         base = spark.read.parquet(f"{SF01}/{name}.parquet")
         cols = set(base.columns)

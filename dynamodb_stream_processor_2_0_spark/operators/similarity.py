@@ -44,10 +44,129 @@ def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
 
 def _dot_fold(a: str, b: str) -> F.Column:
     """Ordered double-precision fold: ((0 + a0*b0) + a1*b1) + ..."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return F.expr(_fold_hof_sql("dot", a, b))
+
+
+# --- fast-path pairwise folds (r12) -----------------------------------------
+# Spark evaluates higher-order functions (zip_with/aggregate) on the
+# INTERPRETED expression path (CodegenFallback): every element pays a
+# lambda dispatch and the zipped intermediate array is allocated per
+# pair. On the pairwise scoring relations (candidates x queries) that
+# interpreter loop IS the query cost: the OOD probe's 512k sf0.1 pairs
+# measured 4-6 s via the HOF vs 0.06 s steady for the SAME IEEE
+# operation sequence unrolled into a codegen'd expression tree (~80x).
+# The fold cannot simply be guarded with CASE WHEN size()=dim — a
+# conditional carrying a branch that big defeats whole-stage codegen
+# (measured 17 s, worse than the HOF) — so the split is at the
+# DATAFRAME level: rows whose two vectors BOTH have the expected width
+# take the unrolled arm; every other row (NULL array, ragged, short)
+# flows through the HOF arm, preserving zip_with's pad-with-NULL
+# semantics exactly. The union of the arms is bit-identical to the HOF
+# alone: the unrolled tree is the same left fold ((0.0 + t0) + t1) ...
+# in the same IEEE order (adversarial-vector pin incl. -0.0/NaN/Inf/
+# NULL elements in tests/test_round12_hardening.py). 64 is the
+# embeddings corpus width; rows of any other width stay correct via
+# the HOF arm, so the constant is a fast-path hint, not a schema
+# assumption.
+#
+# Each unrolled term is wrapped in an exact identity that REPEATS the
+# term — nanvl(t, t) for doubles, coalesce(t, t) for integers — so
+# subexpression elimination hoists every term into its own generated
+# sub-method. Without the repeat, the 64-term chain codegens into one
+# method past HotSpot's huge-method JIT limit and executes
+# BYTECODE-INTERPRETED: the dot kind measured 9-12 s per run vs ~1 s
+# with the hoist (sqdist was naturally fast only because its repeated
+# (a[j]-b[j]) subterm already triggered the hoist). Both wrappers are
+# bit-exact identities for every input (NULL -> NULL, NaN -> NaN via
+# nanvl's second arg being the same value, -0.0 -> -0.0); if CSE is
+# disabled the terms evaluate twice — slower, never wrong.
+#
+# DEPLOYMENT RULE (measured r12): use this ONLY on bulk pairwise
+# relations — the brute-force probe scorers whose pair count is
+# O(corpus x probes) (ood: 512k pairs 7.7 -> 3.8 s; knn-label: 819k
+# pairs 5.5 -> 2.4 s at sf0.1). For the small-pair scorers (the
+# 8-query topk operators, MMR shortlists, k-center's <=4 centers) the
+# HOF was never the bottleneck and the split's extra plan branches +
+# unrolled-tree compile REGRESS them (measured: kcenter 1.4 -> 3.3 s,
+# rrf 0.7 -> 1.7 s) — those keep the plain fold.
+_FAST_DIM = 64
+
+_FOLD_KINDS = {
+    # kind: (HOF lambda body, unrolled term template, init literal,
+    #        hoist-forcing identity wrapper)
+    "dot": (
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)",
+        "(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE))",
+        "CAST(0.0 AS DOUBLE)",
+        "nanvl({t}, {t})",
+    ),
+    "sqdist": (
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))",
+        "((CAST({x} AS DOUBLE) - CAST({y} AS DOUBLE))"
+        " * (CAST({x} AS DOUBLE) - CAST({y} AS DOUBLE)))",
+        "CAST(0.0 AS DOUBLE)",
+        "nanvl({t}, {t})",
+    ),
+    "int_dot": (
+        "CAST(x AS BIGINT) * y",
+        "(CAST({x} AS BIGINT) * {y})",
+        "CAST(0 AS BIGINT)",
+        "coalesce({t}, {t})",
+    ),
+}
+
+
+def _fold_hof_sql(kind: str, a: str, b: str) -> str:
+    body, _, init, _ = _FOLD_KINDS[kind]
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> {body}), "
+        f"{init}, (acc, v) -> acc + v)"
     )
+
+
+def _fold_unrolled_sql(kind: str, a: str, b: str, dim: int) -> str:
+    _, term, init, wrap = _FOLD_KINDS[kind]
+    terms = " + ".join(
+        wrap.format(t=term.format(x=f"{a}[{j}]", y=f"{b}[{j}]"))
+        for j in range(dim)
+    )
+    return f"({init} + {terms})"
+
+
+def with_pair_folds(
+    joined: DataFrame,
+    specs: list[tuple[str, str, str, str]],
+    dim: int = _FAST_DIM,
+) -> DataFrame:
+    """Append one column per (a, b, out, kind) spec — ONE split for all
+    folds (chaining single-fold splits doubles the plan per call: 2^n
+    subtrees each re-running the upstream joins). A row takes the fast
+    arm only when EVERY involved array has width ``dim``; otherwise all
+    its folds run on the HOF arm, which is correct for any width."""
+    cols = sorted({c for (a, b, _o, _k) in specs for c in (a, b)})
+    ok = F.lit(True)
+    for c in cols:
+        ok = ok & (F.size(F.col(c)) == dim)
+    fast = joined.filter(ok)
+    slow = joined.filter(~ok.eqNullSafe(F.lit(True)))
+    for a, b, out, kind in specs:
+        fast = fast.withColumn(out, F.expr(_fold_unrolled_sql(kind, a, b, dim)))
+        slow = slow.withColumn(out, F.expr(_fold_hof_sql(kind, a, b)))
+    return fast.unionByName(slow)
+
+
+def with_pair_fold(
+    joined: DataFrame,
+    a: str,
+    b: str,
+    out: str,
+    kind: str = "dot",
+    dim: int = _FAST_DIM,
+) -> DataFrame:
+    """Append ``out`` = elementwise fold of columns ``a``/``b`` with the
+    codegen fast path for width-``dim`` rows and the HOF arm for the
+    rest. ``a``/``b`` must be plain column names on ``joined``."""
+    return with_pair_folds(joined, [(a, b, out, kind)], dim)
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

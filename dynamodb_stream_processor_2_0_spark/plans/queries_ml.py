@@ -1309,15 +1309,18 @@ _KNN_ORACLE = f"""
     "O(512 * n_train) — LINEAR in corpus size by construction "
     "(uncapped, both sides grow and the scoring is quadratic: "
     "measured 18x at 10x rows before the cap). The 512-probe "
-    "broadcast rides the cosine_topk shape; exhaustive-probe "
+    "broadcast rides the cosine_topk shape with the r12 split-fold "
+    "fast path (operators/similarity.with_pair_fold: codegen'd "
+    "unrolled dot for width-64 rows, HOF arm for the rest, "
+    "bit-identical union — 5.5 -> 2.2 s at sf0.1); exhaustive-probe "
     "grading belongs on the IVF/LSH bucketed arms.",
 )
 def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from dynamodb_stream_processor_2_0_spark.operators.similarity import (
-        _dot_fold,
         with_norm,
+        with_pair_fold,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1351,7 +1354,9 @@ def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("test_norm"),
         )
     )
-    scored = train.join(F.broadcast(test), F.lit(True)).select(
+    scored = with_pair_fold(
+        train.join(F.broadcast(test), F.lit(True)), "test_vec", "cand_vec", "_pdot"
+    ).select(
         "test_id",
         "true_label",
         "cand_label",
@@ -1359,7 +1364,7 @@ def ml_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: zero-norm vectors score NULL (ranks last), they
         # must not kill the eval (tools/hostile_sweep.py nulls world)
         F.try_divide(
-            _dot_fold("test_vec", "cand_vec"),
+            F.col("_pdot"),
             F.col("test_norm") * F.col("cand_norm"),
         ).alias("cosine"),
     )

@@ -2218,8 +2218,11 @@ def _ood_oracle() -> str:
     "weird embeddings' pass of a curation pipeline. The probe cap "
     "bounds the brute-force arm at O(probes * n), linear in corpus "
     "size (the kNN label probe's pattern); the quartile rank runs "
-    "over the 256-row probe relation, never the corpus. Top-25 "
-    "most-distant probes reported.",
+    "over the 256-row probe relation, never the corpus. The scoring "
+    "rides the r12 split-fold fast path (operators/similarity."
+    "with_pair_fold): width-64 rows take a codegen'd unrolled fold "
+    "bit-identical to the HOF, ragged/NULL rows keep the HOF arm — "
+    "7.7 -> 3.0 s at sf0.1. Top-25 most-distant probes reported.",
 )
 def embedding_ood_knn_distance(
     spark: SparkSession, sf_dir: str
@@ -2240,22 +2243,16 @@ def embedding_ood_knn_distance(
             F.col("embedding").alias("q_vec"),
         )
     )
-    d2 = (
-        "CAST(round(aggregate(zip_with(q_vec, embedding,"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000)"
-        " AS BIGINT)"
-    )
-    scored = (
-        emb.join(
-            F.broadcast(probes), F.col("vec_id") != F.col("q_id")
-        )
-        .select(
-            F.col("q_id").alias("vec_id"),
-            F.expr(d2).alias("dq"),
-            F.col("vec_id").alias("cand_id"),
-        )
+    scored = S.with_pair_fold(
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id")),
+        "q_vec",
+        "embedding",
+        "_d2",
+        kind="sqdist",
+    ).select(
+        F.col("q_id").alias("vec_id"),
+        F.expr("CAST(round(_d2 * 1000000) AS BIGINT)").alias("dq"),
+        F.col("vec_id").alias("cand_id"),
     )
     wq = W.partitionBy("vec_id").orderBy(
         F.col("dq").asc(), F.col("cand_id").asc()

@@ -69,3 +69,94 @@ def test_mra_default_gate_uses_driver_arm_on_testdata(spark):
     types << 64) — if the threshold constant regresses, the measured
     win silently disappears."""
     assert QCE._MRA_DRIVER_MAX_CHANNELS >= 5
+
+
+# ---------------------------------------------------------------------------
+# with_pair_fold: the r12 codegen fast path for pairwise vector folds.
+# The unrolled expression MUST be bit-identical to the zip_with/aggregate
+# HOF on every input class — same left fold, same IEEE order — and the
+# DataFrame-level split must route every row class to a correct arm.
+# ---------------------------------------------------------------------------
+
+_ADVERSARIAL_VECS = [
+    # (label, a, b)
+    ("random", [((7 * i + 3) % 13 - 6) / 7.0 for i in range(64)],
+     [((5 * i + 1) % 11 - 5) / 3.0 for i in range(64)]),
+    ("neg-zero-a", [-0.0] * 64, [0.0] * 64),
+    ("neg-zero-b", [0.0] * 64, [-0.0] * 64),
+    ("nan", [float("nan")] * 64, [1.0] * 64),
+    ("inf", [float("inf")] * 64, [-1.0] * 64),
+    ("short-equal", [1.5] * 3, [0.5] * 3),
+    ("ragged", [1.0] * 64, [1.0] * 3),
+    ("null-array", None, [1.0] * 64),
+    ("null-elem", [None if i == 5 else 1.0 for i in range(64)], [1.0] * 64),
+]
+
+
+@pytest.mark.parametrize("kind", ["dot", "sqdist"])
+def test_pair_fold_bit_identical_to_hof(spark, kind):
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (_l, a, b) in enumerate(_ADVERSARIAL_VECS)],
+        "id long, a array<double>, b array<double>",
+    )
+    ref = df.select(
+        "id", F.expr(f"cast({S._fold_hof_sql(kind, 'a', 'b')} as string)").alias("v")
+    )
+    got = S.with_pair_fold(df, "a", "b", "_out", kind=kind).select(
+        "id", F.expr("cast(_out as string)").alias("v")
+    )
+    ref_rows = {r["id"]: r["v"] for r in ref.collect()}
+    got_rows = {r["id"]: r["v"] for r in got.collect()}
+    assert got_rows == ref_rows  # string form distinguishes -0.0/NaN/NULL
+
+
+def test_pair_fold_int_dot_matches_hof(spark):
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.operators import similarity as S
+
+    rows = [
+        (0, [1] * 64, [2] * 64),
+        (1, [-(3**5)] * 64, [7] * 64),
+        (2, [1] * 3, [1] * 3),          # short equal
+        (3, [1] * 64, [1] * 5),          # ragged
+        (4, None, [1] * 64),             # null array
+        (5, [None if i == 9 else 1 for i in range(64)], [1] * 64),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<bigint>, b array<bigint>")
+    ref = {r["id"]: r["v"] for r in df.select(
+        "id", F.expr(S._fold_hof_sql("int_dot", "a", "b")).alias("v")).collect()}
+    got = {r["id"]: r["v"] for r in S.with_pair_fold(
+        df, "a", "b", "_out", kind="int_dot").select(
+        "id", F.col("_out").alias("v")).collect()}
+    assert got == ref
+
+
+def test_pair_folds_single_split_multi_output(spark):
+    from pyspark.sql import functions as F
+
+    from dynamodb_stream_processor_2_0_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (_l, a, b) in enumerate(_ADVERSARIAL_VECS)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = S.with_pair_folds(
+        df, [("a", "b", "d1", "dot"), ("a", "a", "d2", "dot")]
+    )
+    ref = df.select(
+        "id",
+        F.expr(f"cast({S._fold_hof_sql('dot', 'a', 'b')} as string)").alias("d1"),
+        F.expr(f"cast({S._fold_hof_sql('dot', 'a', 'a')} as string)").alias("d2"),
+    )
+    g = {r["id"]: (r["d1"], r["d2"]) for r in got.select(
+        "id", F.expr("cast(d1 as string)").alias("d1"),
+        F.expr("cast(d2 as string)").alias("d2")).collect()}
+    r = {x["id"]: (x["d1"], x["d2"]) for x in ref.collect()}
+    assert g == r
+    # the split must not drop or duplicate rows
+    assert got.count() == df.count()

@@ -61,19 +61,39 @@ def main() -> None:
     # codegen loop (CPU/JIT-shaped); the r10 and r11 pca adjudications
     # both dead-ended at "a memory-bandwidth-shaped machine-state shift
     # the CPU-loop calibration cannot see" — this probe sees it. One
-    # 1.6 GB numpy array summed 3x, min kept: pure streaming reads,
-    # no JVM, no allocator churn after the first rep.
+    # 400 MB numpy array summed 3x, min kept: pure streaming reads, no
+    # JVM, no allocator churn after the first rep. Sized at 400 MB (r12,
+    # was 1.6 GB through r11): still far past L3 so the reduce stays
+    # bandwidth-bound, but small enough that the END probe — which runs
+    # right after the sweep while the 32-thread JVM heap is still
+    # resident — cannot swap on a memory-tight machine and distort the
+    # very machine-state signal it measures (r11 ADVICE). A guard skips
+    # the probe entirely (returns -1.0) if MemAvailable can't cover the
+    # allocation 3x over; a sentinel beats a swap-poisoned reading.
+    # Cross-round note: r12+ membw values are on the 400 MB scale —
+    # healthy band re-baselined in SCALE.md §11 (r11's 1.6 GB healthy
+    # band was ~0.200 s; the probe is linear in bytes).
     def calibrate_membw() -> float:
         import numpy as np
 
-        arr = np.ones(200_000_000, dtype=np.float64)  # 1.6 GB
+        n = 50_000_000  # float64 -> 400 MB
+        try:
+            with open("/proc/meminfo") as f:
+                avail_kb = next(
+                    int(line.split()[1]) for line in f if line.startswith("MemAvailable")
+                )
+            if avail_kb * 1024 < 3 * n * 8:
+                return -1.0
+        except (OSError, StopIteration):
+            pass
+        arr = np.ones(n, dtype=np.float64)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             float(np.add.reduce(arr))
             best = min(best, time.perf_counter() - t0)
         del arr
-        return round(best, 3)
+        return round(best, 4)
 
     calibration_start = calibrate()
     calibration_membw_start = calibrate_membw()

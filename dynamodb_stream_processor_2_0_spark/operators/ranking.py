@@ -90,30 +90,57 @@ def global_running_sum(
     partition window, broadcast per-partition totals; the locally-
     scanned data is pinned before the offset subtree derives from it
     (same boundary-consistency argument as global_rank)."""
+    return global_running_sums(df, order_cols, [(value_col, out_col)], num_partitions)
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_out_cols: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``global_running_sum`` over SEVERAL value columns in ONE pass:
+    one range exchange, one per-partition scan, one pinned
+    materialization, one broadcast offset table carrying every
+    column's per-partition totals. Callers that need k prefix sums
+    under the same total order (e.g. cumulative row count AND
+    cumulative positives for a CDF/split-finder) would otherwise pay
+    k sequential exchanges over data already sorted the right way.
+    ``value_out_cols`` is ``[(value_col, out_col), ...]``."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-    local = (
-        ranged.withColumn("_gs_pid", F.spark_partition_id())
-        .withColumn(
-            "_gs_local",
-            F.sum(value_col).over(
-                W.partitionBy("_gs_pid")
-                .orderBy(*order_cols)
-                .rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        .localCheckpoint()
+    scan = (
+        W.partitionBy("_gs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    totals = local.groupBy("_gs_pid").agg(F.sum(value_col).alias("_gs_t"))
+    local = ranged.withColumn("_gs_pid", F.spark_partition_id())
+    for i, (vcol, _) in enumerate(value_out_cols):
+        local = local.withColumn(f"_gs_local_{i}", F.sum(vcol).over(scan))
+    local = local.localCheckpoint()
+    totals = local.groupBy("_gs_pid").agg(
+        *[
+            F.sum(vcol).alias(f"_gs_t_{i}")
+            for i, (vcol, _) in enumerate(value_out_cols)
+        ]
+    )
     a, b = totals.alias("a"), totals.alias("b")
     offsets = (
         a.join(b, F.col("b._gs_pid") < F.col("a._gs_pid"), "left")
         .groupBy(F.col("a._gs_pid").alias("_gs_pid"))
-        .agg(F.coalesce(F.sum("b._gs_t"), F.lit(0)).alias("_gs_offset"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._gs_t_{i}"), F.lit(0)).alias(f"_gs_offset_{i}")
+                for i in range(len(value_out_cols))
+            ]
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), "_gs_pid")
-        .withColumn(out_col, F.col("_gs_local") + F.col("_gs_offset"))
-        .drop("_gs_pid", "_gs_local", "_gs_offset")
+    out = local.join(F.broadcast(offsets), "_gs_pid")
+    for i, (_, ocol) in enumerate(value_out_cols):
+        out = out.withColumn(ocol, F.col(f"_gs_local_{i}") + F.col(f"_gs_offset_{i}"))
+    return out.drop(
+        "_gs_pid",
+        *[f"_gs_local_{i}" for i in range(len(value_out_cols))],
+        *[f"_gs_offset_{i}" for i in range(len(value_out_cols))],
     )

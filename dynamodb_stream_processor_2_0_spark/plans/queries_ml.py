@@ -872,14 +872,20 @@ def _stump_oracle() -> str:
     oracle=_stump_oracle(),
     tags=("ml", "train", "scale"),
     doc="Exact Gini decision stump over the full corpus — the "
-    "sort-and-scan CART split finder re-expressed distributed: "
-    "global_rank orders each feature (range exchange + broadcast "
-    "offsets, no single-task sort), a distributed prefix sum carries "
-    "the left-positive counts, candidate thresholds are the "
-    "boundaries between distinct adjacent values (rank r joined to "
-    "rank r+1 — an equi-join on the rank key), and the weighted "
-    "Gini at every split is ONE exact integer quotient in micro "
-    "units (DECIMAL(38,0) headroom past 1e9 rows). No sampling, no "
+    "sort-and-scan CART split finder re-expressed distributed. "
+    "Candidate thresholds only exist at boundaries between DISTINCT "
+    "adjacent values, so each feature first collapses to its distinct "
+    "values with per-value row/positive counts (hash groupBy — "
+    "map-side partial agg absorbs heavy-hitter values; |distinct| <= "
+    "|rows| always, and for low-cardinality features the arm becomes "
+    "trivially small). One multi-column distributed prefix-sum pass "
+    "(global_running_sums: range exchange + broadcast offsets, no "
+    "single-task sort) then carries BOTH the cumulative row count "
+    "(the split rank r) and the cumulative positives (pos_l), and "
+    "every distinct value except the global max IS a candidate — no "
+    "rank-(r+1) self-join, no row-level ranking. The weighted Gini "
+    "at every split is ONE exact integer quotient in micro units "
+    "(DECIMAL(38,0) headroom past 1e9 rows). No sampling, no "
     "histogram binning — the exact split XGBoost's 'exact' tree "
     "method computes per node, at Spark scale. Deterministic "
     "argmin: broadcast min impurity + lowest-threshold tie-break. "
@@ -888,42 +894,48 @@ def _stump_oracle() -> str:
 )
 def ml_gini_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamodb_stream_processor_2_0_spark.operators.ranking import (
-        global_rank,
-        global_running_sum,
+        global_running_sums,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     arms = []
     for fname, fexpr in _STUMP_FEATURES:
-        rows = li.selectExpr(
-            f"{fexpr} AS val",
-            "CAST(l_returnflag = 'R' AS BIGINT) AS y",
-            "l_orderkey * 100 + l_linenumber AS rid",
+        grouped = (
+            li.selectExpr(
+                f"{fexpr} AS val",
+                "CAST(l_returnflag = 'R' AS BIGINT) AS y",
+            )
+            .groupBy("val")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("ypos"))
         )
-        ranked = global_rank(rows, ["val", "rid"], out_col="r")
-        pref = global_running_sum(ranked, ["r"], "y", "pos_l")
+        pref = global_running_sums(
+            grouped, ["val"], [("cnt", "r"), ("ypos", "pos_l")]
+        )
         tot = F.broadcast(
-            pref.agg(
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("y").cast("long").alias("pos"),
+            grouped.agg(
+                F.sum("cnt").cast("long").alias("n"),
+                F.sum("ypos").cast("long").alias("pos"),
             )
         )
-        nxt = pref.select(
-            (F.col("r") - 1).alias("r"), F.col("val").alias("next_val")
-        )
         cand = (
-            pref.join(nxt, "r")
-            .filter(F.col("next_val") > F.col("val"))
-            .crossJoin(tot)
+            pref.crossJoin(tot)
+            # every distinct value except the global max bounds a split
+            .filter(F.col("r") < F.col("n"))
             .select(
                 F.col("val").alias("thr"),
+                # nullif keeps the quotient total under ANSI: Catalyst
+                # may evaluate the pushed-down imp == best_imp
+                # predicate BEFORE the r < n filter in the fused
+                # stage, and the r == n row has divisor 0; NULL there
+                # is ignored by min() and excluded by the equality.
                 F.expr(
                     "CAST(2 * 1000000 *"
                     " (CAST(pos_l AS DECIMAL(38,0)) * (r - pos_l)"
                     "      * (n - r)"
                     "  + CAST(pos - pos_l AS DECIMAL(38,0))"
                     "      * ((n - r) - (pos - pos_l)) * r)"
-                    " div (CAST(n AS DECIMAL(38,0)) * r * (n - r))"
+                    " div (CAST(n AS DECIMAL(38,0)) * r"
+                    "      * nullif(n - r, 0))"
                     " AS BIGINT)"
                 ).alias("imp"),
                 "n",

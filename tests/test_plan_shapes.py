@@ -242,16 +242,16 @@ def test_lm_surprisal_partial_aggregates(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_interval_overlap_join_is_equi_join(spark, sf_dir):
-    """The banded rewrite must compile to a hash/sort-merge EQUI-join on
-    (day, band) — never a nested-loop/cartesian theta join, which is the
-    whole point of the banding at 100 TB."""
+def test_interval_overlap_join_is_pairfree_sweep(spark, sf_dir):
+    """The r12 endpoint-sweep rewrite must compile to aggregates + one
+    window pass with NO join of any kind — the former banded pair join
+    materialized O(n^2/day) pairs (1.7B at sf1.0) for a counts-only
+    output; any join reappearing here means the pair enumeration is
+    back. All-JVM: no Python eval node."""
     plan = _executed_plan(registry.get("interval_overlap_join").fn(spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_skew_profile_partial_aggregates(spark, sf_dir):

@@ -14,6 +14,9 @@ rows on fixed cores; most queries should sit well below because sf0.1
 underutilizes 32 threads).
 
 Usage: python tools/sf1_spot_bench.py [n_queries] [out.json]
+       python tools/sf1_spot_bench.py --queries name1,name2 [out.json]
+The --queries form spot-checks an explicit list (e.g. re-measuring a
+rewritten query that no longer ranks in the expensive top-N).
 The synthetic dataset is cached at /tmp/sf1.0_synth (delete to rebuild).
 """
 
@@ -125,8 +128,16 @@ def materialize(spark) -> None:
 
 
 def main() -> None:
-    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "tools/sf1_spot_bench.json"
+    explicit: list[str] | None = None
+    args = sys.argv[1:]
+    if args and args[0] == "--queries":
+        explicit = [q for q in args[1].split(",") if q]
+        args = args[2:]
+        n_queries = len(explicit)
+        out_path = args[0] if args else "tools/sf1_spot_bench.json"
+    else:
+        n_queries = int(args[0]) if args else 10
+        out_path = args[1] if len(args) > 1 else "tools/sf1_spot_bench.json"
 
     from dynamodb_stream_processor_2_0_spark.plans import registry
     from dynamodb_stream_processor_2_0_spark.session import get_spark
@@ -136,13 +147,16 @@ def main() -> None:
 
     materialize(spark)
 
-    bench = json.loads((REPO_ROOT / "BENCH_full_latest.json").read_text())
-    top = [
-        k
-        for k, _ in sorted(
-            bench["steady_sec"].items(), key=lambda kv: -kv[1]
-        )[:n_queries]
-    ]
+    if explicit is not None:
+        top = explicit
+    else:
+        bench = json.loads((REPO_ROOT / "BENCH_full_latest.json").read_text())
+        top = [
+            k
+            for k, _ in sorted(
+                bench["steady_sec"].items(), key=lambda kv: -kv[1]
+            )[:n_queries]
+        ]
 
     registry._load()
     results = {}

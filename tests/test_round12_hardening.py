@@ -160,3 +160,155 @@ def test_pair_folds_single_split_multi_output(spark):
     assert g == r
     # the split must not drop or duplicate rows
     assert got.count() == df.count()
+
+
+# --- interval-family counting rewrites: randomized brute-force pins --------
+#
+# r12 replaced the banded pair joins with counting algebra (census) and
+# an endpoint sweep (overlap join). The oracle gate proves them on the
+# generated corpora; these pins prove them on ADVERSARIAL interval
+# multisets a generator never emits — tiny value domains force heavy
+# ties, point intervals (s = e), meets chains, and deep nesting, which
+# is exactly where the classifier-precedence masks and the
+# strict-inversion count could drift. Expected values come from an
+# O(n^2) brute force of the ORACLE's normalized CASE.
+
+import datetime as _dt
+import random as _random
+
+import pyarrow as _pa
+import pyarrow.parquet as _pq
+
+
+def _run(spark, name, sf_dir):
+    registry._load()
+    return registry.REGISTRY[name].fn(spark, str(sf_dir)).collect()
+
+
+def _plant_interval_events(tmp, day_intervals):
+    """day_intervals: {date_iso: [(s_sec, e_sec), ...]} — one interval
+    per synthetic user; two events pin (min, max) seconds-of-day."""
+    rows = []
+    eid = 0
+    for day, ivs in sorted(day_intervals.items()):
+        for uid, (s, e) in enumerate(ivs, start=1):
+            for sec in {s, e}:
+                ts = _dt.datetime.fromisoformat(day) + _dt.timedelta(seconds=sec)
+                rows.append((eid, ts, uid, "click", 1.0))
+                eid += 1
+    t = _pa.table(
+        {
+            "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+            "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+            "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+            "event_type": _pa.array([r[3] for r in rows], _pa.string()),
+            "value": _pa.array([r[4] for r in rows], _pa.float64()),
+            "props": _pa.array(["{}" for _ in rows], _pa.string()),
+        }
+    )
+    _pq.write_table(t, str(Path(tmp) / "events.parquet"))
+
+
+def _brute_census(day_intervals):
+    """The oracle's normalized CASE, O(n^2): the lexicographically
+    smaller (s, e, uid) interval leads, then
+    equals/starts/finishes/meets/during/overlaps in branch order;
+    disjoint pairs count as precedes."""
+    out = {}
+    for day, ivs in day_intervals.items():
+        counts = {}
+        n = len(ivs)
+        inter = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                a = (ivs[i][0], ivs[i][1], i + 1)
+                b = (ivs[j][0], ivs[j][1], j + 1)
+                (s1, e1, _), (s2, e2, _) = (a, b) if a <= b else (b, a)
+                if not (s1 <= e2 and s2 <= e1):
+                    continue
+                inter += 1
+                if s1 == s2 and e1 == e2:
+                    rel = "equals"
+                elif s1 == s2:
+                    rel = "starts"
+                elif e1 == e2:
+                    rel = "finishes"
+                elif e1 == s2:
+                    rel = "meets"
+                elif e1 > e2:
+                    rel = "during"
+                else:
+                    rel = "overlaps"
+                counts[rel] = counts.get(rel, 0) + 1
+        prec = n * (n - 1) // 2 - inter
+        if prec > 0:
+            counts["precedes"] = prec
+        for rel, c in counts.items():
+            out[(day, rel)] = c
+    return out
+
+
+def _brute_overlap(day_intervals):
+    """n_pairs = intersecting pairs; sum = min(e)-max(s) over them."""
+    out = {}
+    for day, ivs in day_intervals.items():
+        n_pairs = 0
+        total = 0
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                (sa, ea), (sb, eb) = ivs[i], ivs[j]
+                if sa <= eb and sb <= ea:
+                    n_pairs += 1
+                    total += min(ea, eb) - max(sa, sb)
+        if n_pairs > 0:
+            out[day] = (n_pairs, total)
+    return out
+
+
+def _random_interval_worlds(seed=20261216, n_days=18):
+    rng = _random.Random(seed)
+    worlds = {}
+    for d in range(n_days):
+        day = (_dt.date(2024, 3, 1) + _dt.timedelta(days=d)).isoformat()
+        n = rng.randint(0, 28)
+        # tiny domain -> dense ties, points, meets chains, nesting
+        dom = rng.choice([4, 7, 12, 30])
+        ivs = []
+        for _ in range(n):
+            s = rng.randint(0, dom)
+            e = rng.randint(s, dom)
+            ivs.append((s, e))
+        worlds[day] = ivs
+    # hand-planted worst cases on a fixed day
+    worlds["2024-02-01"] = [
+        (5, 5), (5, 5),            # point equals
+        (5, 9), (5, 9),            # equals
+        (5, 7), (5, 12),           # starts (shared s with the points)
+        (3, 9), (1, 9),            # finishes
+        (0, 5), (5, 5),            # point meets? no: shares s=5 ->
+                                   # classifier precedence exercised
+        (9, 11), (2, 9),           # meets chain at 9
+        (1, 12), (2, 3), (2, 3),   # nesting + equal twins
+        (20, 25),                  # disjoint tail -> precedes
+    ]
+    return worlds
+
+
+def test_allen_census_matches_bruteforce_random(spark, tmp_path):
+    worlds = _random_interval_worlds()
+    _plant_interval_events(tmp_path, worlds)
+    got = {
+        (r.day, r.relation): r.n_pairs
+        for r in _run(spark, "interval_allen_algebra_census", tmp_path)
+    }
+    assert got == _brute_census(worlds)
+
+
+def test_overlap_join_matches_bruteforce_random(spark, tmp_path):
+    worlds = _random_interval_worlds()
+    _plant_interval_events(tmp_path, worlds)
+    got = {
+        r.day: (r.n_pairs, r.sum_overlap_sec)
+        for r in _run(spark, "interval_overlap_join", tmp_path)
+    }
+    assert got == _brute_overlap(worlds)

@@ -745,31 +745,44 @@ def dedup_token_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nocc") > 1
     ).select("whash")
     dupw = wins.join(dh, "whash")
+    # n_windows is a PURE FUNCTION of the token count (len >= W ->
+    # len - W + 1, else 0), so the former per_doc arm — a left join +
+    # groupBy over ALL windows, the widest relation in the query —
+    # is computable in the final projection for free. n_dup_windows
+    # rides the SAME aggregation as the token cover: after exploding
+    # each duplicated window to its W token positions, distinct pos
+    # counts windows and distinct tpos counts covered tokens — one
+    # shuffle over the (small) duplicated subset instead of two, and
+    # zero shuffles over the full window stream beyond the repeat
+    # finder. Oracle unchanged (it keeps the naive per_doc form),
+    # proving the identity. sf0.1 timing is NEUTRAL (the eager wins
+    # checkpoint dominates there — measured 1.6 s both forms); the win
+    # is the deleted |windows|-sized join+groupBy, which at 100 TB is
+    # the query's widest shuffle after the repeat finder itself.
     cover = (
         dupw.select(
-            "doc_id", F.explode(F.sequence("pos", F.col("pos") + (W - 1))).alias("tpos")
+            "doc_id",
+            "pos",
+            F.explode(F.sequence("pos", F.col("pos") + (W - 1))).alias("tpos"),
         )
         .groupBy("doc_id")
-        .agg(F.countDistinct("tpos").alias("n_dup_tokens"))
-    )
-    per_doc = (
-        wins.join(dh.withColumn("is_dup", F.lit(1)), "whash", "left")
-        .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count("is_dup").alias("n_dup_windows"),
+            F.countDistinct("tpos").alias("n_dup_tokens"),
+            F.countDistinct("pos").alias("n_dup_windows"),
         )
     )
     frac = F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / F.greatest(
         n, F.lit(1)
     )
     return (
-        toks.join(per_doc, "doc_id", "left")
-        .join(cover, "doc_id", "left")
+        toks.join(cover, "doc_id", "left")
         .select(
             "doc_id",
             n.alias("n_tokens"),
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.when(n >= W, n - (W - 1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
             frac.alias("dup_token_frac"),

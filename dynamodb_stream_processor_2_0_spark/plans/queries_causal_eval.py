@@ -888,11 +888,15 @@ def customer_kaplan_meier_survival(
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # lagged feeds gaps AND tails; durs feeds steps, the totals agg
+    # AND the naive_gt arm — unpinned, the per-customer window ran ~5x
+    # per action (20 parquet scans in the plan). Lazy pins; both
+    # relations are narrow (3 and 2 columns).
     lagged = orders.select(
         "o_custkey",
         F.to_date("o_orderdate").alias("d"),
         F.lag(F.to_date("o_orderdate")).over(w).alias("lag_d"),
-    )
+    ).localCheckpoint(eager=False)
     bounds = orders.agg(F.max(F.to_date("o_orderdate")).alias("horizon_d"))
     gaps = lagged.filter(F.col("lag_d").isNotNull()).select(
         F.datediff("d", "lag_d").cast("long").alias("dur"),
@@ -907,7 +911,7 @@ def customer_kaplan_meier_survival(
             F.lit(0).alias("evt"),
         )
     )
-    durs = gaps.unionByName(tails)
+    durs = gaps.unionByName(tails).localCheckpoint(eager=False)
     steps = durs.groupBy("dur").agg(
         F.sum("evt").cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("m"),
@@ -956,7 +960,9 @@ def customer_kaplan_meier_survival(
             " (acc, x) -> (acc * (x.n - x.d)) div x.n)"
         ).alias("s_km_1e5"),
         "n_events",
-    )
+        # out feeds the ngt arm twice plus the final join — pin the
+        # (|horizons|-row) fold result instead of re-running it.
+    ).localCheckpoint(eager=False)
     ngt = (
         out.select("horizon_days", "n_events")
         .join(
@@ -1396,6 +1402,9 @@ def events_signflip_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("d")
         )
+        # Consumed by obs AND the 64-way flip explode; unpinned, the
+        # events rollup ran twice per action. |types| x |users| rows.
+        .localCheckpoint(eager=False)
     )
     obs = diffs.groupBy("event_type").agg(
         F.expr("abs(CAST(sum(d) AS BIGINT))").alias("t_obs")
@@ -1428,6 +1437,11 @@ def events_signflip_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(1 + count_if(t_perm >= t_obs) AS BIGINT)"
             ).alias("c_of_65")
         )
+        # Consumed THREE times (m, and both sides of the BH rank
+        # self-join); unpinned, the whole 64-permutation md5 pipeline
+        # recomputed per consumer (48 parquet scans in the plan).
+        # |event_type| rows — tiny.
+        .localCheckpoint(eager=False)
     )
     m = pvals.agg(F.count(F.lit(1)).cast("long").alias("m"))
     a, b = pvals.alias("a"), pvals.alias("b")

@@ -1198,25 +1198,44 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nsh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "v"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "v"),
-            ["doc_b", "v"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # Sorted-array verification (the dedup_prefix_filter_jaccard
+    # pattern): the old exploded intersection join consumed `pairs` a
+    # second time (the LSH candidate subtree recomputed per action —
+    # 16 parquet scans, 0 ReusedExchange in the plan) and shuffled
+    # |pairs| x |shingles/doc| narrow rows. One array per doc, one
+    # consumer of `pairs`, codegen intersection per candidate row.
+    # `sh` is DISTINCT, so i = distinct-common count in both forms;
+    # docs with zero shingles drop via the inner join in both forms.
+    arr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
     )
     ji = (
-        agree.join(nsh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(nsh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        agree.join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("vs").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("vs").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
         .select(
             "n_agree",
-            F.expr(
-                "coalesce(i, 0L) * 1000000 div (na + nb - coalesce(i, 0L))"
-            ).alias("exact_micro"),
+            F.size(F.array_intersect("va", "vb")).cast("long").alias("i"),
+            "na",
+            "nb",
+        )
+        .select(
+            "n_agree",
+            F.expr("i * 1000000 div (na + nb - i)").alias("exact_micro"),
         )
     )
     return (
@@ -2153,7 +2172,16 @@ def graph_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    e = dedup.minhash_lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    # The LSH candidate subtree is consumed FIVE times (three triangle
+    # arms + both degree arms) and the triangle set four more (tri_v's
+    # three arms + n_tri); unpinned, both recomputed per consumer (32
+    # parquet scans in the plan). Lazy pins: e is the banded candidate
+    # set (budgeted in SCALE.md §2), tri is bounded by it.
+    e = (
+        dedup.minhash_lsh_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
@@ -2167,6 +2195,7 @@ def graph_clustering_coefficient(
             F.col("e1.doc_b").alias("y"),
             F.col("e2.doc_b").alias("z"),
         )
+        .localCheckpoint(eager=False)
     )
     tri_v = (
         tri.select(F.col("x").alias("v"))

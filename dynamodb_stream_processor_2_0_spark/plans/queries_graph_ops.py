@@ -690,6 +690,13 @@ def graph_node_jaccard_similarity(
     hub-cap mechanics (tests drive it with a synthetic hub graph)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # The helper consumes its edge input FOUR times and the plan DOES
+    # recompute this join+distinct per consumer (16 parquet scans) —
+    # deliberately: lazy-pinning the capped list in the helper
+    # (3.17 -> 3.58 s) and this corpus-side build (2.89 -> 3.28 s,
+    # position-fair isolated A/B, r12) BOTH measured slower — the
+    # checkpoint barrier beats the full-width redundant recompute at
+    # this shape. Struck; see OPTIMIZATION_r12.md.
     e = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(

@@ -574,17 +574,25 @@ def ml_conformal_interval_coverage(
     x = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x")
     )
-    base = orders.join(
-        x, F.col("okey") == F.col("o_orderkey")
-    ).select(
-        "o_orderkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
-        "x",
-        F.expr(
-            "CAST(conv(substr(md5(concat('conf:', "
-            "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-            " % 100"
-        ).alias("bucket"),
+    base = (
+        orders.join(x, F.col("okey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
+            "x",
+            F.expr(
+                "CAST(conv(substr(md5(concat('conf:', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % 100"
+            ).alias("bucket"),
+        )
+        # The train/cal/test arms each consume `base`; without a pin
+        # the orders||lineitem join recomputed per arm (28 parquet
+        # scans in the plan, 0 ReusedExchange). Lazy checkpoint:
+        # computed once at the first action, read back by the other
+        # arms — no build-time jobs (no range partitioner here, unlike
+        # the gini ranking pins).
+        .localCheckpoint(eager=False)
     )
     dec = "DECIMAL(38,0)"
     train = base.filter(F.col("bucket") < 60).agg(

@@ -617,43 +617,55 @@ def dedup_simhash_threshold_sweep(
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
-    # shingles_col already emits DISTINCT shingles per doc — no
-    # dedup shuffle needed before the intersection join.
-    sh = docs.withColumn("toks", D.tokens_col("text")).select(
-        "doc_id", F.explode(D.shingles_col(k=3)).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shb = sh.select(
-        F.col("doc_id").alias("b_id"), F.col("shingle").alias("shingle_b")
-    )
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("b_id"))
-            & (F.col("shingle") == F.col("shingle_b")),
+    # Verification via per-doc sorted shingle ARRAYS instead of the
+    # exploded intersection join (the dedup_prefix_filter_jaccard
+    # pattern, measured 4.9 -> 2.5 s there): the old form pushed
+    # |cand| x |shingles/doc| narrow rows through a join + groupBy AND
+    # consumed `cand` twice (inter + verified), so the banded
+    # simhash self-join — the expensive subtree — was computed twice
+    # per action (plan had 16 parquet scans, 0 ReusedExchange). One
+    # array per doc, one consumer of `cand`, intersection in
+    # whole-stage codegen per candidate row. shingles_col already
+    # emits DISTINCT shingles per doc, so set semantics are identical
+    # (i = distinct-common count either way); docs with zero shingles
+    # are dropped by the inner join in BOTH forms (the oracle's inner
+    # JOIN sizes does the same).
+    arr = (
+        docs.withColumn("toks", D.tokens_col("text"))
+        .select("doc_id", F.explode(D.shingles_col(k=3)).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("shingle")).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
         )
-        .groupBy("doc_a", "doc_b", "hamming")
-        .agg(F.count(F.lit(1)).alias("i"))
     )
     verified = (
         cand.join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a"))
-            .withColumnRenamed("n", "na"),
+            arr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("vs").alias("va"),
+                F.col("n").alias("na"),
+            ),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b"))
-            .withColumnRenamed("n", "nb"),
+            arr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("vs").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
             "doc_b",
         )
-        .join(inter.drop("hamming"), ["doc_a", "doc_b"], "left")
         .select(
             "hamming",
-            F.coalesce("i", F.lit(0)).alias("i"),
-            (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))).alias(
-                "u"
-            ),
+            F.size(F.array_intersect("va", "vb")).cast("long").alias("i"),
+            "na",
+            "nb",
+        )
+        .select(
+            "hamming",
+            "i",
+            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
         )
     )
     thresholds = spark.createDataFrame(
@@ -2053,13 +2065,21 @@ def lineitem_abc_xyz_classification(
     from dynamodb_stream_processor_2_0_spark.operators import ranking
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    monthly = lineitem.groupBy(
-        "l_partkey", F.date_trunc("month", F.to_date("l_shipdate")).alias("mon")
-    ).agg(
-        F.sum("l_quantity").cast("long").alias("qty"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("long")
-        .alias("cents"),
+    monthly = (
+        lineitem.groupBy(
+            "l_partkey",
+            F.date_trunc("month", F.to_date("l_shipdate")).alias("mon"),
+        )
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        # Consumed by BOTH n_months and per_part: without a pin the
+        # full lineitem scan + monthly rollup ran twice per action.
+        # Lazy checkpoint — computed once, no build-time jobs.
+        .localCheckpoint(eager=False)
     )
     n_months = monthly.agg(
         F.countDistinct("mon").cast("long").alias("nm")

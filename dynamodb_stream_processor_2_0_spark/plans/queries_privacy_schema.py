@@ -91,6 +91,13 @@ def data_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = []
     for table, key in _SKEW_KEYS:
         t = load_table(spark, sf_dir, table)
+        # The arms DO recompute freq/ff per consumer (~5 scans/arm) —
+        # deliberately: lazy-pinning freq+ff was measured SLOWER
+        # (2.57 -> 3.19 s), and ff alone SLOWER still (2.94 -> 4.07 s,
+        # position-fair isolated A/B, r12): the checkpoint's
+        # materialization barrier costs more than the column-pruned
+        # scan+rollup redundancy it removes. Struck; see
+        # OPTIMIZATION_r12.md.
         freq = t.groupBy(F.col(key).cast("string").alias("k")).agg(
             F.count(F.lit(1)).alias("f")
         )
@@ -637,14 +644,29 @@ def schema_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         rhs = (
             load_table(spark, sf_dir, rt).select(F.col(rc).alias("k")).distinct()
         )
-        viol = lhs.join(rhs, "k", "left_anti").agg(
-            F.count(F.lit(1)).cast("long").alias("n_violations")
-        )
-        tot = lhs.agg(
-            F.count(F.lit(1)).cast("long").alias("n_lhs_distinct")
+        # ONE pass per arm: the old anti-join + separate total count
+        # computed the lhs DISTINCT twice per arm (the plan carried 60
+        # parquet scans across the 10 arms, 0 ReusedExchange). A left
+        # join against the distinct rhs (multiplicity 1 by
+        # construction) yields both counts from a single aggregate;
+        # NULL lhs keys never match in either form (anti-join keeps
+        # them / left join leaves the marker NULL), so the counts are
+        # identical.
+        stats = (
+            lhs.join(rhs.withColumn("_hit", F.lit(1)), "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lhs_distinct"),
+                # count(when(...)) not sum(when(...)): count is 0 over
+                # an EMPTY lhs where sum is NULL — the old anti-join
+                # count returned 0 there (pinned by the ind_single_pass
+                # identity test's empty-lhs case).
+                F.count(F.when(F.col("_hit").isNull(), 1))
+                .cast("long")
+                .alias("n_violations"),
+            )
         )
         arms.append(
-            tot.crossJoin(F.broadcast(viol)).select(
+            stats.select(
                 F.lit(f"{lt}.{lc}").alias("lhs"),
                 F.lit(f"{rt}.{rc}").alias("rhs"),
                 "n_lhs_distinct",

@@ -450,11 +450,25 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("f"),
         F.lead("event_type").over(w).alias("t"),
     ).filter(F.col("t").isNotNull())
-    cnt = seq.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
-    rs = cnt.groupBy("f").agg(F.sum("c").alias("s"))
-    states = events.select(
-        F.col("event_type").alias("st")
-    ).distinct()
+    # The power iteration consumes cnt/rs EVERY round: unpinned, the
+    # events window + transition rollup recomputed per iteration (the
+    # plan carried 72 parquet scans, 0 ReusedExchange). Lazy pins —
+    # the transition matrix is |types|^2, the row sums |types|; both
+    # tiny at any scale. Explicit broadcasts below keep the per-round
+    # joins BHJ (a checkpointed relation loses its size estimate).
+    cnt = (
+        seq.groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rs = cnt.groupBy("f").agg(F.sum("c").alias("s")).localCheckpoint(eager=False)
+    # states is re-joined every iteration (the mass rebuild) — pinned
+    # for the same reason as cnt/rs; the .count() below materializes it.
+    states = (
+        events.select(F.col("event_type").alias("st"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_states = states.count()
     if n_states == 0:
         # no events -> no chain: empty result, not ZeroDivisionError
@@ -465,19 +479,19 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = states.withColumn("mass", F.lit(_MK_SCALE // n_states))
     for _ in range(_MK_ITERS):
         contrib = (
-            p.join(cnt, p["st"] == cnt["f"])
-            .join(rs, "f")
+            p.join(F.broadcast(cnt), p["st"] == cnt["f"])
+            .join(F.broadcast(rs), "f")
             .select(F.col("t").alias("st"), F.expr("mass * c div s").alias("m"))
             .groupBy("st")
             .agg(F.sum("m").alias("m"))
         )
         carry = (
-            p.join(rs, p["st"] == rs["f"], "left_anti")
+            p.join(F.broadcast(rs), p["st"] == rs["f"], "left_anti")
             .select("st", F.col("mass").alias("k"))
         )
         p = (
-            states.join(contrib, "st", "left")
-            .join(carry, "st", "left")
+            states.join(F.broadcast(contrib), "st", "left")
+            .join(F.broadcast(carry), "st", "left")
             .select(
                 "st",
                 (

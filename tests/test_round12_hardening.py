@@ -312,3 +312,130 @@ def test_overlap_join_matches_bruteforce_random(spark, tmp_path):
         for r in _run(spark, "interval_overlap_join", tmp_path)
     }
     assert got == _brute_overlap(worlds)
+
+
+# --- r12 second batch: array-verification + single-pass IND identities ------
+#
+# dedup_simhash_threshold_sweep and dedup_minhash_calibration replaced
+# their exploded intersection joins (candidates x shingles through a
+# join + groupBy) with per-doc sorted arrays verified by
+# size(array_intersect(...)) per candidate row, and schema_ind_discovery
+# replaced its per-arm distinct+anti-join+separate-count double pass
+# with ONE left-join aggregate. These tests pin the identities the
+# rewrites rely on, on adversarial inputs the parquet fixtures do not
+# contain (zero overlap, full overlap, shingle-less docs, NULL keys,
+# empty relations).
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _shingle_frame(spark, rows):
+    # rows: (doc_id, [shingles])  -- DISTINCT sets, like shingles_col
+    flat = [(d, s) for d, ss in rows for s in ss]
+    return spark.createDataFrame(flat or [], "doc_id long, shingle string")
+
+
+def test_array_verification_identity_vs_exploded_join(spark):
+    sh = _shingle_frame(
+        spark,
+        [
+            (1, ["aa", "bb", "cc"]),   # full overlap with 2
+            (2, ["aa", "bb", "cc"]),
+            (3, ["aa", "bb", "zz"]),   # partial overlap with 1/2
+            (4, ["qq"]),               # zero overlap with everything
+            # doc 5 has NO shingles (short text): absent from sh
+        ],
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (1, 5), (5, 2)],
+        "doc_a long, doc_b long",
+    )
+    # OLD form: exploded intersection join + size join + left join
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("shingle").alias("shingle_b"),
+            ),
+            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    old = (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("i", F.lit(0)).cast("long").alias("i"),
+            (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))).cast("long").alias("u"),
+        )
+    )
+    # NEW form: sorted arrays + array_intersect
+    arr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    new = (
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("vs").alias("va"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("vs").alias("vb"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("va", "vb")).cast("long").alias("i"),
+            (F.col("na") + F.col("nb") - F.size(F.array_intersect("va", "vb"))).cast("long").alias("u"),
+        )
+    )
+    old_rows = sorted(tuple(r) for r in old.collect())
+    new_rows = sorted(tuple(r) for r in new.collect())
+    assert old_rows == new_rows
+    # shingle-less doc 5 must be DROPPED by both forms (inner size join)
+    assert all(r[0] != 5 and r[1] != 5 for r in new_rows)
+    # sanity: full overlap (1,2) -> i=3,u=3; zero overlap (1,4) -> i=0,u=4
+    m = {(a, b): (i, u) for a, b, i, u in new_rows}
+    assert m[(1, 2)] == (3, 3) and m[(1, 4)] == (0, 4)
+
+
+def test_ind_single_pass_identity_vs_anti_join(spark):
+    # NULL lhs keys never match in either form; both must count them
+    # as violations AND in n_lhs_distinct.
+    lhs_rows = [(1,), (2,), (None,), (7,)]
+    rhs_rows = [(1,), (3,)]
+    for lr, rr in [
+        (lhs_rows, rhs_rows),
+        ([], rhs_rows),          # empty lhs: 0/0
+        (lhs_rows, []),          # empty rhs: all violations
+        ([(None,)], [(None,)]),  # NULL never matches NULL
+    ]:
+        lhs = spark.createDataFrame(lr or [], "k long").distinct()
+        rhs = spark.createDataFrame(rr or [], "k long").distinct()
+        old = (
+            lhs.join(rhs, "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("v"))
+            .crossJoin(lhs.agg(F.count(F.lit(1)).cast("long").alias("n")))
+            .collect()[0]
+        )
+        new = (
+            lhs.join(rhs.withColumn("_hit", F.lit(1)), "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                # count(when(...)) not sum(when(...)): must be 0, not
+                # NULL, over an empty lhs — the production form's
+                # empty-world contract.
+                F.count(F.when(F.col("_hit").isNull(), 1))
+                .cast("long")
+                .alias("v"),
+            )
+            .collect()[0]
+        )
+        assert (old["v"], old["n"]) == (new["v"], new["n"])

@@ -95,8 +95,29 @@ def main() -> None:
         del arr
         return round(best, 4)
 
+    # Third probe: PAGE-FAULT LATENCY (r13). This round caught the host
+    # serving first-touch anonymous pages at 736 us/page (healthy ~1-3)
+    # while CPU loops and resident-memory reads stayed fast — Spark
+    # executors (allocation-heavy) degraded 10-70x, invisible to BOTH
+    # probes above. First-touch of 256 MB of fresh anonymous pages, one
+    # rep (faulting is the thing measured; a min-of-N would hide it).
+    def calibrate_fault() -> float:
+        import mmap
+
+        try:
+            m = mmap.mmap(-1, 256 << 20)
+        except (OSError, ValueError):
+            return -1.0
+        t0 = time.perf_counter()
+        for off in range(0, 256 << 20, 4096):
+            m[off] = 1
+        dt = time.perf_counter() - t0
+        m.close()
+        return round(dt, 3)
+
     calibration_start = calibrate()
     calibration_membw_start = calibrate_membw()
+    calibration_fault_start = calibrate_fault()
 
     # Sweep order: headline first (fresh JVM — the driver's protocol),
     # then everything else ALPHABETICALLY. Registry dict order rotates
@@ -182,6 +203,7 @@ def main() -> None:
     )
     calibration_end = calibrate()  # sweep over; pair persisted for normalization
     calibration_membw_end = calibrate_membw()
+    calibration_fault_end = calibrate_fault()
     with open(full_out, "w") as fh:
         json.dump(
             {
@@ -194,6 +216,8 @@ def main() -> None:
                 "calibration_end_sec": calibration_end,
                 "calibration_membw_start_sec": calibration_membw_start,
                 "calibration_membw_end_sec": calibration_membw_end,
+                "calibration_fault_start_sec": calibration_fault_start,
+                "calibration_fault_end_sec": calibration_fault_end,
             },
             fh,
             indent=1,
@@ -309,10 +333,19 @@ def main() -> None:
                 "n_regressions_vs_committed": (
                     len(regressions) if tripwire_compared else None
                 ),
+                # Scaling-contract legibility (r12 VERDICT item 2): the
+                # RESOLVED core count and master string, so a cross-round
+                # reader can verify $SPARK_GRAFT_CPUS was honored instead
+                # of inferring it from per-query core ratios (which fixed
+                # per-job overhead flattens for sub-second queries).
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "calibration_start_sec": calibration_start,
                 "calibration_end_sec": calibration_end,
                 "calibration_membw_start_sec": calibration_membw_start,
                 "calibration_membw_end_sec": calibration_membw_end,
+                "calibration_fault_start_sec": calibration_fault_start,
+                "calibration_fault_end_sec": calibration_fault_end,
                 # total-steady ratio vs the committed artifact, raw and
                 # divided by the machine-state calibration ratio; null
                 # when no comparison happened (same rule as the tripwire)

@@ -439,27 +439,7 @@ def connected_components(
     # per component. The iterative path below remains the >threshold
     # route and is covered by tests at a forced-low threshold.
     if n_edges <= small_graph_threshold:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for row in sym.collect():
-            u, v = row.u, row.v
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # union by min id keeps the representative the min so far
-                lo, hi = min(ru, rv), max(ru, rv)
-                parent[hi] = lo
-        labels_local = [(n, find(n)) for n in parent]
-        return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
+        return _union_find_labels(spark, sym)
     # Each flood round below is two propagate() steps, and each step is
     # an edge-label join followed by a min-aggregate, so a round runs a
     # few dependent shuffle stages whose tasks all execute at
@@ -502,6 +482,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         prev_sum = None
+        converged = False
         for _ in range(max_iterations):
             obs = Observation()
             labels = (
@@ -511,11 +492,57 @@ def connected_components(
             )
             new_sum = obs.get["s"]
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        # r13 loud-fail (found by the star-contraction cross-check test
+        # run at a forced-zero threshold): a graph whose diameter
+        # exceeds 2 * max_iterations used to exit this loop silently
+        # with NON-converged (wrong) labels. The small-graph union-find
+        # absorbs every such graph at the default gate today, so this
+        # is a latent >threshold hazard, but wrong-silently is the one
+        # failure mode a gate can't see — mirror star_contraction's
+        # fixpoint check and refuse instead.
+        if not converged:
+            raise RuntimeError(
+                "min-label flood did not converge within "
+                f"max_iterations={max_iterations} (graph diameter > "
+                f"{2 * max_iterations}); raise max_iterations or use "
+                "star_contraction_components for long-chain graphs"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _union_find_labels(spark, sym: DataFrame) -> DataFrame:
+    """Driver-side union-find over a (u, v) edge relation — the
+    small-graph fast path shared by ``connected_components`` and
+    ``star_contraction_components`` (both label every node with the
+    min reachable id, so one implementation serves both). The collect
+    is the documented bounded-coordination read: callers gate it on a
+    measured edge count."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        u, v = row.u, row.v
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id keeps the representative the min so far
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    labels_local = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
 
 
 def count_min_estimates(
@@ -572,6 +599,7 @@ def star_contraction_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 12,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -614,6 +642,17 @@ def star_contraction_components(
     # overhead at full session width (5.0 -> ~2.5 s at sf0.1).
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_edges = sym.count()
+    # Small-graph fast path (r13): same gate and same union-find as
+    # connected_components — both operators label every node with the
+    # min reachable id, so the shared helper provably returns the same
+    # labels the star loop converges to. Below the gate the star loop's
+    # 3-5 rounds x (4 shuffles + eager checkpoint + 1-row signature
+    # collect) are pure round-trip overhead; the distributed star arm
+    # stays the >threshold route and is pinned by
+    # tests/test_ml_ops.py::test_star_contraction_matches_min_label_on_long_chain
+    # at a forced-zero threshold.
+    if n_edges <= small_graph_threshold:
+        return _union_find_labels(spark, sym)
     # Unlike the flood's 1-shuffle rounds, star rounds run 4 parallel
     # stages; width 1 serializes them (6.3 s vs 5.0 measured), so keep
     # a floor of 8 tasks until the edge count justifies full width.

@@ -892,6 +892,9 @@ def customer_kaplan_meier_survival(
     # AND the naive_gt arm — unpinned, the per-customer window ran ~5x
     # per action (20 parquet scans in the plan). Lazy pins; both
     # relations are narrow (3 and 2 columns).
+    # r13 (VERDICT item 9, quiet in-sweep A/B closed): committed r11
+    # sweep (no pins) 1.816 s vs committed r12 sweep (pins) 1.678 s at
+    # 32c, both calibration-healthy artifacts — KEPT.
     lagged = orders.select(
         "o_custkey",
         F.to_date("o_orderdate").alias("d"),

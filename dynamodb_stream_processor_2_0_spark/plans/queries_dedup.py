@@ -1206,6 +1206,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer of `pairs`, codegen intersection per candidate row.
     # `sh` is DISTINCT, so i = distinct-common count in both forms;
     # docs with zero shingles drop via the inner join in both forms.
+    # r13 (VERDICT item 9, quiet in-sweep A/B closed): committed r11
+    # sweep (exploded intersection join) 2.452 s vs committed r12
+    # sweep (this form) 2.377 s at 32c, both calibration-healthy
+    # artifacts — KEPT.
     arr = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("v")).alias("vs"),
         F.count(F.lit(1)).alias("n"),

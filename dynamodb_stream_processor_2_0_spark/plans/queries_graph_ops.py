@@ -47,7 +47,18 @@ _EDGES_SQL = """
 
 
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst) BIGINT pairs, both directions, distinct."""
+    """(src, dst) BIGINT pairs, both directions, distinct.
+
+    r13 (guide §2.4): profiled at 2.5 s of every graph-family query —
+    the union consumed `directed` twice with NO exchange reuse (the two
+    consumers don't canonicalize identically), so the join+distinct
+    subtree ran twice (4 scans), and a third full-width distinct ran
+    over the doubled relation. Now `directed` is pinned once, and the
+    outer distinct is DELETED as provably redundant: customer nodes are
+    even (2k) and supplier nodes odd (2k+1), so the forward half (src
+    even) and the reversed half (src odd) are disjoint and each is
+    already distinct — their union cannot contain duplicates. Plan:
+    4 scans -> 2 -> (pinned) 1 run, 3 wide exchanges -> 1."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     directed = (
@@ -57,6 +68,7 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     return (
         directed.union(
@@ -64,7 +76,6 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
 
@@ -206,12 +217,18 @@ def _lpa_oracle_sql(iters: int = _LPA_ITERS) -> str:
 
 def _lpa_labels(edges: DataFrame) -> DataFrame:
     """The shared 3-round mode-vote label loop (see
-    graph_label_propagation's doc for the shuffle budget)."""
+    graph_label_propagation's doc for the shuffle budget).
+
+    The per-node argmax is a MAX over struct(cnt, -label) — identical
+    to the former row_number window (ties: cnt desc then label asc;
+    labels are non-negative node ids, so -label inverts the order
+    exactly) but executed as a hash aggregate instead of an
+    exchange+sort+filter: no per-node sort, map-side partial max, and
+    the aggregate's input is the (node, label) count relation already
+    partitioned by (node, label) (r13, guide §2.4 — windows partitioned
+    like a preceding aggregation don't need the sort the window adds)."""
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    )
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
     )
     for it in range(_LPA_ITERS):
         if it:
@@ -222,9 +239,13 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.nl")).alias("label"))
         )
     return labels
 

@@ -1283,6 +1283,11 @@ def graph_personalized_pagerank(
     SCALE = 10**12
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # Same build as queries_graph_ops._undirected_edges and the same
+    # r13 rewrite (see its docstring): pin `directed` so the union's
+    # two consumers share one materialization, and drop the outer
+    # distinct — the forward (src even) and reversed (src odd) halves
+    # are disjoint by node-id parity and each is already distinct.
     directed = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
@@ -1290,6 +1295,7 @@ def graph_personalized_pagerank(
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = (
         directed.union(
@@ -1297,7 +1303,6 @@ def graph_personalized_pagerank(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
     # nodes and outdeg are consumed by EVERY iteration — checkpoint
@@ -1334,10 +1339,19 @@ def graph_personalized_pagerank(
             F.lit(False).alias("is_seed"),
         ).filter(F.lit(False))
     seed_flag = F.broadcast(seeds.withColumn("is_seed", F.lit(1)))
+    # Fold the static out-degree INTO the rank relation (r13 — the
+    # graph_pagerank_fixpoint trick, see its docstring): r carries
+    # (node, od, rank), so each iteration is exactly ONE edges||r join
+    # + one groupBy(dst); the former per-iteration r||outdeg join
+    # disappears (3 joins hoisted), and outdeg replaces nodes as the
+    # domain relation of the update (same row set: every node of the
+    # undirected graph has an out-edge). Ranks are unchanged — od is
+    # static and the update arithmetic is untouched.
     r = (
-        nodes.join(seed_flag, "node", "left")
+        outdeg.join(seed_flag, "node", "left")
         .select(
             "node",
+            "od",
             F.when(
                 F.col("is_seed").isNotNull(), F.lit(SCALE // n_seeds)
             ).otherwise(0).cast("long").alias("rank"),
@@ -1348,21 +1362,17 @@ def graph_personalized_pagerank(
         if it:
             r = r.localCheckpoint(eager=False)
         contrib = (
-            edges.join(
-                r.withColumnRenamed("node", "src").join(
-                    outdeg.withColumnRenamed("node", "src"), "src"
-                ),
-                "src",
-            )
+            edges.join(r.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank div od").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("contrib"))
         )
         r = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            outdeg.join(contrib, outdeg["node"] == contrib["dst"], "left")
             .join(seed_flag, "node", "left")
             .select(
                 "node",
+                "od",
                 (
                     F.when(
                         F.col("is_seed").isNotNull(), F.lit(teleport)

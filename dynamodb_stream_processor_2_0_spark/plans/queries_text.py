@@ -1347,24 +1347,36 @@ def corpus_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit: a document dropped by an earlier stage is never charged
     to a later one, which is what makes per-stage loss rates readable
     at 100 TB."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from dynamodb_stream_processor_2_0_spark.plans.registry import REGISTRY
 
     docs = load_table(spark, sf_dir, "documents")
-    surv = (
-        REGISTRY["dedup_survivorship_canonical"]
-        .fn(spark, sf_dir)
-        .select("doc_id", "cluster_id", "is_canonical")
-    )
-    clf = (
-        REGISTRY["quality_classifier_score"]
-        .fn(spark, sf_dir)
-        .select("doc_id", "score_sum")
-    )
-    tw = (
-        REGISTRY["dedup_token_window_exact"]
-        .fn(spark, sf_dir)
-        .select("doc_id", "dup_token_frac")
-    )
+    # The three stage builds are independent, and two of them trigger
+    # eager work while the DataFrame is being CONSTRUCTED (the LSH
+    # candidate graph's pinned sym + edge count inside
+    # connected_components, and the token-window stage's eager `wins`
+    # pin). Built sequentially those jobs run one after another with
+    # the cluster mostly idle between stages; a 3-thread pool overlaps
+    # them (guide §2.6). Each stage's plan and pinned content is
+    # per-stage deterministic, so the composed ledger is unchanged.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_surv = pool.submit(
+            lambda: REGISTRY["dedup_survivorship_canonical"]
+            .fn(spark, sf_dir)
+            .select("doc_id", "cluster_id", "is_canonical")
+        )
+        f_clf = pool.submit(
+            lambda: REGISTRY["quality_classifier_score"]
+            .fn(spark, sf_dir)
+            .select("doc_id", "score_sum")
+        )
+        f_tw = pool.submit(
+            lambda: REGISTRY["dedup_token_window_exact"]
+            .fn(spark, sf_dir)
+            .select("doc_id", "dup_token_frac")
+        )
+        surv, clf, tw = f_surv.result(), f_clf.result(), f_tw.result()
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     bucket = (
         F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100

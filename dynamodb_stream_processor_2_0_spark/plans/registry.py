@@ -145,6 +145,17 @@ _loaded = False
 #          core, e.g. dedup_exact_hash, dedup_minhash_lsh, ann_*,
 #          text_quality_score, multimodal plumbing) — oldest row first
 #          via `rotate_registry.py --stale`.
+#   r13:   covering set + the 26 queries changed by the r12/r13
+#          optimization rounds (the r12 VERDICT's item 3 rotation: both
+#          interval rewrites, gini, markov_removal, ood/knn split-fold
+#          pair, simhash sweep, minhash calibration, markov_stationary,
+#          signflip, conformal, abc_xyz, clustering_coefficient,
+#          schema_ind, kaplan_meier, token_window; plus r13's star/flood
+#          union-find fastpath pair, corpus_curation_v2, and the
+#          shared-edge-build + LPA-argmax graph consumers) + 3
+#          never-checked queue heads. The 26 r12-sample rows that
+#          rotated out (all green in CORRECTNESS_r12) moved to the
+#          back; never-checked backlog 113 -> 110.
 #
 # The ~100 round-6 additions (retrieval, ML/eval, graph extensions, text
 # statistics, temporal/causal analytics — see git history for the batch
@@ -175,41 +186,46 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "a3_failure_list",
     "e1_error_isolation",
     "datetime_function_battery",
-    # --- never driver-checked (fill the sample): r12 = queries_advanced
-    #     remainder (14) + graph_ops (4) + ml (5) + the complete
-    #     queries_streaming_batch block (6) = positions 22-50 ---
+    # --- r13 sample block (positions 22-50): every query whose code
+    #     path changed in the r12 or r13 optimization rounds, so the
+    #     independent oracle certifies the rewrites (r12 VERDICT item 3:
+    #     16 r12-changed + 10 r13-changed incl. the shared-edge-build /
+    #     LPA-argmax / union-find-fastpath consumers) + 3 never-checked
+    #     queue heads ---
+    "interval_overlap_join",
+    "interval_allen_algebra_census",
+    "ml_gini_decision_stump",
+    "attribution_markov_removal",
+    "embedding_ood_knn_distance",
+    "ml_knn_label_eval",
+    "dedup_simhash_threshold_sweep",
+    "dedup_minhash_calibration",
+    "events_markov_stationary",
+    "events_signflip_fdr",
+    "ml_conformal_interval_coverage",
+    "lineitem_abc_xyz_classification",
+    "graph_clustering_coefficient",
+    "schema_ind_discovery",
+    "customer_kaplan_meier_survival",
+    "dedup_token_window_exact",
+    "dedup_cluster_assign_star",
+    "dedup_cluster_assign",
+    "corpus_curation_pipeline_v2",
+    "graph_label_propagation",
+    "graph_modularity_score",
+    "graph_personalized_pagerank",
+    "graph_shortest_path_bfs",
+    "graph_betweenness_seeded",
+    "graph_degree_assortativity",
+    "graph_deterministic_walks",
     "pii_pseudonymize_consistent",
     "data_contract_check",
     "rolling_7d_active_users",
-    "events_dau_wau_stickiness",
-    "events_error_spike_detection",
-    "sql_scripting_coverage_walk",
-    "events_trend_slope_by_type",
-    "events_cusum_shift_detect",
-    "orders_benford_digit_audit",
-    "customer_weighted_median_balance",
-    "events_ks_distribution_shift",
-    "orders_pareto_skyline",
-    "orders_seasonality_index",
-    "events_bot_regularity_score",
-    "graph_degree_assortativity",
-    "graph_betweenness_seeded",
-    "graph_modularity_score",
-    "graph_adamic_adar_linkpred",
-    "ml_hashed_linear_scorer",
-    "ml_conformal_interval_coverage",
-    "eval_brier_murphy_decomposition",
-    "ml_naive_bayes_langid",
-    "ml_feature_mutual_information",
-    "session_window_dynamic_gap",
-    "window_tumbling_daily",
-    "window_sliding_2d_1d",
-    "range_join_event_neighbors",
-    "hypertable_rollup",
-    "events_funnel",
-    # --- never driver-checked (next rotations) ---
+    # --- never-checked queue (old relative order), then previously
+    #     green rows oldest-first; the 26 r12-block rows that rotated
+    #     out this round (all green in CORRECTNESS_r12) sit at the
+    #     back ---
     "events_streak_islands",
-    "events_markov_stationary",
     "supplier_delay_control_chart",
     "events_theil_sen_trend",
     "timeseries_rolling_median_7d",
@@ -230,14 +246,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_pattern_vshape_match",
     "attribution_shapley_exact",
     "events_sequential_patterns",
-    "customer_kaplan_meier_survival",
     "events_poisson_bootstrap_ci",
     "events_diff_in_diff",
-    "events_signflip_fdr",
     "events_cuped_variance_reduction",
     "events_cross_correlation_leadlag",
     "events_markov_next_event_eval",
-    "attribution_markov_removal",
     "rfm_migration_matrix",
     "sketch_kmv_intersection",
     "sketch_kmv_difference",
@@ -246,10 +259,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "orders_open_backlog_daily",
     "sketch_histogram_quantiles",
     "fk_cascade_impact_analysis",
-    "lineitem_abc_xyz_classification",
     "sketch_cm_join_size_estimate",
     "storage_compaction_bin_packing",
-    "interval_allen_algebra_census",
     "supplier_queue_delay_lindley",
     "events_value_drawdown",
     "snapshot_diff_audit",
@@ -263,7 +274,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_gapfill_daily",
     "events_transition_matrix",
     "fk_integrity_audit",
-    "graph_personalized_pagerank",
     "graph_hits_hubs_authorities",
     "semantic_search_hydrated",
     "embedding_covariance_stats",
@@ -283,7 +293,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity_audit",
     "schema_fd_discovery",
     "privacy_t_closeness_audit",
-    "schema_ind_discovery",
     "privacy_dp_sensitivity_report",
     "schema_key_discovery",
     "privacy_synthetic_fidelity_audit",
@@ -301,7 +310,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_ttl_within_window",
     "dedup_cluster_size_report",
     "dedup_cdc_chunks",
-    "graph_clustering_coefficient",
     "eval_rouge_near_dup_pairs",
     "eval_dedup_method_agreement",
     "graph_ktruss_edges",
@@ -321,9 +329,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_dtw_weekly_similarity",
     "events_haar_energy",
     "sample_neyman_allocation",
-    # --- stale green (oldest first) ---
     "ann_recall_eval",
-    "dedup_cluster_assign",
     "dedup_embedding_near",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
@@ -353,7 +359,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "udaf_weighted_value",
     "cube_priority_status",
     "data_skew_profile",
-    "dedup_simhash_threshold_sweep",
     "embedding_binary_hamming_topk",
     "embedding_hard_negative_mine",
     "embedding_matryoshka_recall",
@@ -361,14 +366,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_pq_adc_topk",
     "events_autocorrelation_lags",
     "events_entropy_by_user",
-    "graph_deterministic_walks",
     "graph_kcore_membership",
-    "graph_label_propagation",
     "graph_node_jaccard_similarity",
     "graph_pagerank_fixpoint",
-    "graph_shortest_path_bfs",
     "graph_triangle_enumerate",
-    "interval_overlap_join",
     "multimodal_dedup_by_digest",
     "multimodal_phash_near_dup",
     "q18_large_volume_customer",
@@ -382,14 +383,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "timeseries_holt_forecast",
     "approx_stats_scale_path",
     "bpe_merge_induction",
-    "corpus_curation_pipeline_v2",
     "dedup_survivorship_canonical",
-    "dedup_token_window_exact",
-    "embedding_ood_knn_distance",
     "embedding_random_projection",
     "eval_calibration_curve_ece",
-    "ml_gini_decision_stump",
-    "ml_knn_label_eval",
     "ml_ols_regression_closed_form",
     "quality_classifier_score",
     "search_rrf_hybrid",
@@ -417,9 +413,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "bloom_filter_dedup_prefilter",
     "bucketed_colocated_join",
     "data_quality_profile",
-    "dedup_cluster_assign_star",
     "dedup_fellegi_sunter_linkage",
-    "dedup_minhash_calibration",
     "dedup_prefix_filter_jaccard",
     "dedup_simhash_hamming_pairs",
     "dedup_sorted_neighborhood",
@@ -496,7 +490,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "window_range_frame_moving_sum",
     "window_running_sum",
     "yoy_revenue_growth",
-    # --- fresh green (rotate to back) ---
     "sql_group_by_all_dialect",
     "sql_correlated_subquery_battery",
     "orders_price_volume_mix",
@@ -526,6 +519,28 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "zorder_vs_linear_skipping",
     "agg_winsorized_stats",
     "timeseries_twap_per_user",
+    "events_dau_wau_stickiness",
+    "events_error_spike_detection",
+    "sql_scripting_coverage_walk",
+    "events_trend_slope_by_type",
+    "events_cusum_shift_detect",
+    "orders_benford_digit_audit",
+    "customer_weighted_median_balance",
+    "events_ks_distribution_shift",
+    "orders_pareto_skyline",
+    "orders_seasonality_index",
+    "events_bot_regularity_score",
+    "graph_adamic_adar_linkpred",
+    "ml_hashed_linear_scorer",
+    "eval_brier_murphy_decomposition",
+    "ml_naive_bayes_langid",
+    "ml_feature_mutual_information",
+    "session_window_dynamic_gap",
+    "window_tumbling_daily",
+    "window_sliding_2d_1d",
+    "range_join_event_neighbors",
+    "hypertable_rollup",
+    "events_funnel",
 )
 
 

@@ -151,16 +151,31 @@ def test_star_contraction_matches_min_label_on_long_chain(spark):
     edges += [(c, d) for c in range(8000, 8005) for d in range(c + 1, 8005)]
     edges += [(9000, 9001)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # threshold 0 forces the DISTRIBUTED star loop (the r13 union-find
+    # fast path would otherwise absorb this graph)
     star = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.star_contraction_components(pairs).collect()
+        for r in dedup.star_contraction_components(
+            pairs, small_graph_threshold=0
+        ).collect()
     }
+    # flood keeps the DEFAULT threshold (union-find) as the reference:
+    # at threshold 0 the distributed flood needs ceil(199/2) = 100
+    # propagate rounds for this chain — past its max_iterations — and
+    # now raises (the r13 loud-fail) instead of returning silently
+    # non-converged labels.
     flood = {
         r["doc_id"]: r["cluster_id"]
         for r in dedup.connected_components(pairs).collect()
     }
     assert star == flood
     assert star[1198] == 1000 and star[7004] == 7000 and star[9001] == 9000
+    # the r13 fast path (default threshold) must agree with both arms
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.star_contraction_components(pairs).collect()
+    }
+    assert fast == star
 
 
 # --- Allen census on a hand-built day --------------------------------------
